@@ -1,0 +1,97 @@
+"""Activation + symbolic-shape unit tests (tch-act, tensor-shape parity)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolodl_tpu import activations as act
+from yolodl_tpu.shapes import Dim, Shape
+
+
+class TestActivations:
+    def test_all_variants_run(self):
+        x = jnp.asarray(np.linspace(-3, 3, 24).reshape(2, 3, 2, 2), dtype=jnp.float32)
+        for name in act.ALL_ACTIVATIONS:
+            y = act.apply(name, x)
+            assert y.shape == x.shape, name
+            assert bool(jnp.all(jnp.isfinite(y))), name
+
+    def test_mish_reference_values(self):
+        # mish(x) = x * tanh(softplus(x)); checked against published values
+        x = jnp.array([-1.0, 0.0, 1.0, 2.0])
+        y = act.mish(x)
+        np.testing.assert_allclose(
+            y, [-0.30340147, 0.0, 0.8650984, 1.9439590], atol=1e-4
+        )
+
+    def test_leaky_slope(self):
+        # darknet leaky slope is 0.1 (tch-act/src/impls.rs:27-29)
+        x = jnp.array([-10.0, 10.0])
+        np.testing.assert_allclose(act.leaky(x), [-1.0, 10.0], atol=1e-6)
+
+    def test_lrelu_slope(self):
+        x = jnp.array([-10.0, 10.0])
+        np.testing.assert_allclose(act.lrelu(x), [-2.0, 10.0], atol=1e-6)
+
+    def test_linear_identity(self):
+        x = jnp.array([-1.5, 2.5])
+        np.testing.assert_allclose(act.apply("linear", x), x)
+
+    def test_hard_mish_matches_reference_form(self):
+        x = jnp.array([-3.0, -1.0, 0.0, 2.0])
+        # case1 = clamp(x,-2,0); case2 = clamp_min(x,0); out = case1^2/2 + case1 + case2
+        np.testing.assert_allclose(
+            act.hard_mish(x), [0.0, -0.5, 0.0, 2.0], atol=1e-6
+        )
+
+    def test_normalize_channels_sums_to_one(self):
+        x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 5, 3, 3)), dtype=jnp.float32)
+        y = act.normalize_channels_softmax(x)
+        np.testing.assert_allclose(np.asarray(y.sum(axis=1)), 1.0, atol=1e-5)
+
+    def test_darknet_name_resolution(self):
+        assert act.resolve("leaky") is act.leaky
+        assert act.resolve("Mish")(jnp.array([1.0]))[0] == pytest.approx(0.8650984, abs=1e-4)
+        with pytest.raises(KeyError):
+            act.resolve("nope")
+
+
+class TestShapes:
+    def test_dim_parse(self):
+        assert Dim.of("_") == Dim(None)
+        assert Dim.of(3) == Dim(3)
+        assert Dim.of("7") == Dim(7)
+        with pytest.raises(ValueError):
+            Dim.of(-1)
+
+    def test_dim_equals_unknown_matches(self):
+        assert Dim(None).equals(Dim(5))
+        assert Dim(5).equals(Dim(5))
+        assert not Dim(5).equals(Dim(6))
+
+    def test_unify(self):
+        assert Dim(None).unify(Dim(4)) == Dim(4)
+        with pytest.raises(ValueError):
+            Dim(3).unify(Dim(4))
+
+    def test_dim_arith(self):
+        assert Dim(3) * 2 == Dim(6)
+        assert Dim(None) * 2 == Dim(None)
+        assert Dim(3) + Dim(4) == Dim(7)
+        assert Dim(8).map(lambda s: s // 2) == Dim(4)
+
+    def test_shape_json_roundtrip(self):
+        s = Shape(["_", 3, 64, 64])
+        assert s.to_json() == ["_", 3, 64, 64]
+        assert s.equals(Shape([1, 3, 64, 64]))
+        assert not s.equals(Shape([1, 4, 64, 64]))
+
+    def test_shape_unify_and_concrete(self):
+        s = Shape(["_", 3, "_", "_"]).unify(Shape([2, "_", 64, 64]))
+        assert s.concrete() == (2, 3, 64, 64)
+        with pytest.raises(ValueError):
+            Shape(["_", 3]).concrete()
+
+    def test_with_dim(self):
+        s = Shape([1, 3, 8, 8]).with_dim(1, 16)
+        assert s.concrete() == (1, 16, 8, 8)
