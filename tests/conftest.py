@@ -8,7 +8,11 @@ lacks.  Must run before the first ``import jax`` in any test module.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the session environment presets JAX_PLATFORMS=axon (real TPU
+# tunnel) and its sitecustomize re-forces it via jax.config at interpreter
+# start — so both the env var AND the config entry must be overridden here,
+# before any backend initializes.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +21,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,274 @@
+"""Graph IR → jittable functional model.
+
+Equivalent capability to ``yolo-dl/src/model.rs`` (YoloModel::from_graph /
+forward_t): instantiates every IR node as parameters + a compute step and
+runs them in topological order.
+
+The key TPU design difference from the reference: the reference interprets
+the graph at runtime, dispatching per node through a Module enum
+(model.rs:359-410).  Here the graph is **compiled once into a single traced
+function** — the Python loop over nodes runs only at trace time, so XLA sees
+one flat computation and can fuse across layer boundaries.  Channel counts
+and head grids come from the IR's static shape inference.
+
+Layout: activations NHWC on device (channels on the TPU lane axis); the
+public ``apply`` accepts NCHW (reference parity) or NHWC.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import newslab as cfg
+from ..graph import Graph
+from ..graph.ir import MERGE_DETECT_2D
+from ..ops import blocks, conv, detect, simple
+
+Array = jax.Array
+Params = Dict[str, Any]
+State = Dict[str, Any]
+
+
+class YoloModel:
+    """A detection model compiled from a :class:`Graph`."""
+
+    def __init__(
+        self,
+        graph: Graph,
+        decode_order: str = "entry_major",
+        decode_variant: str = "scaled",
+    ):
+        self.graph = graph
+        self.decode_order = decode_order
+        self.decode_variant = decode_variant
+
+        out = graph.output_node()
+        if out.output_shape.kind != MERGE_DETECT_2D:
+            raise ValueError(
+                "model output must be a MergeDetect2D node (model.rs:330-353)"
+            )
+        self.output_key = out.key
+
+        # uniform num_classes across Detect2D heads (model.rs:330-353)
+        det_nodes = [n for n in graph.nodes.values() if isinstance(n.config, cfg.Detect2D)]
+        if not det_nodes:
+            raise ValueError("model has no Detect2D heads")
+        classes = {n.config.classes for n in det_nodes}
+        if len(classes) != 1:
+            raise ValueError(f"Detect2D heads disagree on num_classes: {classes}")
+        self.num_classes: int = classes.pop()
+        self.anchors = tuple(n.config.anchors for n in det_nodes)
+
+        # param name per node: readable path when available
+        self._pname: Dict[int, str] = {}
+        for key, node in graph.nodes.items():
+            self._pname[key] = node.path if node.path is not None else f"node{key}"
+
+        # input channel count per node (from predecessor's inferred shape)
+        self._in_c: Dict[int, int] = {}
+        for key, node in graph.nodes.items():
+            ik = node.input_keys
+            if ik.kind == "single":
+                src_shape = graph.nodes[ik.single_key].output_shape
+                if src_shape.is_tensor:
+                    c = src_shape.tensor_shape()[1]
+                    if c.is_known:
+                        self._in_c[key] = c.size  # NCHW logical shape: C at axis 1
+
+    # ------------------------------------------------------------------
+
+    def init(self, key: Array) -> Tuple[Params, State]:
+        """Initialize parameters and BN state for every parameterized node."""
+        params: Params = {}
+        state: State = {}
+        nodes = [self.graph.nodes[k] for k in self.graph.order]
+        param_nodes = [
+            n for n in nodes
+            if isinstance(n.config, (cfg.ConvBn2D, cfg.Conv2D, cfg.DeconvBn2D,
+                                     cfg.DarkCsp2D, cfg.SppCsp2D, cfg.Linear))
+        ]
+        keys = jax.random.split(key, max(len(param_nodes), 1))
+        for node, k in zip(param_nodes, keys):
+            name = self._pname[node.key]
+            layer = node.config
+            in_c = self._in_c[node.key]
+            if isinstance(layer, cfg.ConvBn2D):
+                p, s = conv.conv_bn_init(k, layer, in_c)
+            elif isinstance(layer, cfg.Conv2D):
+                as_convbn = cfg.ConvBn2D(
+                    c=layer.c, k=layer.k, s=layer.s, p=layer.p, d=layer.d,
+                    g=layer.g, bias=layer.bias, act="linear",
+                    bn=cfg.BatchNormConfig(enabled=False),
+                )
+                p, s = conv.conv_bn_init(k, as_convbn, in_c)
+            elif isinstance(layer, cfg.DeconvBn2D):
+                p, s = conv.deconv_bn_init(k, layer, in_c)
+            elif isinstance(layer, cfg.DarkCsp2D):
+                p, s = blocks.dark_csp_init(k, layer, in_c)
+            elif isinstance(layer, cfg.SppCsp2D):
+                p, s = blocks.spp_csp_init(k, layer, in_c)
+            elif isinstance(layer, cfg.Linear):
+                from ..ops import initializers
+                kw, kb = jax.random.split(k)
+                p = {
+                    "w": initializers.linear_weight(kw, in_c, layer.out),
+                    "b": initializers.conv_bias(kb, layer.out, in_c),
+                }
+                s = {}
+            else:  # pragma: no cover
+                continue
+            params[name] = p
+            if s:
+                state[name] = s
+        return params, state
+
+    # ------------------------------------------------------------------
+
+    def apply(
+        self,
+        params: Params,
+        state: State,
+        x: Array,
+        train: bool = False,
+        data_format: str = "NCHW",
+    ) -> Tuple[detect.MergedDetection, State]:
+        """Forward pass → (MergedDetection, new_state).
+
+        ``data_format`` describes ``x``; compute is NHWC internally.
+        """
+        if data_format == "NCHW":
+            x = jnp.transpose(x, (0, 2, 3, 1))
+        elif data_format != "NHWC":
+            raise ValueError(f"unknown data_format {data_format!r}")
+
+        outputs: Dict[int, Any] = {}
+        new_state: State = dict(state)
+
+        for key in self.graph.order:
+            node = self.graph.nodes[key]
+            layer = node.config
+            name = self._pname[key]
+            ik = node.input_keys
+
+            def single() -> Any:
+                return outputs[ik.single_key]
+
+            if isinstance(layer, cfg.Input):
+                if ik.kind == "placeholder":
+                    expect_c = layer.shape[1]
+                    if expect_c.is_known and x.shape[-1] != expect_c.size:
+                        raise ValueError(
+                            f"input channels {x.shape[-1]} != declared {expect_c.size}"
+                        )
+                    outputs[key] = x
+                else:
+                    outputs[key] = single()
+            elif isinstance(layer, cfg.ConvBn2D):
+                out, s = conv.conv_bn_apply(
+                    params[name], state.get(name, {}), single(), layer, train
+                )
+                if s:
+                    new_state[name] = s
+                outputs[key] = out
+            elif isinstance(layer, cfg.Conv2D):
+                out = conv.conv2d_apply(
+                    single(), params[name]["w"], params[name].get("b"),
+                    stride=layer.s, padding=layer.padding,
+                    dilation=layer.d, groups=layer.g,
+                )
+                outputs[key] = out
+            elif isinstance(layer, cfg.DeconvBn2D):
+                out, s = conv.deconv_bn_apply(
+                    params[name], state.get(name, {}), single(), layer, train
+                )
+                if s:
+                    new_state[name] = s
+                outputs[key] = out
+            elif isinstance(layer, cfg.DarkCsp2D):
+                out, s = blocks.dark_csp_apply(
+                    params[name], state.get(name, {}), single(), layer,
+                    self._in_c[key], train,
+                )
+                if s:
+                    new_state[name] = s
+                outputs[key] = out
+            elif isinstance(layer, cfg.SppCsp2D):
+                out, s = blocks.spp_csp_apply(
+                    params[name], state.get(name, {}), single(), layer,
+                    self._in_c[key], train,
+                )
+                if s:
+                    new_state[name] = s
+                outputs[key] = out
+            elif isinstance(layer, cfg.UpSample2D):
+                if layer.stride is not None and layer.reverse:
+                    outputs[key] = simple.downsample2d(single(), layer.stride)
+                else:
+                    outputs[key] = simple.upsample2d(single(), layer.scale)
+            elif isinstance(layer, cfg.MaxPool):
+                outputs[key] = simple.max_pool2d(
+                    single(), layer.size, layer.stride_y, layer.stride_x, layer.padding
+                )
+            elif isinstance(layer, cfg.DynamicPad2D):
+                outputs[key] = simple.dynamic_pad2d(
+                    single(), layer.t, layer.b, layer.l, layer.r, layer.pad_kind
+                )
+            elif isinstance(layer, cfg.Sum2D):
+                outputs[key] = simple.sum2d([outputs[k] for k in ik.iter_keys()])
+            elif isinstance(layer, cfg.Concat2D):
+                outputs[key] = simple.concat2d([outputs[k] for k in ik.iter_keys()])
+            elif isinstance(layer, cfg.Detect2D):
+                outputs[key] = detect.detect_decode(
+                    single(), layer.anchors, layer.classes,
+                    order=self.decode_order, variant=self.decode_variant,
+                )
+            elif isinstance(layer, cfg.MergeDetect2D):
+                outputs[key] = detect.merge_detections(
+                    [outputs[k] for k in ik.iter_keys()]
+                )
+            elif isinstance(layer, cfg.Linear):
+                h = single()
+                h = h.reshape(h.shape[0], -1)
+                outputs[key] = h @ params[name]["w"] + params[name]["b"]
+            else:
+                raise NotImplementedError(f"forward for {layer.kind}")
+
+        return outputs[self.output_key], new_state
+
+    # ------------------------------------------------------------------
+
+    def clamp_running_vars(self, state: State) -> State:
+        """Apply per-node var_min/var_max clamps (model.rs:412-422 →
+        dark_batch_norm.rs:148-172). Call after each optimizer step."""
+        from ..ops.norm import clamp_running_var
+
+        new_state = dict(state)
+        for key in self.graph.order:
+            node = self.graph.nodes[key]
+            layer = node.config
+            name = self._pname[key]
+            if name not in state:
+                continue
+            bn_cfg = getattr(layer, "bn", None)
+            if bn_cfg is None or (bn_cfg.var_min is None and bn_cfg.var_max is None):
+                continue
+            node_state = state[name]
+            if isinstance(layer, (cfg.ConvBn2D, cfg.DeconvBn2D)):
+                if "bn" in node_state:
+                    new_state[name] = {
+                        **node_state,
+                        "bn": clamp_running_var(node_state["bn"], bn_cfg.var_min, bn_cfg.var_max),
+                    }
+            else:  # composite blocks: clamp every sub-conv's bn
+                sub = dict(node_state)
+                for sub_name, sub_state in node_state.items():
+                    if isinstance(sub_state, dict) and "bn" in sub_state:
+                        sub[sub_name] = {
+                            **sub_state,
+                            "bn": clamp_running_var(sub_state["bn"], bn_cfg.var_min, bn_cfg.var_max),
+                        }
+                new_state[name] = sub
+        return new_state

@@ -1,0 +1,218 @@
+"""YOLO detection head: decode + multi-scale merge.
+
+Equivalent capability to ``tch-modules/src/detect_2d.rs`` (grid decode),
+``tch-modules/src/merge_detect_2d.rs`` and the detection-tensor family in
+``tch-goodies/src/detection/`` (DenseDetectionTensor[List],
+MergedDenseDetection with per-layer DetectionInfo and flat⇄instance index
+conversion).
+
+TPU design notes:
+
+- The reference caches grid-offset/anchor tensors per feature size at runtime
+  (detect_2d.rs:162-237); here they are generated inside the traced function
+  with ``broadcasted_iota`` so XLA constant-folds them — no cache needed.
+- Layout is "entries last": a head tensor is [b, A, H, W, 5+C]; the merged
+  tensor is [b, N, ...] with N = Σ A·H·W flattened in (anchor, row, col)
+  order per layer, matching the reference's merged flat index
+  (merged_dense_detection.rs:39-103) so index-parity tests carry over.
+- Two decode variants:
+  * "scaled": scaled-YOLOv4 power decode, the reference's only variant
+    (detect_2d.rs:66-139): cy = (σ(t)·2−0.5+row)/H, h = (σ(t)·2)²·anchor_h.
+  * "darknet": classic darknet yolo layer (for .weights parity):
+    cy = (σ(t)·scale_xy − 0.5·(scale_xy−1) + row)/H, h = exp(t)·anchor_h.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectionInfo:
+    """Static per-head metadata (tch-goodies DetectionInfo equivalent)."""
+
+    feature_h: int
+    feature_w: int
+    anchors: Tuple[Tuple[float, float], ...]  # (h, w) in image-ratio units
+    flat_begin: int
+    flat_end: int
+
+    @property
+    def num_anchors(self) -> int:
+        return len(self.anchors)
+
+    @property
+    def num_flats(self) -> int:
+        return self.num_anchors * self.feature_h * self.feature_w
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DenseDetection:
+    """One head's decoded output; fields [b, A, H, W, ...], boxes in ratio units."""
+
+    cycxhw: Array  # [b, A, H, W, 4]
+    obj_logit: Array  # [b, A, H, W]
+    class_logit: Array  # [b, A, H, W, C]
+    anchors: Tuple[Tuple[float, float], ...]  # static
+
+    def tree_flatten(self):
+        return (self.cycxhw, self.obj_logit, self.class_logit), self.anchors
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, anchors=aux)
+
+    @property
+    def num_classes(self) -> int:
+        return self.class_logit.shape[-1]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class MergedDetection:
+    """All heads merged on the flat cell axis (MergedDenseDetection parity).
+
+    N = Σ_layers A·H·W, per-layer flat order = (anchor, row, col).
+    """
+
+    cycxhw: Array  # [b, N, 4]
+    obj_logit: Array  # [b, N]
+    class_logit: Array  # [b, N, C]
+    infos: Tuple[DetectionInfo, ...]  # static
+
+    def tree_flatten(self):
+        return (self.cycxhw, self.obj_logit, self.class_logit), self.infos
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, infos=aux)
+
+    @property
+    def batch_size(self) -> int:
+        return self.cycxhw.shape[0]
+
+    @property
+    def num_flats(self) -> int:
+        return self.cycxhw.shape[1]
+
+    @property
+    def num_classes(self) -> int:
+        return self.class_logit.shape[-1]
+
+    def obj_prob(self) -> Array:
+        return jax.nn.sigmoid(self.obj_logit)
+
+    def class_prob(self) -> Array:
+        return jax.nn.sigmoid(self.class_logit)
+
+    def confidence(self) -> Array:
+        """obj_prob × class_prob, [b, N, C] (merged_dense_detection.rs:143-153)."""
+        return self.obj_prob()[..., None] * self.class_prob()
+
+
+def detect_decode(
+    x: Array,
+    anchors: Sequence[Tuple[float, float]],
+    num_classes: int,
+    order: str = "entry_major",
+    variant: str = "scaled",
+    scale_xy: float = 1.0,
+) -> DenseDetection:
+    """Decode a head feature map [b, H, W, A*(5+C)] into boxes.
+
+    ``order`` selects the channel grouping: "entry_major" (channel =
+    entry*A + anchor — the reference's view at detect_2d.rs:65) or
+    "anchor_major" (channel = anchor*(5+C) + entry — darknet layout).
+    """
+    b, fh, fw, c = x.shape
+    a = len(anchors)
+    e = 5 + num_classes
+    if c != a * e:
+        raise ValueError(f"head channels {c} != anchors*(5+classes) = {a * e}")
+
+    if order == "entry_major":
+        x = x.reshape(b, fh, fw, e, a)
+        x = jnp.transpose(x, (0, 4, 1, 2, 3))  # [b, A, H, W, E]
+    elif order == "anchor_major":
+        x = x.reshape(b, fh, fw, a, e)
+        x = jnp.transpose(x, (0, 3, 1, 2, 4))
+    else:
+        raise ValueError(f"unknown channel order {order!r}")
+
+    ty, tx, th, tw = x[..., 0], x[..., 1], x[..., 2], x[..., 3]
+    obj_logit = x[..., 4]
+    class_logit = x[..., 5:]
+
+    rows = jax.lax.broadcasted_iota(x.dtype, (fh, fw), 0)
+    cols = jax.lax.broadcasted_iota(x.dtype, (fh, fw), 1)
+    anchor_h = jnp.asarray([ah for ah, _ in anchors], dtype=x.dtype).reshape(1, a, 1, 1)
+    anchor_w = jnp.asarray([aw for _, aw in anchors], dtype=x.dtype).reshape(1, a, 1, 1)
+
+    if variant == "scaled":
+        cy = (jax.nn.sigmoid(ty) * 2.0 - 0.5 + rows) / fh
+        cx = (jax.nn.sigmoid(tx) * 2.0 - 0.5 + cols) / fw
+        h = jnp.square(jax.nn.sigmoid(th) * 2.0) * anchor_h
+        w = jnp.square(jax.nn.sigmoid(tw) * 2.0) * anchor_w
+    elif variant == "darknet":
+        cy = (jax.nn.sigmoid(ty) * scale_xy - 0.5 * (scale_xy - 1.0) + rows) / fh
+        cx = (jax.nn.sigmoid(tx) * scale_xy - 0.5 * (scale_xy - 1.0) + cols) / fw
+        h = jnp.exp(th) * anchor_h
+        w = jnp.exp(tw) * anchor_w
+    else:
+        raise ValueError(f"unknown decode variant {variant!r}")
+
+    cycxhw = jnp.stack([cy, cx, h, w], axis=-1)
+    return DenseDetection(
+        cycxhw=cycxhw,
+        obj_logit=obj_logit,
+        class_logit=class_logit,
+        anchors=tuple((float(ah), float(aw)) for ah, aw in anchors),
+    )
+
+
+def merge_detections(heads: Sequence[DenseDetection]) -> MergedDetection:
+    """Concatenate heads on the flat axis (merged_dense_detection.rs:19-119)."""
+    if not heads:
+        raise ValueError("merge_detections needs at least one head")
+    num_classes = heads[0].num_classes
+    infos: List[DetectionInfo] = []
+    boxes, objs, classes = [], [], []
+    begin = 0
+    for head in heads:
+        if head.num_classes != num_classes:
+            raise ValueError("all heads must share num_classes")
+        b, a, fh, fw, _ = head.cycxhw.shape
+        n = a * fh * fw
+        infos.append(
+            DetectionInfo(
+                feature_h=fh, feature_w=fw, anchors=head.anchors,
+                flat_begin=begin, flat_end=begin + n,
+            )
+        )
+        begin += n
+        boxes.append(head.cycxhw.reshape(b, n, 4))
+        objs.append(head.obj_logit.reshape(b, n))
+        classes.append(head.class_logit.reshape(b, n, num_classes))
+
+    return MergedDetection(
+        cycxhw=jnp.concatenate(boxes, axis=1),
+        obj_logit=jnp.concatenate(objs, axis=1),
+        class_logit=jnp.concatenate(classes, axis=1),
+        infos=tuple(infos),
+    )
+
+
+def instance_to_flat(
+    infos: Sequence[DetectionInfo], layer: int, anchor, row, col
+):
+    """(layer, anchor, row, col) → flat index (instances_to_flats parity,
+    merged_dense_detection.rs:417).  anchor/row/col may be arrays."""
+    info = infos[layer]
+    return info.flat_begin + (anchor * info.feature_h + row) * info.feature_w + col

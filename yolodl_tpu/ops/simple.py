@@ -1,0 +1,65 @@
+"""Shape-plumbing ops: upsample, maxpool, sum, concat, pad.
+
+Equivalent capability to ``tch-modules/src/{up_sample_2d,sum_2d,concat_2d,
+max_pool,dynamic_pad_nd}.rs``.  NHWC layout throughout.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def upsample2d(x: Array, scale: float) -> Array:
+    """Nearest-neighbour upsample by an integer-effective scale
+    (up_sample_2d.rs:18-25)."""
+    b, h, w, c = x.shape
+    out_h, out_w = int(h * scale), int(w * scale)
+    if out_h % h == 0 and out_w % w == 0:
+        ry, rx = out_h // h, out_w // w
+        # repeat is cheaper than gather for exact integer scales
+        return jnp.repeat(jnp.repeat(x, ry, axis=1), rx, axis=2)
+    rows = (jnp.arange(out_h) * h // out_h).astype(jnp.int32)
+    cols = (jnp.arange(out_w) * w // out_w).astype(jnp.int32)
+    return x[:, rows][:, :, cols]
+
+
+def downsample2d(x: Array, stride: int) -> Array:
+    """UpSample2D ByStride reverse=true: strided subsample."""
+    return x[:, ::stride, ::stride, :]
+
+
+def max_pool2d(x: Array, size: int, stride_y: int, stride_x: int, padding: int) -> Array:
+    """Max-pool with -inf padding (darknet maxpool semantics)."""
+    # -inf identity keeps reduce_window differentiable (select-and-scatter VJP)
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, size, size, 1),
+        window_strides=(1, stride_y, stride_x, 1),
+        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
+    )
+
+
+def sum2d(xs: Sequence[Array]) -> Array:
+    out = xs[0]
+    for x in xs[1:]:
+        out = out + x
+    return out
+
+
+def concat2d(xs: Sequence[Array]) -> Array:
+    """Channel concat (last axis in NHWC)."""
+    return jnp.concatenate(list(xs), axis=-1)
+
+
+def dynamic_pad2d(x: Array, t: int, b: int, l: int, r: int, kind: str = "zero") -> Array:
+    """Zero/replication/reflection padding (dynamic_pad_nd.rs:11)."""
+    widths = ((0, 0), (t, b), (l, r), (0, 0))
+    mode = {"zero": "constant", "replication": "edge", "reflection": "reflect"}[kind]
+    return jnp.pad(x, widths, mode=mode)
