@@ -1,0 +1,158 @@
+"""Darknet .cfg parser / graph / .weights tests.
+
+Mirrors the reference's corpus test darknet-config/tests/load_config.rs
+(parse every cfg under cfg/darknet) and adds what the reference lacks: a
+buildable darknet graph and a .weights round-trip.
+"""
+
+import glob
+import io
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolodl_tpu.config import darknet_cfg as dk
+from yolodl_tpu.graph.from_darknet import graph_from_darknet
+from yolodl_tpu.models import YoloModel
+from yolodl_tpu.models.weights import (
+    load_darknet_weights,
+    merge_into_model_tree,
+    save_darknet_weights,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ALL_CFGS = sorted(glob.glob(os.path.join(REPO, "cfg/darknet/*.cfg")))
+
+# detection models whose graphs must build (subset with yolo heads)
+DETECTION_CFGS = [
+    os.path.join(REPO, "cfg/darknet", n)
+    for n in ["yolov4-tiny.cfg", "yolov4.cfg", "yolov4-csp.cfg", "yolov3.cfg",
+              "yolov3-tiny.cfg", "yolov4x-mish.cfg"]
+]
+
+
+@pytest.mark.parametrize("path", ALL_CFGS, ids=[os.path.basename(p) for p in ALL_CFGS])
+def test_cfg_corpus_parses(path):
+    d = dk.Darknet.load(path)
+    assert d.net.channels >= 1
+    assert len(d.layers) > 0
+
+
+class TestParser:
+    def test_comment_stripping_and_values(self):
+        text = """
+[net]
+width=32  # trailing comment
+height=32
+channels=3
+; full-line comment
+[convolutional]
+filters=8
+size=3
+stride=1
+pad=1
+batch_normalize=1
+activation=leaky
+"""
+        d = dk.Darknet.from_str(text)
+        assert d.net.width == 32
+        conv = d.layers[0]
+        assert conv.padding == 1  # pad=1 → size//2
+        assert conv.batch_normalize and conv.activation == "leaky"
+
+    def test_net_must_be_first(self):
+        with pytest.raises(ValueError, match="first section"):
+            dk.Darknet.from_str("[convolutional]\nfilters=1\nsize=1\n")
+
+    def test_yolo_masked_anchors(self):
+        d = dk.Darknet.load(os.path.join(REPO, "cfg/darknet/yolov4-tiny.cfg"))
+        yolos = [l for l in d.layers if isinstance(l, dk.Yolo)]
+        assert len(yolos) == 2
+        assert yolos[0].mask == (3, 4, 5)
+        assert yolos[0].masked_anchors == ((81, 82), (135, 169), (344, 319))
+        assert yolos[0].scale_x_y == pytest.approx(1.05)
+
+    def test_resolve_index(self):
+        assert dk.resolve_index(-1, 5) == 4
+        assert dk.resolve_index(3, 5) == 3
+        with pytest.raises(ValueError):
+            dk.resolve_index(-6, 5)
+
+    def test_output_shapes_yolov4_tiny(self):
+        d = dk.Darknet.load(os.path.join(REPO, "cfg/darknet/yolov4-tiny.cfg"))
+        shapes = d.output_shapes()
+        # head feature maps at 416 input: 13×13 and 26×26, 255 channels (COCO)
+        yolo_idx = [i for i, l in enumerate(d.layers) if isinstance(l, dk.Yolo)]
+        assert shapes[yolo_idx[0]] == (13, 13, 255)
+        assert shapes[yolo_idx[1]] == (26, 26, 255)
+
+
+@pytest.mark.parametrize(
+    "path", DETECTION_CFGS, ids=[os.path.basename(p) for p in DETECTION_CFGS]
+)
+def test_detection_graphs_build(path):
+    g = graph_from_darknet(dk.Darknet.load(path))
+    out = g.output_node()
+    assert out.config.kind == "MergeDetect2D"
+    model = YoloModel(g)
+    assert model.num_classes == 80
+
+
+class TestYoloV4TinyForward:
+    @pytest.fixture(scope="class")
+    def tiny(self):
+        d = dk.Darknet.load(os.path.join(REPO, "cfg/darknet/yolov4-tiny.cfg"))
+        model = YoloModel(graph_from_darknet(d))
+        params, state = model.init(jax.random.PRNGKey(0))
+        return d, model, params, state
+
+    def test_forward_shapes(self, tiny):
+        _, model, params, state = tiny
+        x = jnp.zeros((1, 3, 416, 416), jnp.float32)
+        out, _ = model.apply(params, state, x, train=False)
+        # 3 anchors × (13² + 26²)
+        assert out.num_flats == 3 * (13 * 13) + 3 * (26 * 26)
+        assert out.class_logit.shape == (1, out.num_flats, 80)
+        assert bool(jnp.all(jnp.isfinite(out.cycxhw)))
+
+    def test_weights_roundtrip(self, tiny, tmp_path):
+        d, model, params, state = tiny
+        path = tmp_path / "tiny.weights"
+        save_darknet_weights(d, params, state, path, seen=1234)
+        loaded_p, loaded_s, seen = load_darknet_weights(d, path)
+        assert seen == 1234
+        p2, s2 = merge_into_model_tree(loaded_p, loaded_s, params, state)
+        for leaf_a, leaf_b in zip(
+            jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p2)
+        ):
+            np.testing.assert_allclose(np.asarray(leaf_a), np.asarray(leaf_b), atol=0)
+
+    def test_weights_mismatch_detected(self, tiny, tmp_path):
+        d, model, params, state = tiny
+        path = tmp_path / "bad.weights"
+        save_darknet_weights(d, params, state, path)
+        with open(path, "ab") as f:
+            f.write(b"\x00" * 16)
+        with pytest.raises(ValueError, match="bytes left"):
+            load_darknet_weights(d, path)
+
+
+def test_darknet_decode_is_anchor_major_darknet_variant():
+    d = dk.Darknet.load(os.path.join(REPO, "cfg/darknet/yolov4-tiny.cfg"))
+    g = graph_from_darknet(d)
+    dets = [n.config for n in g.nodes.values() if n.config.kind == "Detect2D"]
+    assert all(c.channel_order == "anchor_major" for c in dets)
+    assert all(c.variant == "darknet" for c in dets)
+    # anchors converted to (h, w) ratios
+    first = dets[0]
+    assert first.anchors[0] == pytest.approx((82 / 416, 81 / 416))
+
+
+def test_new_coords_cfg_uses_scaled_decode():
+    d = dk.Darknet.load(os.path.join(REPO, "cfg/darknet/yolov4-csp.cfg"))
+    g = graph_from_darknet(d)
+    dets = [n.config for n in g.nodes.values() if n.config.kind == "Detect2D"]
+    assert all(c.variant == "scaled" for c in dets)

@@ -1,0 +1,398 @@
+"""AlexeyAB darknet ``.cfg`` front-end.
+
+Equivalent capability to the reference's ``darknet-config`` crate
+(``darknet-config/src/darknet.rs:28-42`` comment stripping + INI parse, and
+the per-section structs in ``{net,convolutional,route,shortcut,max_pool,
+up_sample,yolo}.rs`` with their darknet defaults).  Unlike the reference —
+whose darknet→trainable-model path is ``todo!()`` (train/src/model.rs:31-33)
+— this front-end feeds the same graph IR as NEWSLABv1, so darknet models
+build, run, and train.
+
+Also parses sections the reference models as data-only (connected, softmax,
+cost, crop, avgpool, dropout, batchnorm, gaussian_yolo); unknown sections
+become :class:`Unimplemented` entries, preserving round-trip intent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+# ---------------------------------------------------------------------------
+# low-level INI parse
+
+
+_COMMENT_RE = re.compile(r" *([#;].*)?$", re.MULTILINE)
+
+
+def _strip_comments(text: str) -> str:
+    """Remove #/; comments and trailing whitespace (darknet.rs:28-42)."""
+    return _COMMENT_RE.sub("", text)
+
+
+def parse_sections(text: str) -> List[Tuple[str, Dict[str, str]]]:
+    """Split cfg text into (section_name, {key: value}) in order.
+
+    Later duplicate keys within a section overwrite earlier ones, matching
+    serde_ini map semantics.
+    """
+    sections: List[Tuple[str, Dict[str, str]]] = []
+    current: Optional[Dict[str, str]] = None
+    for raw_line in _strip_comments(text).splitlines():
+        line = raw_line.strip()
+        if not line:
+            continue
+        if line.startswith("[") and line.endswith("]"):
+            name = line[1:-1].strip().lower()
+            current = {}
+            sections.append((name, current))
+            continue
+        if "=" not in line:
+            raise ValueError(f"malformed cfg line: {raw_line!r}")
+        if current is None:
+            raise ValueError(f"key-value pair before any section: {raw_line!r}")
+        key, value = line.split("=", 1)
+        current[key.strip()] = value.strip()
+    return sections
+
+
+def _get_int(d: Dict[str, str], key: str, default: int) -> int:
+    return int(d[key]) if key in d else default
+
+def _get_float(d: Dict[str, str], key: str, default: float) -> float:
+    return float(d[key]) if key in d else default
+
+def _get_bool(d: Dict[str, str], key: str, default: bool) -> bool:
+    return bool(int(d[key])) if key in d else default
+
+def _get_str(d: Dict[str, str], key: str, default: str) -> str:
+    return d.get(key, default)
+
+def _int_list(s: str) -> List[int]:
+    return [int(x) for x in s.replace(" ", "").split(",") if x != ""]
+
+def _float_list(s: str) -> List[float]:
+    return [float(x) for x in s.replace(" ", "").split(",") if x != ""]
+
+
+# ---------------------------------------------------------------------------
+# sections
+
+ShapeHWC = Tuple[int, int, int]
+
+
+@dataclasses.dataclass(frozen=True)
+class Net:
+    """[net] section (darknet-config/src/net.rs:7-120): model + train params."""
+
+    width: int
+    height: int
+    channels: int
+    batch: int = 1
+    subdivisions: int = 1
+    momentum: float = 0.9
+    decay: float = 0.0001
+    learning_rate: float = 0.001
+    burn_in: int = 0
+    max_batches: int = 0
+    policy: str = "constant"
+    steps: Tuple[int, ...] = ()
+    scales: Tuple[float, ...] = ()
+    mosaic: bool = False
+    letter_box: bool = False
+    adam: bool = False
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-7
+    angle: float = 0.0
+    saturation: float = 1.0
+    exposure: float = 1.0
+    hue: float = 0.0
+    raw: Dict[str, str] = dataclasses.field(default_factory=dict, hash=False, compare=False)
+
+    @property
+    def input_shape_hwc(self) -> ShapeHWC:
+        return (self.height, self.width, self.channels)
+
+
+@dataclasses.dataclass(frozen=True)
+class Convolutional:
+    filters: int
+    size: int
+    stride_x: int = 1
+    stride_y: int = 1
+    padding: int = 0
+    groups: int = 1
+    dilation: int = 1
+    batch_normalize: bool = False
+    activation: str = "linear"
+    share_index: Optional[int] = None
+
+    def output_shape(self, in_hwc: ShapeHWC) -> ShapeHWC:
+        h, w, _ = in_hwc
+        out_h = (h + 2 * self.padding - self.size) // self.stride_y + 1
+        out_w = (w + 2 * self.padding - self.size) // self.stride_x + 1
+        return (out_h, out_w, self.filters)
+
+
+@dataclasses.dataclass(frozen=True)
+class Route:
+    layers: Tuple[int, ...]  # signed: negative = relative
+    group_id: int = 0
+    groups: int = 1
+
+    def output_shape(self, in_shapes: Sequence[ShapeHWC]) -> ShapeHWC:
+        hws = {(h, w) for h, w, _ in in_shapes}
+        if len(hws) != 1:
+            raise ValueError(f"route inputs disagree on spatial size: {in_shapes}")
+        h, w = next(iter(hws))
+        out_c = sum(c // self.groups for _, _, c in in_shapes)
+        return (h, w, out_c)
+
+
+@dataclasses.dataclass(frozen=True)
+class Shortcut:
+    from_layers: Tuple[int, ...]
+    activation: str = "linear"
+    weights_type: str = "none"
+
+    def output_shape(self, in_shapes: Sequence[ShapeHWC]) -> ShapeHWC:
+        hws = {(h, w) for h, w, _ in in_shapes}
+        if len(hws) != 1:
+            raise ValueError(f"shortcut inputs disagree on spatial size: {in_shapes}")
+        return in_shapes[0]
+
+
+@dataclasses.dataclass(frozen=True)
+class MaxPool:
+    size: int = 2
+    stride_x: int = 2
+    stride_y: int = 2
+    padding: int = 1  # darknet default: size - 1
+    maxpool_depth: bool = False
+
+    def output_shape(self, in_hwc: ShapeHWC) -> ShapeHWC:
+        h, w, c = in_hwc
+        out_h = (h + self.padding - self.size) // self.stride_y + 1
+        out_w = (w + self.padding - self.size) // self.stride_x + 1
+        return (out_h, out_w, c)
+
+
+@dataclasses.dataclass(frozen=True)
+class UpSample:
+    stride: int = 2
+    reverse: bool = False
+
+    def output_shape(self, in_hwc: ShapeHWC) -> ShapeHWC:
+        h, w, c = in_hwc
+        if self.reverse:
+            return (h // self.stride, w // self.stride, c)
+        return (h * self.stride, w * self.stride, c)
+
+
+@dataclasses.dataclass(frozen=True)
+class Yolo:
+    classes: int = 20
+    # all anchor pairs as (w, h) pixels (darknet order!), mask selects a subset
+    anchors: Tuple[Tuple[float, float], ...] = ()
+    mask: Tuple[int, ...] = ()
+    scale_x_y: float = 1.0
+    new_coords: bool = False
+    iou_loss: str = "mse"
+    iou_normalizer: float = 0.75
+    obj_normalizer: float = 1.0
+    cls_normalizer: float = 1.0
+    ignore_thresh: float = 0.5
+    truth_thresh: float = 1.0
+    label_smooth_eps: float = 0.0
+    max_boxes: int = 200
+    nms_kind: str = "default"
+    beta_nms: float = 0.0
+
+    @property
+    def masked_anchors(self) -> Tuple[Tuple[float, float], ...]:
+        if not self.mask:
+            return self.anchors
+        return tuple(self.anchors[i] for i in self.mask)
+
+    def output_shape(self, in_hwc: ShapeHWC) -> ShapeHWC:
+        h, w, c = in_hwc
+        expect = len(self.masked_anchors) * (5 + self.classes)
+        if c != expect:
+            raise ValueError(
+                f"[yolo] input channels {c} != anchors*(5+classes) = {expect}"
+            )
+        return in_hwc
+
+
+@dataclasses.dataclass(frozen=True)
+class Unimplemented:
+    """Parsed-but-not-buildable section (parity with darknet-config's
+    Connected/Softmax/Cost/Crop/AvgPool/Dropout/Unimplemented handling)."""
+
+    section: str
+    raw: Dict[str, str] = dataclasses.field(hash=False, compare=False, default_factory=dict)
+
+
+Layer = Union[Convolutional, Route, Shortcut, MaxPool, UpSample, Yolo, Unimplemented]
+
+
+@dataclasses.dataclass(frozen=True)
+class Darknet:
+    net: Net
+    layers: Tuple[Layer, ...]
+
+    @staticmethod
+    def load(path) -> "Darknet":
+        with open(path) as f:
+            return Darknet.from_str(f.read())
+
+    @staticmethod
+    def from_str(text: str) -> "Darknet":
+        return _build(parse_sections(text))
+
+    def output_shapes(self) -> List[ShapeHWC]:
+        """Per-layer output shapes (HWC), resolving route/shortcut indices."""
+        shapes: List[ShapeHWC] = []
+        for i, layer in enumerate(self.layers):
+            if isinstance(layer, (Convolutional, MaxPool, UpSample, Yolo)):
+                src = self.net.input_shape_hwc if i == 0 else shapes[i - 1]
+                shapes.append(layer.output_shape(src))
+            elif isinstance(layer, Route):
+                idxs = [resolve_index(j, i) for j in layer.layers]
+                shapes.append(layer.output_shape([shapes[j] for j in idxs]))
+            elif isinstance(layer, Shortcut):
+                prev = self.net.input_shape_hwc if i == 0 else shapes[i - 1]
+                idxs = [resolve_index(j, i) for j in layer.from_layers]
+                shapes.append(layer.output_shape([prev] + [shapes[j] for j in idxs]))
+            else:
+                # passthrough estimate for unimplemented kinds
+                shapes.append(self.net.input_shape_hwc if i == 0 else shapes[i - 1])
+        return shapes
+
+
+def resolve_index(index: int, current: int) -> int:
+    """Signed layer reference → absolute index (misc.rs LayerIndex:81-90):
+    negative is relative to the current layer."""
+    absolute = index if index >= 0 else current + index
+    if not 0 <= absolute < current:
+        raise ValueError(f"layer reference {index} out of range at layer {current}")
+    return absolute
+
+
+# ---------------------------------------------------------------------------
+
+
+def _build(sections: List[Tuple[str, Dict[str, str]]]) -> Darknet:
+    if not sections or sections[0][0] not in ("net", "network"):
+        raise ValueError("the first section must be [net]")
+    if any(name in ("net", "network") for name, _ in sections[1:]):
+        raise ValueError("[net] must appear only once, first")
+
+    net = _parse_net(sections[0][1])
+    layers: List[Layer] = []
+    for name, d in sections[1:]:
+        layers.append(_parse_layer(name, d))
+    return Darknet(net=net, layers=tuple(layers))
+
+
+def _parse_net(d: Dict[str, str]) -> Net:
+    return Net(
+        width=_get_int(d, "width", 0),
+        height=_get_int(d, "height", 0),
+        channels=_get_int(d, "channels", 3),
+        batch=_get_int(d, "batch", 1),
+        subdivisions=_get_int(d, "subdivisions", 1),
+        momentum=_get_float(d, "momentum", 0.9),
+        decay=_get_float(d, "decay", 0.0001),
+        learning_rate=_get_float(d, "learning_rate", 0.001),
+        burn_in=_get_int(d, "burn_in", 0),
+        max_batches=_get_int(d, "max_batches", 0),
+        policy=_get_str(d, "policy", "constant"),
+        steps=tuple(_int_list(d["steps"])) if "steps" in d else (),
+        scales=tuple(_float_list(d["scales"])) if "scales" in d else (),
+        mosaic=_get_bool(d, "mosaic", False),
+        letter_box=_get_bool(d, "letter_box", False),
+        adam=_get_bool(d, "adam", False),
+        b1=_get_float(d, "B1", 0.9),
+        b2=_get_float(d, "B2", 0.999),
+        eps=_get_float(d, "eps", 1e-7),
+        angle=_get_float(d, "angle", 0.0),
+        saturation=_get_float(d, "saturation", 1.0),
+        exposure=_get_float(d, "exposure", 1.0),
+        hue=_get_float(d, "hue", 0.0),
+        raw=dict(d),
+    )
+
+
+def _parse_layer(name: str, d: Dict[str, str]) -> Layer:
+    if name == "convolutional":
+        size = _get_int(d, "size", 1)
+        stride = _get_int(d, "stride", 1)
+        pad_flag = _get_bool(d, "pad", False)
+        # pad=1 overrides padding to size//2 (convolutional.rs:89-96)
+        padding = size // 2 if pad_flag else _get_int(d, "padding", 0)
+        share = d.get("share_index")
+        return Convolutional(
+            filters=int(d["filters"]),
+            size=size,
+            stride_x=_get_int(d, "stride_x", stride),
+            stride_y=_get_int(d, "stride_y", stride),
+            padding=padding,
+            groups=_get_int(d, "groups", 1),
+            dilation=_get_int(d, "dilation", 1),
+            batch_normalize=_get_bool(d, "batch_normalize", False),
+            activation=_get_str(d, "activation", "linear"),
+            share_index=int(share) if share is not None else None,
+        )
+    if name == "route":
+        return Route(
+            layers=tuple(_int_list(d["layers"])),
+            group_id=_get_int(d, "group_id", 0),
+            groups=_get_int(d, "groups", 1),
+        )
+    if name == "shortcut":
+        return Shortcut(
+            from_layers=tuple(_int_list(d["from"])),
+            activation=_get_str(d, "activation", "linear"),
+            weights_type=_get_str(d, "weights_type", "none"),
+        )
+    if name in ("maxpool", "max", "localavg"):
+        stride = _get_int(d, "stride", 1)
+        size = _get_int(d, "size", stride)
+        return MaxPool(
+            size=size,
+            stride_x=_get_int(d, "stride_x", stride),
+            stride_y=_get_int(d, "stride_y", stride),
+            padding=_get_int(d, "padding", size - 1),
+            maxpool_depth=_get_bool(d, "maxpool_depth", False),
+        )
+    if name == "upsample":
+        return UpSample(
+            stride=_get_int(d, "stride", 2),
+            reverse=_get_bool(d, "reverse", False),
+        )
+    if name in ("yolo", "gaussian_yolo"):
+        anchors = ()
+        if "anchors" in d:
+            flat = _float_list(d["anchors"])
+            anchors = tuple((flat[i], flat[i + 1]) for i in range(0, len(flat) - 1, 2))
+        return Yolo(
+            classes=_get_int(d, "classes", 20),
+            anchors=anchors,
+            mask=tuple(_int_list(d["mask"])) if "mask" in d else (),
+            scale_x_y=_get_float(d, "scale_x_y", 1.0),
+            new_coords=_get_bool(d, "new_coords", False),
+            iou_loss=_get_str(d, "iou_loss", "mse"),
+            iou_normalizer=_get_float(d, "iou_normalizer", 0.75),
+            obj_normalizer=_get_float(d, "obj_normalizer", 1.0),
+            cls_normalizer=_get_float(d, "cls_normalizer", 1.0),
+            ignore_thresh=_get_float(d, "ignore_thresh", 0.5),
+            truth_thresh=_get_float(d, "truth_thresh", 1.0),
+            label_smooth_eps=_get_float(d, "label_smooth_eps", 0.0),
+            max_boxes=_get_int(d, "max", 200),
+            nms_kind=_get_str(d, "nms_kind", "default"),
+            beta_nms=_get_float(d, "beta_nms", 0.0),
+        )
+    return Unimplemented(section=name, raw=dict(d))

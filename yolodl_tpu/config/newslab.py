@@ -68,7 +68,12 @@ class Input(ModuleCfg):
 
 @dataclasses.dataclass(frozen=True)
 class ConvBn2D(ModuleCfg):
-    """conv_bn_2d_block.rs: defaults s=1, p=k//2, d=1, g=1, bias=true, act=mish."""
+    """conv_bn_2d_block.rs: defaults s=1, p=k//2, d=1, g=1, bias=true, act=mish.
+
+    ``order`` selects the forward order: "act_bn" = conv→act→bn (the
+    reference's NEWSLAB quirk, conv_bn_2d.rs:88-101); "bn_act" = conv→bn→act
+    (darknet convolutional semantics, used by the .cfg front-end).
+    """
 
     from_: Optional[str] = None
     c: int = 0
@@ -80,6 +85,7 @@ class ConvBn2D(ModuleCfg):
     bias: bool = True
     act: str = "mish"
     bn: BatchNormConfig = BatchNormConfig()
+    order: str = "act_bn"
 
     @property
     def padding(self) -> int:
@@ -168,10 +174,17 @@ class Sum2D(ModuleCfg):
 
 @dataclasses.dataclass(frozen=True)
 class Detect2D(ModuleCfg):
+    """Head decode config.  ``variant``/``channel_order`` default to the
+    NEWSLAB conventions ("scaled" power decode, entry-major channels); the
+    darknet front-end overrides them for .weights parity."""
+
     from_: Optional[str] = None
     classes: int = 0
     # anchors are (h, w) pairs in image-ratio units (model-config Size)
     anchors: Tuple[Tuple[float, float], ...] = ()
+    variant: str = "scaled"  # "scaled" | "darknet"
+    scale_xy: float = 1.0
+    channel_order: str = "entry_major"  # "entry_major" | "anchor_major"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -194,12 +207,17 @@ class GroupRef(ModuleCfg):
 
 @dataclasses.dataclass(frozen=True)
 class MaxPool(ModuleCfg):
+    """When ``total_padding`` is set, darknet maxpool semantics apply:
+    out = (in + total_padding - size)//stride + 1 with asymmetric -inf pads
+    (darknet-config max_pool.rs:19-34); otherwise symmetric torch-style."""
+
     from_: Optional[str] = None
     size: int = 2
     stride_y: int = 2
     stride_x: int = 2
     padding: int = 0
     maxpool_depth: bool = False
+    total_padding: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -221,14 +239,22 @@ class DynamicPad2D(ModuleCfg):
 
 @dataclasses.dataclass(frozen=True)
 class DarknetRoute(ModuleCfg):
-    from_: Optional[str] = None
+    """darknet [route]: concat of inputs, each sliced to channel group
+    group_id/num_groups (darknet-config route.rs).  Functional here, unlike
+    the reference's todo!() stub (tch-modules module.rs:219-227)."""
+
+    from_: Tuple[str, ...] = ()
     group_id: int = 0
     num_groups: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
 class DarknetShortcut(ModuleCfg):
-    from_: Optional[str] = None
+    """darknet [shortcut]: elementwise sum (over the common channel prefix)
+    followed by an activation (darknet-config shortcut.rs:5-21)."""
+
+    from_: Tuple[str, ...] = ()
+    act: str = "linear"
     weights_type: str = "none"
 
 
@@ -348,12 +374,13 @@ def _parse_module(raw: Mapping) -> ModuleCfg:
         )
     if kind == "DarknetRoute":
         return DarknetRoute(
-            name=name, from_=single_from(), group_id=int(raw.get("group_id", 0)),
+            name=name, from_=multi_from(), group_id=int(raw.get("group_id", 0)),
             num_groups=int(raw.get("num_groups", 1)),
         )
     if kind == "DarknetShortcut":
         return DarknetShortcut(
-            name=name, from_=single_from(), weights_type=str(raw.get("weights_type", "none"))
+            name=name, from_=multi_from(), act=str(raw.get("act", "linear")),
+            weights_type=str(raw.get("weights_type", "none")),
         )
     raise ValueError(f"unknown module kind: {kind!r}")
 

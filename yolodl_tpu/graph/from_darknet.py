@@ -1,0 +1,136 @@
+"""Darknet cfg → graph IR front-end.
+
+Equivalent capability to ``model-graph/src/darknet.rs`` — but complete: the
+reference maps only Convolutional/Route/Shortcut/MaxPool/UpSample and leaves
+Yolo and the rest ``todo!()`` (darknet.rs:414-437), so darknet models can't
+actually run there.  Here every detection-relevant section becomes a
+buildable IR node, including the [yolo] heads (Detect2D with darknet decode
++ anchor-major channel order) and a final MergeDetect2D sink, so a darknet
+``.cfg`` + ``.weights`` pair runs through the same jitted model path as
+NEWSLABv1 models.
+
+The conversion synthesizes a single NEWSLABv1-style group with explicit
+names ("input", "layer0", ..., "output") and reuses the standard flattening
++ shape-inference pass.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from ..config import darknet_cfg as dk
+from ..config import newslab as cfg
+from ..shapes import Shape
+from .ir import Graph, _flatten  # shared flatten/toposort/shape-inference
+
+
+def graph_from_darknet(darknet: dk.Darknet) -> Graph:
+    net = darknet.net
+    layers: List[cfg.ModuleCfg] = [
+        cfg.Input(name="input", shape=Shape(["_", net.channels, net.height, net.width]))
+    ]
+    yolo_names: List[str] = []
+
+    def ref(index: int, current: int) -> str:
+        absolute = dk.resolve_index(index, current)
+        return f"layer{absolute}"
+
+    for i, layer in enumerate(darknet.layers):
+        name = f"layer{i}"
+        prev = "input" if i == 0 else f"layer{i - 1}"
+
+        if isinstance(layer, dk.Convolutional):
+            if layer.stride_x != layer.stride_y:
+                raise ValueError(f"{name}: anisotropic conv stride is not supported")
+            layers.append(
+                cfg.ConvBn2D(
+                    name=name,
+                    from_=prev,
+                    c=layer.filters,
+                    k=layer.size,
+                    s=layer.stride_x,
+                    p=layer.padding,
+                    d=layer.dilation,
+                    g=layer.groups,
+                    # darknet convs carry a bias only when not batch-normalized
+                    bias=not layer.batch_normalize,
+                    act=layer.activation,
+                    bn=cfg.BatchNormConfig(enabled=layer.batch_normalize),
+                    order="bn_act",
+                )
+            )
+        elif isinstance(layer, dk.Route):
+            layers.append(
+                cfg.DarknetRoute(
+                    name=name,
+                    from_=tuple(ref(j, i) for j in layer.layers),
+                    group_id=layer.group_id,
+                    num_groups=layer.groups,
+                )
+            )
+        elif isinstance(layer, dk.Shortcut):
+            layers.append(
+                cfg.DarknetShortcut(
+                    name=name,
+                    from_=(prev,) + tuple(ref(j, i) for j in layer.from_layers),
+                    act=layer.activation,
+                    weights_type=layer.weights_type,
+                )
+            )
+        elif isinstance(layer, dk.MaxPool):
+            layers.append(
+                cfg.MaxPool(
+                    name=name,
+                    from_=prev,
+                    size=layer.size,
+                    stride_y=layer.stride_y,
+                    stride_x=layer.stride_x,
+                    total_padding=layer.padding,
+                    maxpool_depth=layer.maxpool_depth,
+                )
+            )
+        elif isinstance(layer, dk.UpSample):
+            if layer.reverse:
+                layers.append(
+                    cfg.UpSample2D(name=name, from_=prev, scale=float(layer.stride),
+                                   stride=layer.stride, reverse=True)
+                )
+            else:
+                layers.append(
+                    cfg.UpSample2D(name=name, from_=prev, scale=float(layer.stride))
+                )
+        elif isinstance(layer, dk.Yolo):
+            # darknet anchors are (w, h) pixels of the net input; Detect2D
+            # anchors are (h, w) image ratios.
+            anchors = tuple(
+                (ah / net.height, aw / net.width) for aw, ah in layer.masked_anchors
+            )
+            layers.append(
+                cfg.Detect2D(
+                    name=name,
+                    from_=prev,
+                    classes=layer.classes,
+                    anchors=anchors,
+                    # new_coords=1 selects the scaled-YOLOv4 power decode
+                    variant="scaled" if layer.new_coords else "darknet",
+                    scale_xy=layer.scale_x_y,
+                    channel_order="anchor_major",
+                )
+            )
+            yolo_names.append(name)
+        else:
+            raise ValueError(
+                f"layer {i}: [{layer.section}] has no graph mapping "
+                "(classification-only section)"
+            )
+
+    if not yolo_names:
+        raise ValueError("cfg has no [yolo] layers; not a detection model")
+    layers.append(cfg.MergeDetect2D(name="output", from_=tuple(yolo_names)))
+
+    model = cfg.Model(groups={"darknet": tuple(layers)}, main_group="darknet")
+    return _flatten(model)
+
+
+def load_darknet_graph(path) -> Graph:
+    return graph_from_darknet(dk.Darknet.load(path))

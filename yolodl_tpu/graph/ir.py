@@ -233,7 +233,11 @@ def _flatten(model: cfg.Model) -> Graph:
                 if prefix == "":
                     edges.append((key, ("placeholder", [])))
                 # nested Input: edge added by the enclosing GroupRef
-            elif isinstance(layer, (cfg.Concat2D, cfg.Sum2D, cfg.MergeDetect2D)):
+            elif isinstance(
+                layer,
+                (cfg.Concat2D, cfg.Sum2D, cfg.MergeDetect2D, cfg.DarknetRoute,
+                 cfg.DarknetShortcut),
+            ):
                 edges.append(
                     (key, ("indexed", [_join(prefix, p) for p in layer.from_]))
                 )
@@ -422,10 +426,18 @@ def _infer_shape(
 
     if isinstance(layer, cfg.MaxPool):
         b, c, h, w = _single_tensor(ik, shapes)
-        k, p = layer.size, layer.padding
+        k = layer.size
+        if layer.total_padding is not None:
+            tp = layer.total_padding
 
-        def pool(v: int, s: int) -> int:
-            return (v + 2 * p - k) // s + 1
+            def pool(v: int, s: int) -> int:
+                return (v + tp - k) // s + 1
+
+        else:
+            p = layer.padding
+
+            def pool(v: int, s: int) -> int:
+                return (v + 2 * p - k) // s + 1
 
         return ShapeOut.tensor(
             Shape([b, c, h.map(lambda v: pool(v, layer.stride_y)),
@@ -443,11 +455,24 @@ def _infer_shape(
         return ShapeOut.tensor(Shape([shape[0], layer.out]))
 
     if isinstance(layer, cfg.DarknetRoute):
-        b, c, h, w = _single_tensor(ik, shapes)
+        ins = [shapes[k].tensor_shape() for k in ik.iter_keys()]
         n = layer.num_groups
-        return ShapeOut.tensor(Shape([b, c.map(lambda v: v // n), h, w]))
+        b, c, h, w = ins[0]
+        c = c.map(lambda v: v // n)
+        for s2 in ins[1:]:
+            b = b.unify(s2[0])
+            c = c + s2[1].map(lambda v: v // n)
+            h = h.unify(s2[2])
+            w = w.unify(s2[3])
+        return ShapeOut.tensor(Shape([b, c, h, w]))
 
     if isinstance(layer, cfg.DarknetShortcut):
-        return ShapeOut.tensor(_single_tensor(ik, shapes))
+        ins = [shapes[k].tensor_shape() for k in ik.iter_keys()]
+        b, c, h, w = ins[0]
+        for s2 in ins[1:]:
+            b = b.unify(s2[0])
+            h = h.unify(s2[2])
+            w = w.unify(s2[3])
+        return ShapeOut.tensor(Shape([b, c, h, w]))
 
     raise ValueError(f"no shape rule for module kind {layer.kind!r}")

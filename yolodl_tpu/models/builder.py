@@ -35,15 +35,8 @@ State = Dict[str, Any]
 class YoloModel:
     """A detection model compiled from a :class:`Graph`."""
 
-    def __init__(
-        self,
-        graph: Graph,
-        decode_order: str = "entry_major",
-        decode_variant: str = "scaled",
-    ):
+    def __init__(self, graph: Graph):
         self.graph = graph
-        self.decode_order = decode_order
-        self.decode_variant = decode_variant
 
         out = graph.output_node()
         if out.output_shape.kind != MERGE_DETECT_2D:
@@ -210,7 +203,8 @@ class YoloModel:
                     outputs[key] = simple.upsample2d(single(), layer.scale)
             elif isinstance(layer, cfg.MaxPool):
                 outputs[key] = simple.max_pool2d(
-                    single(), layer.size, layer.stride_y, layer.stride_x, layer.padding
+                    single(), layer.size, layer.stride_y, layer.stride_x,
+                    layer.padding, layer.total_padding,
                 )
             elif isinstance(layer, cfg.DynamicPad2D):
                 outputs[key] = simple.dynamic_pad2d(
@@ -223,8 +217,28 @@ class YoloModel:
             elif isinstance(layer, cfg.Detect2D):
                 outputs[key] = detect.detect_decode(
                     single(), layer.anchors, layer.classes,
-                    order=self.decode_order, variant=self.decode_variant,
+                    order=layer.channel_order, variant=layer.variant,
+                    scale_xy=layer.scale_xy,
                 )
+            elif isinstance(layer, cfg.DarknetRoute):
+                ins = [outputs[k] for k in ik.iter_keys()]
+                n = layer.num_groups
+                if n > 1:
+                    sliced = []
+                    for t in ins:
+                        gc = t.shape[-1] // n
+                        sliced.append(t[..., layer.group_id * gc:(layer.group_id + 1) * gc])
+                    ins = sliced
+                outputs[key] = ins[0] if len(ins) == 1 else simple.concat2d(ins)
+            elif isinstance(layer, cfg.DarknetShortcut):
+                from .. import activations
+                ins = [outputs[k] for k in ik.iter_keys()]
+                out = ins[0]
+                for other in ins[1:]:
+                    c = min(out.shape[-1], other.shape[-1])
+                    out = out.at[..., :c].add(other[..., :c]) if c < out.shape[-1] \
+                        else out + other[..., :c]
+                outputs[key] = activations.apply(layer.act, out)
             elif isinstance(layer, cfg.MergeDetect2D):
                 outputs[key] = detect.merge_detections(
                     [outputs[k] for k in ik.iter_keys()]

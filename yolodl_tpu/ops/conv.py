@@ -78,16 +78,25 @@ def conv_bn_apply(
     layer: cfg.ConvBn2D,
     train: bool,
 ) -> Tuple[Array, Dict[str, Any]]:
-    """conv → activation → BN (reference order, conv_bn_2d.rs:88-101)."""
+    """conv → activation → BN (NEWSLAB order, conv_bn_2d.rs:88-101), or
+    conv → BN → activation when ``layer.order == "bn_act"`` (darknet)."""
     out = conv2d_apply(
         x, params["w"], params.get("b"),
         stride=layer.s, padding=layer.padding, dilation=layer.d, groups=layer.g,
     )
-    out = activations.apply(layer.act, out)
     new_state = state
-    if layer.bn.enabled:
-        out, bn_s = batch_norm_apply(params["bn"], state["bn"], out, train)
-        new_state = {**state, "bn": bn_s}
+    if layer.order == "act_bn":
+        out = activations.apply(layer.act, out)
+        if layer.bn.enabled:
+            out, bn_s = batch_norm_apply(params["bn"], state["bn"], out, train)
+            new_state = {**state, "bn": bn_s}
+    elif layer.order == "bn_act":
+        if layer.bn.enabled:
+            out, bn_s = batch_norm_apply(params["bn"], state["bn"], out, train)
+            new_state = {**state, "bn": bn_s}
+        out = activations.apply(layer.act, out)
+    else:
+        raise ValueError(f"unknown conv order {layer.order!r}")
     return out, new_state
 
 

@@ -33,8 +33,24 @@ def downsample2d(x: Array, stride: int) -> Array:
     return x[:, ::stride, ::stride, :]
 
 
-def max_pool2d(x: Array, size: int, stride_y: int, stride_x: int, padding: int) -> Array:
-    """Max-pool with -inf padding (darknet maxpool semantics)."""
+def max_pool2d(
+    x: Array,
+    size: int,
+    stride_y: int,
+    stride_x: int,
+    padding: int = 0,
+    total_padding: int = None,
+) -> Array:
+    """Max-pool with -inf padding.
+
+    ``padding`` is symmetric per side (torch style); ``total_padding`` when
+    given uses darknet's asymmetric split lo=tp//2, hi=tp-tp//2
+    (darknet maxpool_layer semantics, out = (in+tp-size)//stride+1).
+    """
+    if total_padding is not None:
+        lo, hi = total_padding // 2, total_padding - total_padding // 2
+    else:
+        lo = hi = padding
     # -inf identity keeps reduce_window differentiable (select-and-scatter VJP)
     return jax.lax.reduce_window(
         x,
@@ -42,7 +58,7 @@ def max_pool2d(x: Array, size: int, stride_y: int, stride_x: int, padding: int) 
         jax.lax.max,
         window_dimensions=(1, size, size, 1),
         window_strides=(1, stride_y, stride_x, 1),
-        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
+        padding=((0, 0), (lo, hi), (lo, hi), (0, 0)),
     )
 
 
