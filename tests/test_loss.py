@@ -1,0 +1,359 @@
+"""Matcher, loss, NMS, inference tests.
+
+The matcher is checked against a scalar python re-implementation of the
+reference algorithm (pred_target_matching.rs) — the same cross-check role
+the reference's ndarray debug-asserts play (SURVEY §4 tier 3).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolodl_tpu.loss import (
+    LossConfig,
+    MatcherConfig,
+    NmsOutput,
+    match_targets,
+    non_max_suppression,
+    yolo_inference,
+    yolo_loss,
+)
+from yolodl_tpu.loss.yolo_loss import bce_with_logits, focal, soft_cross_entropy
+from yolodl_tpu.ops.detect import DetectionInfo, MergedDetection
+
+
+def make_merged(rng, batch=2, num_classes=3, layers=((8, 8, 2), (4, 4, 2))):
+    """Random MergedDetection with given (H, W, A) per layer."""
+    infos = []
+    begin = 0
+    boxes, objs, classes = [], [], []
+    for fh, fw, a in layers:
+        anchors = tuple((0.1 * (i + 1), 0.15 * (i + 1)) for i in range(a))
+        n = a * fh * fw
+        infos.append(DetectionInfo(fh, fw, anchors, begin, begin + n))
+        begin += n
+        cy = rng.uniform(0, 1, (batch, n, 1))
+        cx = rng.uniform(0, 1, (batch, n, 1))
+        h = rng.uniform(0.05, 0.4, (batch, n, 1))
+        w = rng.uniform(0.05, 0.4, (batch, n, 1))
+        boxes.append(np.concatenate([cy, cx, h, w], axis=-1))
+        objs.append(rng.normal(size=(batch, n)))
+        classes.append(rng.normal(size=(batch, n, num_classes)))
+    return MergedDetection(
+        cycxhw=jnp.asarray(np.concatenate(boxes, 1), jnp.float32),
+        obj_logit=jnp.asarray(np.concatenate(objs, 1), jnp.float32),
+        class_logit=jnp.asarray(np.concatenate(classes, 1), jnp.float32),
+        infos=tuple(infos),
+    )
+
+
+def reference_matcher(infos, gt_list, rect4=True, thresh=4.0):
+    """Scalar re-implementation of CyCxHWMatcher (pred_target_matching.rs)."""
+    matchings = {}  # flat -> (dist, gt_index)
+    for gt_idx, (cy, cx, h, w, _cls) in enumerate(gt_list):
+        if h == 0 or w == 0:
+            continue
+        for layer_idx, info in enumerate(infos):
+            fh, fw = info.feature_h, info.feature_w
+            gy, gx = cy * fh, cx * fw
+            row, col = math.floor(gy), math.floor(gx)
+            fy, fx = gy - row, gx - col
+            cells = [(row, col)]
+            if fy < 0.5:
+                cells.append((row - 1, col))
+            if fx < 0.5:
+                cells.append((row, col - 1))
+            if rect4 and fy > 0.5:
+                cells.append((row + 1, col))
+            if rect4 and fx > 0.5:
+                cells.append((row, col + 1))
+            cells = [(r, c) for r, c in cells if 0 <= r < fh and 0 <= c < fw]
+            for a_idx, (ah, aw) in enumerate(info.anchors):
+                if max(h / ah, ah / h, w / aw, aw / w) > thresh:
+                    continue
+                for r, c in cells:
+                    flat = info.flat_begin + (a_idx * fh + r) * fw + c
+                    dist = (cy - (r + 0.5) / fh) ** 2 + (cx - (c + 0.5) / fw) ** 2
+                    if flat not in matchings or dist < matchings[flat][0] - 1e-12:
+                        matchings[flat] = (dist, gt_idx)
+    return {flat: gt for flat, (d, gt) in matchings.items()}
+
+
+def pad_targets(gt_per_image, max_gt=16):
+    b = len(gt_per_image)
+    boxes = np.zeros((b, max_gt, 4), np.float32)
+    classes = np.zeros((b, max_gt), np.int32)
+    mask = np.zeros((b, max_gt), bool)
+    for i, gts in enumerate(gt_per_image):
+        for j, (cy, cx, h, w, cls) in enumerate(gts):
+            boxes[i, j] = (cy, cx, h, w)
+            classes[i, j] = cls
+            mask[i, j] = True
+    return jnp.asarray(boxes), jnp.asarray(classes), jnp.asarray(mask)
+
+
+class TestMatcher:
+    def test_against_scalar_reference(self, rng):
+        pred = make_merged(rng)
+        gt = [
+            [(0.31, 0.42, 0.2, 0.25, 1), (0.72, 0.18, 0.12, 0.3, 0), (0.5, 0.5, 0.08, 0.08, 2)],
+            [(0.12, 0.9, 0.3, 0.22, 2)],
+        ]
+        boxes, classes, mask = pad_targets(gt)
+        out = match_targets(pred, boxes, classes, mask)
+
+        for b in range(2):
+            expect = reference_matcher(pred.infos, gt[b])
+            got = {}
+            flat = np.asarray(out.flat[b])
+            valid = np.asarray(out.valid[b])
+            gt_box = np.asarray(out.gt_cycxhw[b])
+            for k in np.nonzero(valid)[0]:
+                got[int(flat[k])] = tuple(gt_box[k])
+            assert set(got.keys()) == set(expect.keys())
+            for f, gt_idx in expect.items():
+                np.testing.assert_allclose(
+                    got[f], gt[b][gt_idx][:4], atol=1e-6,
+                    err_msg=f"batch {b} flat {f}",
+                )
+
+    def test_rect2_matches_fewer_cells(self, rng):
+        pred = make_merged(rng)
+        gt = [[(0.63, 0.68, 0.2, 0.2, 0)], []]
+        boxes, classes, mask = pad_targets(gt)
+        n4 = int(match_targets(pred, boxes, classes, mask,
+                               MatcherConfig(match_grid="rect4")).num_matched())
+        n2 = int(match_targets(pred, boxes, classes, mask,
+                               MatcherConfig(match_grid="rect2")).num_matched())
+        assert n2 < n4
+        # scalar reference agrees for rect2 too
+        expect = reference_matcher(pred.infos, gt[0], rect4=False)
+        assert n2 == len(expect)
+
+    def test_zero_size_boxes_skipped(self, rng):
+        pred = make_merged(rng)
+        boxes, classes, mask = pad_targets([[(0.5, 0.5, 0.0, 0.1, 0)], []])
+        out = match_targets(pred, boxes, classes, mask)
+        assert int(out.num_matched()) == 0
+
+    def test_anchor_scale_gate(self, rng):
+        pred = make_merged(rng, layers=((8, 8, 1),))  # single anchor (0.1, 0.15)
+        # box 10× the anchor size: rejected at thresh 4, accepted at 100
+        boxes, classes, mask = pad_targets([[(0.5, 0.5, 1.0, 1.0, 0)]])
+        out4 = match_targets(pred, boxes, classes, mask, MatcherConfig(anchor_scale_thresh=4.0))
+        out100 = match_targets(pred, boxes, classes, mask, MatcherConfig(anchor_scale_thresh=100.0))
+        assert int(out4.num_matched()) == 0
+        assert int(out100.num_matched()) > 0
+
+    def test_dedupe_keeps_nearest(self, rng):
+        pred = make_merged(rng, layers=((4, 4, 1),))
+        # two GTs snapping to the same cell (1,1): centers at .30/.35 both in cell 1
+        gt = [[(0.30, 0.30, 0.2, 0.2, 0), (0.35, 0.35, 0.2, 0.2, 1)]]
+        boxes, classes, mask = pad_targets(gt)
+        out = match_targets(pred, boxes, classes, mask)
+        expect = reference_matcher(pred.infos, gt[0])
+        flat = np.asarray(out.flat[0])
+        valid = np.asarray(out.valid[0])
+        cls = np.asarray(out.gt_class[0])
+        got = {int(flat[k]): int(cls[k]) for k in np.nonzero(valid)[0]}
+        assert got == {f: gt[0][g][4] for f, g in expect.items()}
+
+    def test_jit_compatible(self, rng):
+        pred = make_merged(rng)
+        boxes, classes, mask = pad_targets([[(0.5, 0.5, 0.2, 0.2, 0)], []])
+        jitted = jax.jit(lambda p, b, c, m: match_targets(p, b, c, m).num_matched())
+        assert int(jitted(pred, boxes, classes, mask)) > 0
+
+
+class TestLoss:
+    def _setup(self, rng):
+        pred = make_merged(rng)
+        gt = [[(0.31, 0.42, 0.2, 0.25, 1), (0.72, 0.18, 0.12, 0.3, 0)], [(0.5, 0.5, 0.2, 0.2, 2)]]
+        return pred, pad_targets(gt)
+
+    def test_loss_finite_and_weighted(self, rng):
+        pred, (boxes, classes, mask) = self._setup(rng)
+        cfg = LossConfig()
+        out, aux = yolo_loss(pred, boxes, classes, mask, cfg)
+        for v in (out.total_loss, out.iou_loss, out.classification_loss, out.objectness_loss):
+            assert np.isfinite(float(v))
+        np.testing.assert_allclose(
+            float(out.total_loss),
+            0.05 * float(out.iou_loss) + 0.58 * float(out.classification_loss)
+            + 1.0 * float(out.objectness_loss),
+            rtol=1e-5,
+        )
+
+    def test_all_metrics_and_kinds(self, rng):
+        pred, (boxes, classes, mask) = self._setup(rng)
+        for metric in ("iou", "giou", "diou", "ciou", "hausdorff"):
+            out, _ = yolo_loss(pred, boxes, classes, mask, LossConfig(box_metric=metric))
+            assert np.isfinite(float(out.total_loss)), metric
+        for ok in ("bce", "focal", "l2"):
+            for ck in ("bce", "focal", "cross_entropy", "l2"):
+                out, _ = yolo_loss(
+                    pred, boxes, classes, mask,
+                    LossConfig(objectness_loss_kind=ok, classification_loss_kind=ck),
+                )
+                assert np.isfinite(float(out.total_loss)), (ok, ck)
+
+    def test_empty_targets_zero_iou_cls(self, rng):
+        pred = make_merged(rng)
+        boxes, classes, mask = pad_targets([[], []])
+        out, _ = yolo_loss(pred, boxes, classes, mask)
+        assert float(out.iou_loss) == 0.0
+        assert float(out.classification_loss) == 0.0
+        assert float(out.objectness_loss) > 0.0  # pushes obj towards 0
+
+    def test_gradients(self, rng):
+        pred, (boxes, classes, mask) = self._setup(rng)
+
+        def f(cycxhw, obj, cls):
+            p = MergedDetection(cycxhw, obj, cls, pred.infos)
+            return yolo_loss(p, boxes, classes, mask)[0].total_loss
+
+        g = jax.grad(f, argnums=(0, 1, 2))(pred.cycxhw, pred.obj_logit, pred.class_logit)
+        for gi in g:
+            assert bool(jnp.all(jnp.isfinite(gi)))
+        assert float(jnp.abs(g[1]).sum()) > 0
+
+    def test_perfect_prediction_low_loss(self, rng):
+        """Predictions equal to targets with confident logits → small loss."""
+        pred = make_merged(rng, batch=1, layers=((4, 4, 1),))
+        gt = [[(0.38, 0.38, 0.11, 0.16, 1)]]
+        boxes, classes, mask = pad_targets(gt)
+        m = match_targets(pred, boxes, classes, mask)
+        # craft a prediction: boxes = target at matched cells, obj logit high
+        # at matched cells / low elsewhere, correct class logit high
+        flat = np.asarray(m.flat[0])
+        valid = np.asarray(m.valid[0])
+        n = pred.num_flats
+        cycxhw = np.tile(np.asarray([[0.38, 0.38, 0.11, 0.16]], np.float32), (n, 1))
+        obj = np.full((n,), -20.0, np.float32)
+        cls = np.full((n, 3), -20.0, np.float32)
+        for k in np.nonzero(valid)[0]:
+            obj[flat[k]] = 20.0
+            cls[flat[k], 1] = 20.0
+        perfect = MergedDetection(
+            jnp.asarray(cycxhw[None]), jnp.asarray(obj[None]), jnp.asarray(cls[None]), pred.infos
+        )
+        out, _ = yolo_loss(perfect, boxes, classes, mask)
+        # label smoothing (pos=0.995) leaves a ~0.1 cls-loss floor for ±20
+        # logits: total ≈ 0.58·0.1 = 0.058
+        assert float(out.total_loss) < 0.08
+        # a random prediction is much worse
+        rand_out, _ = yolo_loss(pred, boxes, classes, mask)
+        assert float(rand_out.total_loss) > float(out.total_loss) * 5
+
+    def test_smooth_objectness_uses_iou(self, rng):
+        pred, (boxes, classes, mask) = self._setup(rng)
+        out0, _ = yolo_loss(pred, boxes, classes, mask, LossConfig(smooth_objectness_coef=0.0))
+        out1, _ = yolo_loss(pred, boxes, classes, mask, LossConfig(smooth_objectness_coef=0.5))
+        assert float(out0.objectness_loss) != float(out1.objectness_loss)
+
+
+class TestElementwiseLosses:
+    def test_bce_matches_formula(self, rng):
+        x = jnp.asarray(rng.normal(size=(5, 3)), jnp.float32)
+        t = jnp.asarray(rng.uniform(size=(5, 3)), jnp.float32)
+        expect = -(t * np.log(1 / (1 + np.exp(-np.asarray(x))))
+                   + (1 - t) * np.log(1 - 1 / (1 + np.exp(-np.asarray(x)))))
+        np.testing.assert_allclose(bce_with_logits(x, t), expect, atol=1e-5)
+
+    def test_bce_pos_weight(self):
+        x = jnp.asarray([[0.0]])
+        t = jnp.asarray([[1.0]])
+        base = float(bce_with_logits(x, t)[0, 0])
+        weighted = float(bce_with_logits(x, t, pos_weight=2.0)[0, 0])
+        assert weighted == pytest.approx(2 * base)
+
+    def test_focal_downweights_easy(self):
+        x = jnp.asarray([[10.0, -10.0]])
+        t = jnp.asarray([[1.0, 1.0]])
+        base = bce_with_logits(x, t)
+        f = focal(base, x, t)
+        # easy positive (logit 10) is suppressed much more than hard one
+        assert float(f[0, 0]) / float(base[0, 0]) < 0.01
+        assert float(f[0, 1]) / float(base[0, 1]) > 0.2
+
+    def test_soft_ce(self, rng):
+        x = jnp.asarray(rng.normal(size=(4, 5)), jnp.float32)
+        t = jax.nn.one_hot(jnp.asarray([0, 1, 2, 3]), 5)
+        expect = -np.take_along_axis(
+            np.asarray(jax.nn.log_softmax(x)), np.asarray([[0], [1], [2], [3]]), axis=1
+        )[:, 0]
+        np.testing.assert_allclose(soft_cross_entropy(x, t), expect, atol=1e-5)
+
+
+class TestNms:
+    def _pred_with_boxes(self, entries, num_classes=2, grid=8):
+        """entries: list of (cy,cx,h,w,class,conf_logit). Builds a 1-anchor head."""
+        a, n = 1, grid * grid
+        info = DetectionInfo(grid, grid, ((0.2, 0.2),), 0, n)
+        cycxhw = np.full((1, n, 4), 0.5, np.float32)
+        cycxhw[..., 2:] = 0.01
+        obj = np.full((1, n), -20.0, np.float32)
+        cls = np.full((1, n, num_classes), -20.0, np.float32)
+        for i, (cy, cx, h, w, c, logit) in enumerate(entries):
+            cycxhw[0, i] = (cy, cx, h, w)
+            obj[0, i] = logit
+            cls[0, i, c] = logit
+        return MergedDetection(jnp.asarray(cycxhw), jnp.asarray(obj), jnp.asarray(cls), (info,))
+
+    def test_suppresses_overlapping(self):
+        pred = self._pred_with_boxes([
+            (0.5, 0.5, 0.2, 0.2, 0, 8.0),   # winner
+            (0.51, 0.51, 0.2, 0.2, 0, 5.0), # overlaps winner → suppressed
+            (0.2, 0.2, 0.1, 0.1, 1, 6.0),   # disjoint → kept
+        ])
+        out = non_max_suppression(pred, iou_threshold=0.5, confidence_threshold=0.3,
+                                  max_dets=16)
+        kept = np.asarray(out.valid[0])
+        inst = np.asarray(out.instances[0])
+        kept_instances = set(inst[kept].tolist())
+        assert 0 in kept_instances and 2 in kept_instances
+        assert 1 not in kept_instances
+
+    def test_confidence_threshold(self):
+        pred = self._pred_with_boxes([(0.5, 0.5, 0.2, 0.2, 0, -5.0)])
+        out = non_max_suppression(pred, confidence_threshold=0.1, max_dets=16)
+        assert int(out.num_valid()[0]) == 0
+
+    def test_suppress_by_class_keeps_cross_class_overlap(self):
+        pred = self._pred_with_boxes([
+            (0.5, 0.5, 0.2, 0.2, 0, 8.0),
+            (0.51, 0.51, 0.2, 0.2, 1, 5.0),
+        ])
+        out_all = non_max_suppression(pred, iou_threshold=0.5, confidence_threshold=0.3,
+                                      suppress_by_class=False, max_dets=16)
+        out_cls = non_max_suppression(pred, iou_threshold=0.5, confidence_threshold=0.3,
+                                      suppress_by_class=True, max_dets=16)
+        assert int(out_all.num_valid()[0]) == 1
+        assert int(out_cls.num_valid()[0]) == 2
+
+    def test_inference_one_class_per_instance(self):
+        # one very confident box with two confident classes (both above thr)
+        a, n = 1, 4
+        info = DetectionInfo(2, 2, ((0.2, 0.2),), 0, n)
+        cycxhw = np.full((1, n, 4), 0.5, np.float32)
+        obj = np.full((1, n), -20.0, np.float32)
+        cls = np.full((1, n, 2), -20.0, np.float32)
+        obj[0, 0] = 8.0
+        cls[0, 0, 0] = 4.0
+        cls[0, 0, 1] = 5.0
+        pred = MergedDetection(jnp.asarray(cycxhw), jnp.asarray(obj), jnp.asarray(cls), (info,))
+        out = non_max_suppression(pred, iou_threshold=0.99, confidence_threshold=0.3,
+                                  suppress_by_class=True, max_dets=8)
+        assert int(out.num_valid()[0]) == 2  # both classes survive class-wise NMS
+        inf_out = yolo_inference(out, num_flats=n)
+        assert int(inf_out.num_valid()[0]) == 1
+        k = np.nonzero(np.asarray(inf_out.valid[0]))[0][0]
+        assert int(inf_out.classes[0, k]) == 1  # argmax class
+
+    def test_jit(self):
+        pred = self._pred_with_boxes([(0.5, 0.5, 0.2, 0.2, 0, 8.0)])
+        f = jax.jit(lambda p: non_max_suppression(p, max_dets=16).num_valid())
+        assert int(f(pred)[0]) == 1
