@@ -1,0 +1,87 @@
+"""Benchmark: YOLOv4-CSP 608×608 training throughput on one TPU chip.
+
+Measures the full jitted train step (forward + YOLO loss w/ on-device
+matcher + backward + Adam + BN var clamp) in bf16 compute / f32 params.
+
+Prints ONE JSON line:
+  {"metric": "img/s/chip yolov4-csp-608 train", "value": N, "unit": "img/s",
+   "vs_baseline": N}
+
+Baseline note: the reference publishes no numbers (BASELINE.md).  The
+driver's north star is ≥2× V100 img/s/chip; darknet YOLOv4-608 training on
+a V100 sustains ≈25 img/s, so vs_baseline is value / 50.0.
+"""
+
+import json
+import os
+import sys
+import time
+
+V100_X2_IMG_S = 50.0
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+SIZE = int(os.environ.get("BENCH_SIZE", "608"))
+STEPS = int(os.environ.get("BENCH_STEPS", "10"))
+
+
+def main():
+    import jax
+
+    # persistent compile cache: the 600-step yolov4-csp train graph takes
+    # minutes to compile over the remote-TPU tunnel; cache across runs
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache")
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yolodl_tpu.config import darknet_cfg as dk
+    from yolodl_tpu.graph.from_darknet import graph_from_darknet
+    from yolodl_tpu.models import YoloModel
+    from yolodl_tpu.train import TrainConfig, make_train_step, train_init
+
+    cfg_path = os.path.join(os.path.dirname(__file__), "cfg/darknet/yolov4-csp.cfg")
+    model = YoloModel(graph_from_darknet(dk.Darknet.load(cfg_path)))
+
+    config = TrainConfig()
+    ts, opt = train_init(model, config, seed=0)
+    step_fn = make_train_step(model, opt, config)
+
+    rng = np.random.default_rng(0)
+    max_gt = 32
+    images = jnp.asarray(
+        rng.normal(size=(BATCH, 3, SIZE, SIZE)).astype(np.float32), jnp.bfloat16
+    )
+    boxes = rng.uniform(0.2, 0.8, (BATCH, max_gt, 4)).astype(np.float32)
+    boxes[..., 2:] = rng.uniform(0.05, 0.3, (BATCH, max_gt, 2))
+    classes = rng.integers(0, 80, (BATCH, max_gt)).astype(np.int32)
+    mask = np.ones((BATCH, max_gt), bool)
+    batch = (images, jnp.asarray(boxes), jnp.asarray(classes), jnp.asarray(mask))
+
+    # warmup / compile
+    ts, metrics = step_fn(ts, *batch)
+    jax.block_until_ready(metrics["total_loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        ts, metrics = step_fn(ts, *batch)
+    jax.block_until_ready(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+
+    img_s = BATCH * STEPS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "img/s/chip yolov4-csp-608 train",
+                "value": round(img_s, 2),
+                "unit": "img/s",
+                "vs_baseline": round(img_s / V100_X2_IMG_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

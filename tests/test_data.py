@@ -1,0 +1,387 @@
+"""Data pipeline tests: color, letterbox, affine, mosaic, datasets, caches,
+and the full streaming pipeline (SURVEY §3.2 parity on fixed shapes)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from yolodl_tpu.data import (
+    CocoDataset,
+    ColorJitter,
+    CsvDataset,
+    FileCache,
+    MemoryCache,
+    MosaicMixer,
+    OnDemandLoader,
+    RandomAffine,
+    SanitizedDataset,
+    TrainingStream,
+    TrainingStreamConfig,
+    VocDataset,
+    hsv_to_rgb,
+    letterbox_resize,
+    load_classes_file,
+    rgb_to_hsv,
+)
+from yolodl_tpu.data.records import DataRecord, FileRecord
+
+
+@pytest.fixture()
+def image_dir(tmp_path, rng):
+    """4 small images on disk + FileRecords with one box each."""
+    records = []
+    for i in range(4):
+        arr = (rng.uniform(0, 255, size=(40, 60, 3))).astype(np.uint8)
+        path = tmp_path / f"img{i}.png"
+        Image.fromarray(arr).save(path)
+        records.append(
+            FileRecord(
+                path=str(path), height=40, width=60,
+                boxes_pixel=np.array([[20.0, 30.0, 16.0, 24.0]]),
+                classes=np.array([i % 2]),
+            )
+        )
+    return tmp_path, records
+
+
+class TestColor:
+    def test_rgb_hsv_roundtrip(self, rng):
+        rgb = rng.uniform(0, 1, size=(3, 8, 8)).astype(np.float32)
+        back = hsv_to_rgb(rgb_to_hsv(rgb))
+        np.testing.assert_allclose(back, rgb, atol=1e-5)
+
+    def test_known_values(self):
+        red = np.zeros((3, 1, 1), np.float32)
+        red[0] = 1.0
+        hsv = rgb_to_hsv(red)
+        assert hsv[0, 0, 0] == pytest.approx(0.0)
+        assert hsv[1, 0, 0] == pytest.approx(1.0)
+        assert hsv[2, 0, 0] == pytest.approx(1.0)
+
+    def test_jitter_bounds(self, rng):
+        jitter = ColorJitter(hue_shift=0.1, saturation_shift=0.2, value_shift=0.2)
+        rgb = rng.uniform(0, 1, size=(3, 8, 8)).astype(np.float32)
+        out = jitter(rgb, np.random.default_rng(0))
+        assert out.shape == rgb.shape
+        assert out.min() >= -1e-6 and out.max() <= 1 + 1e-6
+
+    def test_jitter_noop_when_disabled(self, rng):
+        jitter = ColorJitter()
+        rgb = rng.uniform(0, 1, size=(3, 4, 4)).astype(np.float32)
+        np.testing.assert_allclose(jitter(rgb, np.random.default_rng(0)), rgb, atol=1e-5)
+
+
+class TestLetterbox:
+    def test_wide_into_square(self):
+        img = np.ones((3, 40, 80), np.float32)
+        out, boxes, tr = letterbox_resize(
+            img, (64, 64), np.array([[0.5, 0.5, 1.0, 1.0]])
+        )
+        assert out.shape == (3, 64, 64)
+        # content occupies rows 16..48 (scaled 80→64 wide, 40→32 tall)
+        assert np.allclose(out[:, 0:16, :], 0.5)
+        assert np.allclose(out[:, 17:47, :], 1.0)
+        # the full-image box maps to the content region
+        np.testing.assert_allclose(boxes[0], [0.5, 0.5, 0.5, 1.0], atol=0.02)
+
+    def test_no_boxes(self):
+        out, boxes, _ = letterbox_resize(np.zeros((3, 10, 10), np.float32), (16, 16))
+        assert boxes is None and out.shape == (3, 16, 16)
+
+
+class TestRandomAffine:
+    def test_identity_when_no_ops(self, rng):
+        aff = RandomAffine()
+        img = rng.uniform(0, 1, (3, 16, 16)).astype(np.float32)
+        boxes = np.array([[0.5, 0.5, 0.2, 0.2]], np.float32)
+        out_img, out_boxes, _ = aff(img, boxes, np.array([0]), np.random.default_rng(0))
+        np.testing.assert_allclose(out_img, img)
+        np.testing.assert_allclose(out_boxes, boxes)
+
+    def test_horizontal_flip(self, rng):
+        aff = RandomAffine(horizontal_flip_prob=1.0)
+        img = np.zeros((3, 8, 8), np.float32)
+        img[:, :, 0] = 1.0  # left column lit
+        boxes = np.array([[0.5, 0.25, 0.2, 0.2]], np.float32)
+        out_img, out_boxes, _ = aff(img, boxes, np.array([0]), np.random.default_rng(0))
+        assert out_img[0, 0, -1] > 0.5  # now right column lit
+        assert out_boxes[0, 1] == pytest.approx(0.75, abs=1e-5)
+        assert out_boxes[0, 0] == pytest.approx(0.5, abs=1e-5)
+
+    def test_vertical_flip_boxes(self):
+        aff = RandomAffine(vertical_flip_prob=1.0)
+        img = np.zeros((3, 8, 8), np.float32)
+        boxes = np.array([[0.25, 0.5, 0.1, 0.1]], np.float32)
+        _, out_boxes, _ = aff(img, boxes, np.array([0]), np.random.default_rng(0))
+        assert out_boxes[0, 0] == pytest.approx(0.75, abs=1e-5)
+
+    def test_translation_filters_offscreen(self):
+        aff = RandomAffine(translation_prob=1.0, translation=0.9,
+                           min_bbox_cropping_ratio=0.9)
+        img = np.ones((3, 8, 8), np.float32)
+        boxes = np.array([[0.5, 0.5, 0.1, 0.1]], np.float32)
+        kept = []
+        for seed in range(8):
+            _, out_boxes, _ = aff(img, boxes, np.array([0]), np.random.default_rng(seed))
+            kept.append(len(out_boxes))
+        assert min(kept) == 0  # some translations push the box mostly off-screen
+
+
+class TestMosaic:
+    def test_merge_shapes_and_boxes(self, rng):
+        mixer = MosaicMixer(mosaic_margin=0.25)
+        recs = [
+            DataRecord(
+                image=np.full((3, 20, 20), i / 4, np.float32),
+                boxes=np.array([[0.5, 0.5, 0.4, 0.4]], np.float32),
+                classes=np.array([i]),
+            )
+            for i in range(4)
+        ]
+        out = mixer(recs, np.random.default_rng(0))
+        assert out.image.shape == (3, 20, 20)
+        assert len(out.boxes) == 4  # every center box survives cropping
+        assert out.boxes[:, 2].max() <= 0.4 + 1e-6
+
+    def test_quadrants_content(self):
+        mixer = MosaicMixer(mosaic_margin=0.5)  # pivot fixed at center
+        recs = [
+            DataRecord(np.full((3, 10, 10), v, np.float32), np.zeros((0, 4)), np.zeros((0,)))
+            for v in (0.1, 0.2, 0.3, 0.4)
+        ]
+        out = mixer(recs, np.random.default_rng(0))
+        assert out.image[0, 0, 0] == pytest.approx(0.1)
+        assert out.image[0, 0, 9] == pytest.approx(0.2)
+        assert out.image[0, 9, 0] == pytest.approx(0.3)
+        assert out.image[0, 9, 9] == pytest.approx(0.4)
+
+    def test_min_bbox_size_filter(self):
+        mixer = MosaicMixer(mosaic_margin=0.25, min_bbox_size=0.3)
+        recs = [
+            DataRecord(
+                np.zeros((3, 12, 12), np.float32),
+                np.array([[0.5, 0.5, 0.05, 0.05]], np.float32),  # tiny box
+                np.array([0]),
+            )
+            for _ in range(4)
+        ]
+        out = mixer(recs, np.random.default_rng(1))
+        assert len(out.boxes) == 0
+
+    def test_rejects_mismatched_shapes(self):
+        mixer = MosaicMixer()
+        recs = [
+            DataRecord(np.zeros((3, 10, 10), np.float32), np.zeros((0, 4)), np.zeros((0,))),
+            DataRecord(np.zeros((3, 12, 10), np.float32), np.zeros((0, 4)), np.zeros((0,))),
+            DataRecord(np.zeros((3, 10, 10), np.float32), np.zeros((0, 4)), np.zeros((0,))),
+            DataRecord(np.zeros((3, 10, 10), np.float32), np.zeros((0, 4)), np.zeros((0,))),
+        ]
+        with pytest.raises(ValueError, match="identical shape"):
+            mixer(recs, np.random.default_rng(0))
+
+
+class TestDatasets:
+    def test_csv_dataset(self, tmp_path, rng):
+        img_dir = tmp_path / "images"
+        img_dir.mkdir()
+        for name in ("a.png", "b.png"):
+            Image.fromarray(
+                rng.uniform(0, 255, (20, 30, 3)).astype(np.uint8)
+            ).save(img_dir / name)
+        (tmp_path / "classes.txt").write_text("piggy\ndoggo\n")
+        (tmp_path / "label.csv").write_text(
+            "image_file,class_name,cy,cx,h,w\n"
+            "a.png,doggo,10,15,8,12\n"
+            "a.png,piggy,5,5,4,4\n"
+            "b.png,piggy,10,10,6,6\n"
+        )
+        ds = CsvDataset(str(img_dir), str(tmp_path / "label.csv"), str(tmp_path / "classes.txt"))
+        assert ds.classes == ["piggy", "doggo"]
+        assert len(ds) == 2
+        rec = ds[0]
+        assert rec.height == 20 and rec.width == 30
+        assert len(rec.boxes_pixel) == 2
+        assert set(rec.classes.tolist()) == {0, 1}
+
+    def test_csv_unknown_class_rejected(self, tmp_path, rng):
+        img_dir = tmp_path / "images"
+        img_dir.mkdir()
+        Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(img_dir / "a.png")
+        (tmp_path / "classes.txt").write_text("cat\n")
+        (tmp_path / "label.csv").write_text(
+            "image_file,class_name,cy,cx,h,w\na.png,dog,1,1,1,1\n"
+        )
+        with pytest.raises(ValueError, match="unknown class"):
+            CsvDataset(str(img_dir), str(tmp_path / "label.csv"), str(tmp_path / "classes.txt"))
+
+    def test_coco_dataset(self, tmp_path):
+        (tmp_path / "train").mkdir()
+        ann = {
+            "images": [
+                {"id": 7, "file_name": "x.jpg", "height": 100, "width": 200},
+            ],
+            "annotations": [
+                {"id": 1, "image_id": 7, "category_id": 18,
+                 "bbox": [10, 20, 40, 30], "iscrowd": 0},
+                {"id": 2, "image_id": 7, "category_id": 44,
+                 "bbox": [0, 0, 10, 10], "iscrowd": 1},  # crowd → dropped
+            ],
+            "categories": [
+                {"id": 18, "name": "dog"},
+                {"id": 44, "name": "bottle"},
+            ],
+        }
+        ann_dir = tmp_path / "annotations"
+        ann_dir.mkdir()
+        (ann_dir / "instances_train.json").write_text(json.dumps(ann))
+        ds = CocoDataset(str(tmp_path))
+        # class order follows category id (COCO convention): 18=dog, 44=bottle
+        assert ds.classes == ["dog", "bottle"]
+        rec = ds[0]
+        assert len(rec.boxes_pixel) == 1
+        # tlhw [10,20,40,30] → cycxhw (cy=20+15, cx=10+20, h=30, w=40)
+        np.testing.assert_allclose(rec.boxes_pixel[0], [35, 30, 30, 40])
+        assert rec.classes[0] == 0  # "dog"
+
+    def test_coco_whitelist(self, tmp_path):
+        self.test_coco_dataset.__wrapped__ if False else None
+        (tmp_path / "annotations").mkdir(exist_ok=True)
+        ann = {
+            "images": [{"id": 1, "file_name": "x.jpg", "height": 10, "width": 10}],
+            "annotations": [
+                {"id": 1, "image_id": 1, "category_id": 5, "bbox": [1, 1, 2, 2], "iscrowd": 0},
+                {"id": 2, "image_id": 1, "category_id": 9, "bbox": [1, 1, 2, 2], "iscrowd": 0},
+            ],
+            "categories": [{"id": 5, "name": "cat"}, {"id": 9, "name": "dog"}],
+        }
+        (tmp_path / "annotations" / "instances_val.json").write_text(json.dumps(ann))
+        ds = CocoDataset(str(tmp_path), classes_whitelist=["dog"])
+        assert ds.classes == ["dog"]
+        assert len(ds[0].boxes_pixel) == 1
+
+    def test_voc_dataset(self, tmp_path):
+        (tmp_path / "Annotations").mkdir()
+        (tmp_path / "JPEGImages").mkdir()
+        xml = """<annotation>
+            <filename>p.jpg</filename>
+            <size><width>50</width><height>40</height><depth>3</depth></size>
+            <object><name>horse</name>
+              <bndbox><xmin>10</xmin><ymin>8</ymin><xmax>30</xmax><ymax>24</ymax></bndbox>
+            </object>
+        </annotation>"""
+        (tmp_path / "Annotations" / "p.xml").write_text(xml)
+        ds = VocDataset(str(tmp_path))
+        assert ds.classes == ["horse"]
+        rec = ds[0]
+        np.testing.assert_allclose(rec.boxes_pixel[0], [16, 20, 16, 20])
+
+    def test_sanitized_clamps_and_drops(self, tmp_path):
+        rec = FileRecord(
+            path="x", height=20, width=20,
+            boxes_pixel=np.array([
+                [10.0, 10.0, 10.0, 10.0],   # fine
+                [1.0, 1.0, 4.0, 4.0],       # slightly out of bounds → clamp
+                [10.0, 10.0, 0.5, 0.5],     # too small → drop
+            ]),
+            classes=np.array([0, 1, 2]),
+        )
+
+        class Fake:
+            def records(self):
+                return [rec]
+
+            classes = ["a", "b", "c"]
+
+        ds = SanitizedDataset(Fake(), out_of_bound_tolerance=2.0, min_bbox_size=1.0)
+        out = ds[0]
+        assert len(out.boxes_pixel) == 2
+        # clamped box: t/l were -1 → 0, so h/w shrink to 3 and center moves to 1.5
+        np.testing.assert_allclose(out.boxes_pixel[1], [1.5, 1.5, 3.0, 3.0])
+
+    def test_classes_file(self, tmp_path):
+        (tmp_path / "c.txt").write_text("a\n\nb\n")
+        assert load_classes_file(tmp_path / "c.txt") == ["a", "b"]
+        (tmp_path / "dup.txt").write_text("a\na\n")
+        with pytest.raises(ValueError):
+            load_classes_file(tmp_path / "dup.txt")
+
+
+class TestCaches:
+    def test_on_demand(self, image_dir):
+        tmp, records = image_dir
+        loader = OnDemandLoader((32, 32))
+        rec = loader.load(records[0])
+        assert rec.image.shape == (3, 32, 32)
+        assert rec.boxes.shape == (1, 4)
+        assert 0 <= rec.boxes[0, 0] <= 1
+
+    def test_file_cache_roundtrip(self, image_dir, tmp_path):
+        tmp, records = image_dir
+        cache = FileCache(str(tmp_path / "cache"), (32, 32))
+        first = cache.load(records[0])
+        files = os.listdir(tmp_path / "cache")
+        assert len(files) == 1
+        second = cache.load(records[0])
+        np.testing.assert_allclose(first.image, second.image, atol=1e-6)
+        np.testing.assert_allclose(first.boxes, second.boxes, atol=1e-5)
+
+    def test_file_cache_invalidation_on_size_mismatch(self, image_dir, tmp_path):
+        tmp, records = image_dir
+        cache = FileCache(str(tmp_path / "cache"), (32, 32))
+        cache.load(records[0])
+        # corrupt the cache file (truncate) → must re-decode, not crash
+        path = os.path.join(tmp_path / "cache", os.listdir(tmp_path / "cache")[0])
+        with open(path, "wb") as f:
+            f.write(b"junk")
+        rec = cache.load(records[0])
+        assert rec.image.shape == (3, 32, 32)
+
+    def test_memory_cache(self, image_dir):
+        tmp, records = image_dir
+        cache = MemoryCache((16, 16))
+        a = cache.load(records[1])
+        b = cache.load(records[1])
+        np.testing.assert_allclose(a.image, b.image)
+        # mutating one copy must not poison the cache
+        a.boxes[:] = 0
+        c = cache.load(records[1])
+        assert not np.allclose(c.boxes, 0)
+
+
+class TestTrainingStream:
+    def test_stream_batches(self, image_dir):
+        tmp, records = image_dir
+        cfg = TrainingStreamConfig(batch_size=2, max_gt=8, seed=1)
+        stream = TrainingStream(records, OnDemandLoader((32, 32)), cfg)
+        it = iter(stream)
+        first = next(it)
+        second = next(it)
+        assert first.images.shape == (2, 3, 32, 32)
+        assert first.boxes.shape == (2, 8, 4)
+        assert first.mask.sum() == 2  # one box per image
+        assert second.step == 1
+
+    def test_stream_with_all_augments(self, image_dir):
+        tmp, records = image_dir
+        cfg = TrainingStreamConfig(
+            batch_size=2, max_gt=8, seed=2, mosaic_prob=1.0,
+            mosaic=MosaicMixer(mosaic_margin=0.25),
+            color_jitter=ColorJitter(hue_shift=0.1, saturation_shift=0.1, value_shift=0.1),
+            random_affine=RandomAffine(horizontal_flip_prob=0.5),
+        )
+        stream = TrainingStream(records, OnDemandLoader((32, 32)), cfg)
+        rec = next(iter(stream))
+        assert rec.images.shape == (2, 3, 32, 32)
+        assert np.isfinite(rec.images).all()
+        assert rec.mask.shape == (2, 8)
+
+    def test_deterministic_given_seed(self, image_dir):
+        tmp, records = image_dir
+        cfg = TrainingStreamConfig(batch_size=2, max_gt=4, seed=7, mosaic_prob=0.5)
+        a = next(iter(TrainingStream(records, OnDemandLoader((24, 24)), cfg)))
+        b = next(iter(TrainingStream(records, OnDemandLoader((24, 24)), cfg)))
+        np.testing.assert_allclose(a.images, b.images)
+        np.testing.assert_allclose(a.boxes, b.boxes)

@@ -1,0 +1,231 @@
+"""Training loop, LR schedule, checkpoint, EMA, and multi-device DP tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolodl_tpu.config import newslab
+from yolodl_tpu.graph import Graph
+from yolodl_tpu.models import YoloModel
+from yolodl_tpu.parallel import make_dp_train_step, make_mesh, shard_batch
+from yolodl_tpu.parallel.dp import replicate_state
+from yolodl_tpu.train import (
+    LrScheduleConfig,
+    TrainConfig,
+    load_checkpoint,
+    load_recent_checkpoint,
+    lr_at_step,
+    make_schedule_fn,
+    make_train_step,
+    save_checkpoint,
+    train_init,
+)
+from yolodl_tpu.train.checkpoint import find_recent_checkpoint
+
+
+def tiny_model(size=32, classes=2, bn=True):
+    """A minimal single-head model for train-step tests."""
+    bn_cfg = {"enabled": bn}
+    model_dict = {
+        "main_group": "m",
+        "groups": {
+            "m": [
+                {"name": "input", "kind": "Input", "shape": ["_", 3, size, size]},
+                {"kind": "ConvBn2D", "c": 8, "k": 3, "s": 2, "bn": bn_cfg},
+                {"kind": "ConvBn2D", "c": 16, "k": 3, "s": 2, "bn": bn_cfg},
+                {"name": "head", "kind": "ConvBn2D", "c": (5 + classes) * 1, "k": 1,
+                 "act": "linear", "bn": {"enabled": False}},
+                {"name": "det", "kind": "Detect2D", "classes": classes,
+                 "anchors": [[0.3, 0.3]]},
+                {"name": "output", "kind": "MergeDetect2D", "from": ["det"]},
+            ]
+        },
+    }
+    return YoloModel(Graph.from_model(newslab.parse_model_dict(model_dict)))
+
+
+def fake_batch(rng, batch=2, size=32, max_gt=4):
+    images = jnp.asarray(rng.normal(size=(batch, 3, size, size)), jnp.float32)
+    boxes = np.zeros((batch, max_gt, 4), np.float32)
+    classes = np.zeros((batch, max_gt), np.int32)
+    mask = np.zeros((batch, max_gt), bool)
+    for b in range(batch):
+        boxes[b, 0] = (0.5, 0.5, 0.3, 0.3)
+        classes[b, 0] = b % 2
+        mask[b, 0] = True
+    return images, jnp.asarray(boxes), jnp.asarray(classes), jnp.asarray(mask)
+
+
+class TestLrSchedule:
+    def test_constant(self):
+        cfg = LrScheduleConfig(kind="constant", lr=0.01)
+        assert lr_at_step(cfg, 0) == 0.01
+        assert float(make_schedule_fn(cfg)(jnp.int32(100))) == pytest.approx(0.01)
+
+    def test_stepwise_parity(self):
+        # mirrors lr_schedule.rs semantics incl. set_step binary search
+        cfg = LrScheduleConfig(
+            kind="stepwise", steps=((0, 0.1), (10, 0.01), (20, 0.001))
+        )
+        expect = {0: 0.1, 5: 0.1, 9: 0.1, 10: 0.01, 15: 0.01, 20: 0.001, 99: 0.001}
+        fn = make_schedule_fn(cfg)
+        for step, lr in expect.items():
+            assert lr_at_step(cfg, step) == pytest.approx(lr), step
+            assert float(fn(jnp.int32(step))) == pytest.approx(lr), step
+
+    def test_stepwise_validation(self):
+        with pytest.raises(ValueError, match="start from zero"):
+            LrScheduleConfig(kind="stepwise", steps=((5, 0.1),))
+        with pytest.raises(ValueError, match="monotonic"):
+            LrScheduleConfig(kind="stepwise", steps=((0, 0.1), (0, 0.2)))
+
+    def test_darknet_policy(self):
+        cfg = LrScheduleConfig(
+            kind="darknet", lr=0.1, burn_in=100, darknet_steps=(1000, 2000),
+            darknet_scales=(0.1, 0.1),
+        )
+        assert lr_at_step(cfg, 0) == 0.0
+        assert lr_at_step(cfg, 50) == pytest.approx(0.1 * 0.5**4)
+        assert lr_at_step(cfg, 500) == pytest.approx(0.1)
+        assert lr_at_step(cfg, 1500) == pytest.approx(0.01)
+        assert lr_at_step(cfg, 2500) == pytest.approx(0.001, rel=1e-5)
+        fn = make_schedule_fn(cfg)
+        assert float(fn(jnp.int32(1500))) == pytest.approx(0.01, rel=1e-5)
+
+    def test_parse_json_form(self):
+        cfg = LrScheduleConfig.parse({"type": "StepWise", "steps": [[0, 0.1], [5, 0.01]]})
+        assert cfg.kind == "stepwise" and cfg.steps == ((0, 0.1), (5, 0.01))
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, rng):
+        model = tiny_model()
+        config = TrainConfig(lr=LrScheduleConfig(kind="constant", lr=5e-3))
+        ts, opt = train_init(model, config, seed=0)
+        step_fn = make_train_step(model, opt, config)
+        batch = fake_batch(rng)
+
+        first = None
+        for i in range(12):
+            ts, metrics = step_fn(ts, *batch)
+            if first is None:
+                first = float(metrics["total_loss"])
+        last = float(metrics["total_loss"])
+        assert int(ts.step) == 12
+        assert np.isfinite(last)
+        assert last < first, f"{last} !< {first}"
+
+    def test_ema_tracks_params(self, rng):
+        model = tiny_model()
+        config = TrainConfig(use_ema=True, ema_decay=0.5,
+                             lr=LrScheduleConfig(kind="constant", lr=1e-2))
+        ts, opt = train_init(model, config)
+        step_fn = make_train_step(model, opt, config)
+        batch = fake_batch(rng)
+        assert ts.ema_params is not None
+        ts, _ = step_fn(ts, *batch)
+        diff = jax.tree_util.tree_map(
+            lambda e, p: float(jnp.abs(e - p).max()), ts.ema_params, ts.params
+        )
+        assert max(jax.tree_util.tree_leaves(diff)) > 0  # EMA lags params
+
+    def test_grad_clipping_runs(self, rng):
+        model = tiny_model()
+        config = TrainConfig(clip_grad_norm=1.0)
+        ts, opt = train_init(model, config)
+        step_fn = make_train_step(model, opt, config)
+        ts, metrics = step_fn(ts, *fake_batch(rng))
+        assert np.isfinite(float(metrics["total_loss"]))
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, rng, tmp_path):
+        model = tiny_model()
+        config = TrainConfig()
+        ts, opt = train_init(model, config)
+        path = save_checkpoint(
+            str(tmp_path), step=7, loss=1.23456, params=ts.params,
+            state=ts.state, opt_state=ts.opt_state,
+        )
+        assert os.path.basename(path).endswith("_000007_01.23456.ckpt")
+        p2, s2, o2, meta = load_checkpoint(path, ts.params, ts.state, ts.opt_state)
+        assert meta["step"] == 7
+        for a, b in zip(jax.tree_util.tree_leaves(ts.params), jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert o2 is not None
+
+    def test_from_recent_picks_newest(self, tmp_path):
+        model = tiny_model()
+        ts, _ = train_init(model, TrainConfig())
+        # forge two checkpoints with distinct timestamps
+        a = save_checkpoint(str(tmp_path), 1, 9.0, ts.params, ts.state)
+        newer = os.path.join(
+            str(tmp_path), "2099-01-01-00-00-00_000002_08.00000.ckpt"
+        )
+        os.rename(a, newer)
+        b = save_checkpoint(str(tmp_path), 3, 7.0, ts.params, ts.state)
+        assert find_recent_checkpoint(str(tmp_path)) == newer
+
+    def test_missing_dir_returns_none(self, tmp_path):
+        model = tiny_model()
+        ts, _ = train_init(model, TrainConfig())
+        assert load_recent_checkpoint(
+            str(tmp_path / "nope"), ts.params, ts.state
+        ) is None
+
+    def test_shape_mismatch_rejected(self, rng, tmp_path):
+        model = tiny_model()
+        ts, _ = train_init(model, TrainConfig())
+        path = save_checkpoint(str(tmp_path), 1, 1.0, ts.params, ts.state)
+        other = tiny_model(classes=1)  # head shape differs
+        ts2, _ = train_init(other, TrainConfig())
+        with pytest.raises((ValueError, KeyError)):
+            load_checkpoint(path, ts2.params, ts2.state)
+
+
+class TestDataParallel:
+    def test_dp_step_matches_single_device(self, rng, devices8):
+        """DP over 8 virtual devices must exactly track single-device for a
+        BN-free model (with BN, per-shard batch statistics legitimately
+        diverge from global-batch statistics — same as the reference)."""
+        model = tiny_model(bn=False)
+        config = TrainConfig(lr=LrScheduleConfig(kind="constant", lr=1e-3))
+        ts, opt = train_init(model, config, seed=0)
+        batch = fake_batch(rng, batch=8)
+
+        single_fn = make_train_step(model, opt, config)
+        ts_single = jax.tree_util.tree_map(jnp.copy, ts)
+        ts_single, m_single = single_fn(ts_single, *batch)
+
+        mesh = make_mesh(8)
+        dp_fn = make_dp_train_step(model, opt, config, mesh)
+        ts_dp = replicate_state(mesh, jax.tree_util.tree_map(jnp.copy, ts))
+        sharded = shard_batch(mesh, batch)
+        ts_dp, m_dp = dp_fn(ts_dp, *sharded)
+
+        # loss metrics identical (same global batch, mean-reduced)
+        np.testing.assert_allclose(
+            float(m_single["objectness_loss"]), float(m_dp["objectness_loss"]), rtol=2e-4
+        )
+        # parameters stay in sync between the two paths
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ts_single.params),
+            jax.tree_util.tree_leaves(ts_dp.params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+    def test_dp_multiple_steps_stable(self, rng, devices8):
+        model = tiny_model()
+        config = TrainConfig()
+        ts, opt = train_init(model, config)
+        mesh = make_mesh(8)
+        dp_fn = make_dp_train_step(model, opt, config, mesh)
+        ts = replicate_state(mesh, ts)
+        batch = shard_batch(mesh, fake_batch(rng, batch=8))
+        for _ in range(3):
+            ts, metrics = dp_fn(ts, *batch)
+        assert np.isfinite(float(metrics["total_loss"]))
+        assert int(ts.step) == 3

@@ -1,0 +1,76 @@
+"""Letterbox resize (aspect-preserving, centered pad).
+
+Equivalent capability to ``tch-goodies/src/tensor.rs:746-948``
+(``resize2d_letterbox``) and the bbox re-mapping in
+``yolo-dl/src/processor/file_cache.rs:131-223``.  Host-side PIL/numpy.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from ..geometry import Transform
+
+
+def letterbox_geometry(src_hw, tgt_hw):
+    """Integer-rounded content size and offsets: (new_h, new_w, off_y, off_x).
+
+    The single source of truth for pixel geometry — box transforms derived
+    elsewhere (e.g. the file-cache hit path) must use this same rounding.
+    """
+    src_h, src_w = src_hw
+    tgt_h, tgt_w = tgt_hw
+    if tgt_h * src_w <= tgt_w * src_h:
+        new_h, new_w = tgt_h, max(1, round(src_w * tgt_h / src_h))
+    else:
+        new_h, new_w = max(1, round(src_h * tgt_w / src_w)), tgt_w
+    return new_h, new_w, (tgt_h - new_h) // 2, (tgt_w - new_w) // 2
+
+
+def letterbox_unit_transform(src_hw, tgt_hw) -> Transform:
+    """Unit-frame (0-1 ratio) box transform matching :func:`letterbox_geometry`."""
+    tgt_h, tgt_w = tgt_hw
+    new_h, new_w, off_y, off_x = letterbox_geometry(src_hw, tgt_hw)
+    return Transform.from_rects(
+        (0.0, 0.0, 1.0, 1.0),
+        (off_y / tgt_h, off_x / tgt_w, (off_y + new_h) / tgt_h, (off_x + new_w) / tgt_w),
+    )
+
+
+def letterbox_resize(
+    image_chw: np.ndarray,
+    target_hw: Tuple[int, int],
+    boxes_ratio: Optional[np.ndarray] = None,
+    pad_value: float = 0.5,
+) -> Tuple[np.ndarray, Optional[np.ndarray], Transform]:
+    """Resize [3,H,W] float32 into the letterboxed target frame.
+
+    boxes are in source-ratio units; returns them in target-ratio units plus
+    the unit→unit Transform used (for drawing / inversion).
+    """
+    c, src_h, src_w = image_chw.shape
+    tgt_h, tgt_w = target_hw
+    new_h, new_w, off_y, off_x = letterbox_geometry((src_h, src_w), target_hw)
+
+    # PIL resize per channel stack (HWC uint8-free float path)
+    hwc = np.transpose(image_chw, (1, 2, 0))
+    pil = Image.fromarray((np.clip(hwc, 0, 1) * 255).astype(np.uint8))
+    resized = np.asarray(
+        pil.resize((new_w, new_h), Image.BILINEAR), dtype=np.float32
+    ) / 255.0
+    if resized.ndim == 2:
+        resized = resized[..., None]
+
+    out = np.full((tgt_h, tgt_w, c), pad_value, np.float32)
+    out[off_y : off_y + new_h, off_x : off_x + new_w, :] = resized
+    out_chw = np.transpose(out, (2, 0, 1))
+
+    # unit-frame transform: source unit square → letterboxed content region
+    transform = letterbox_unit_transform((src_h, src_w), target_hw)
+    new_boxes = None
+    if boxes_ratio is not None:
+        new_boxes = transform.apply_cycxhw(np.asarray(boxes_ratio)).astype(np.float32)
+    return out_chw, new_boxes, transform

@@ -1,0 +1,111 @@
+"""Mosaic 4-image mixing.
+
+Equivalent capability to ``yolo-dl/src/processor/mosaic_processor.rs``:
+random pivot in [margin, 1−margin]², crop the 4 images to the quadrant
+ranges, concatenate into one canvas, merge boxes with min-size and
+min-cropping-ratio filters (:59-152, crop at 300-350).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from .records import DataRecord
+
+
+@dataclasses.dataclass
+class MosaicMixer:
+    mosaic_margin: float = 0.25
+    min_bbox_size: float = 0.0           # ratio units
+    min_bbox_cropping_ratio: float = 0.0
+
+    def __post_init__(self):
+        if not 0.0 <= self.mosaic_margin <= 0.5:
+            raise ValueError("mosaic_margin must be in [0, 0.5]")
+
+    def __call__(self, records: Sequence[DataRecord], rng: np.random.Generator) -> DataRecord:
+        if len(records) != 4:
+            raise ValueError("expect exactly 4 images")
+        shapes = {r.image.shape for r in records}
+        if len(shapes) != 1:
+            raise ValueError("images must have identical shape")
+        c, h, w = records[0].image.shape
+
+        pivot_row = rng.uniform(self.mosaic_margin, 1.0 - self.mosaic_margin)
+        pivot_col = rng.uniform(self.mosaic_margin, 1.0 - self.mosaic_margin)
+        # quadrant ranges (t, b, l, r) in ratio units (mosaic_processor.rs:84-90)
+        ranges = [
+            (0.0, pivot_row, 0.0, pivot_col),
+            (0.0, pivot_row, pivot_col, 1.0),
+            (pivot_row, 1.0, 0.0, pivot_col),
+            (pivot_row, 1.0, pivot_col, 1.0),
+        ]
+
+        pr = round(pivot_row * h)
+        pc = round(pivot_col * w)
+        pixel_ranges = [
+            (0, pr, 0, pc),
+            (0, pr, pc, w),
+            (pr, h, 0, pc),
+            (pr, h, pc, w),
+        ]
+
+        crops, all_boxes, all_classes = [], [], []
+        for record, (rt, rb, rl, rr), (pt, pb, pl, prt) in zip(records, ranges, pixel_ranges):
+            crops.append(record.image[:, pt:pb, pl:prt])
+            boxes, classes = _crop_boxes(
+                record.boxes, record.classes, rt, rb, rl, rr,
+                self.min_bbox_size, self.min_bbox_cropping_ratio,
+            )
+            all_boxes.append(boxes)
+            all_classes.append(classes)
+
+        top = np.concatenate([crops[0], crops[1]], axis=2)
+        bottom = np.concatenate([crops[2], crops[3]], axis=2)
+        merged = np.concatenate([top, bottom], axis=1)
+
+        return DataRecord(
+            image=merged,
+            boxes=np.concatenate(all_boxes, axis=0) if all_boxes else np.zeros((0, 4)),
+            classes=np.concatenate(all_classes, axis=0) if all_classes else np.zeros((0,)),
+        )
+
+
+def _crop_boxes(
+    boxes: np.ndarray,
+    classes: np.ndarray,
+    t: float, b: float, l: float, r: float,
+    min_size: float,
+    min_crop_ratio: float,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Intersect ratio-unit boxes with the crop window; the crop is NOT
+    re-normalized (the canvas keeps the original unit frame, since the
+    quadrants tile the unit square exactly)."""
+    if len(boxes) == 0:
+        return boxes.reshape(0, 4), classes
+    cy, cx, bh, bw = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    bt, bb = cy - bh / 2, cy + bh / 2
+    bl, br = cx - bw / 2, cx + bw / 2
+
+    new_t = np.clip(bt, t, b)
+    new_b = np.clip(bb, t, b)
+    new_l = np.clip(bl, l, r)
+    new_r = np.clip(br, l, r)
+    nh, nw = new_b - new_t, new_r - new_l
+
+    keep = (nh > 0) & (nw > 0)
+    if min_size > 0:
+        keep &= (nh >= min_size) & (nw >= min_size)
+    if min_crop_ratio > 0:
+        orig_area = bh * bw
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ratio = np.where(orig_area > 0, (nh * nw) / orig_area, 0.0)
+        keep &= ratio >= min_crop_ratio
+
+    out = np.stack(
+        [(new_t + new_b) / 2, (new_l + new_r) / 2, nh, nw], axis=-1
+    ).astype(np.float32)
+    return out[keep], classes[keep]

@@ -41,6 +41,10 @@ def conv2d_apply(
     accum_dtype=jnp.float32,
 ) -> Array:
     """Grouped 2-D convolution, symmetric padding in pixels."""
+    # Kernels are cast to the activation dtype; no explicit
+    # preferred_element_type — the TPU MXU accumulates bf16 convolutions in
+    # f32 natively, and a f32-accumulate+downcast dance breaks the conv VJP
+    # under mixed dtypes.
     out = jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
@@ -49,8 +53,7 @@ def conv2d_apply(
         rhs_dilation=(dilation, dilation),
         dimension_numbers=DIMSPEC,
         feature_group_count=groups,
-        preferred_element_type=accum_dtype,
-    ).astype(x.dtype)
+    )
     if b is not None:
         out = out + b.astype(out.dtype)
     return out
@@ -136,8 +139,7 @@ def deconv_bn_apply(
         padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
         rhs_dilation=(d, d),
         dimension_numbers=DIMSPEC,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if "b" in params:
         out = out + params["b"].astype(out.dtype)
     out = activations.apply(layer.act, out)

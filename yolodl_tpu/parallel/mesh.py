@@ -1,0 +1,33 @@
+"""Device-mesh construction.
+
+Replaces the reference's manual multi-GPU topology (explicit per-device
+VarStore replicas + to_device copies, train/src/train/multi_gpu.rs) with a
+``jax.sharding.Mesh``.  Axis names are fixed up front so multi-host DCN
+extension is a mesh reshape, not new code (SURVEY §2.8): the data axis
+rides ICI within a slice.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+DATA_AXIS = "data"
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, devices: Optional[Sequence] = None
+) -> Mesh:
+    """1-D data-parallel mesh over the first ``n_devices`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested {n_devices} devices but only {len(devices)} available"
+            )
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))

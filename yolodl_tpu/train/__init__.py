@@ -1,0 +1,8 @@
+from .lr_schedule import LrScheduleConfig, lr_at_step, make_schedule_fn  # noqa: F401
+from .checkpoint import (  # noqa: F401
+    load_checkpoint,
+    load_recent_checkpoint,
+    save_checkpoint,
+)
+from .ema import ema_init, ema_update  # noqa: F401
+from .loop import TrainConfig, TrainState, make_train_step, train_init  # noqa: F401

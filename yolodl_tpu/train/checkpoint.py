@@ -1,0 +1,139 @@
+"""Checkpoint save/load with the reference's filename discipline.
+
+Equivalent capability to ``train/src/utils/checkpoint.rs``: files named
+``{timestamp}_{step:06}_{loss:08.5f}.ckpt`` under a checkpoints dir
+(:6-22); load modes Disabled / FromRecent (regex scan, newest)
+/ FromFile (:24-81).  Like the reference, the training step rides inside
+the checkpoint (the reference stores it as a VarStore tensor,
+multi_gpu.rs:423) so resume is exact.
+
+Format: a single ``.ckpt`` file = numpy ``.npz`` of the flattened pytrees
+(params / model state / optimizer state) with ``/``-joined key paths, plus a
+JSON metadata entry.  No framework lock-in, memory-mappable, works for any
+of our pytrees.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import re
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+_CKPT_RE = re.compile(
+    r"^(?P<timestamp>[0-9-]+)_(?P<step>\d{6})_(?P<loss>[0-9.+-]+)\.ckpt$"
+)
+
+
+def _flatten(tree: Any, prefix: str) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = prefix + "/".join(_path_str(p) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _path_str(entry) -> str:
+    if hasattr(entry, "key"):
+        return str(entry.key)
+    if hasattr(entry, "idx"):
+        return str(entry.idx)
+    return str(entry)
+
+
+def _unflatten_into(template: Any, flat: Dict[str, np.ndarray], prefix: str) -> Any:
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path, leaf in paths_leaves:
+        key = prefix + "/".join(_path_str(p) for p in path)
+        if key not in flat:
+            raise KeyError(f"checkpoint missing tensor {key!r}")
+        arr = flat[key]
+        if tuple(arr.shape) != tuple(np.shape(leaf)):
+            raise ValueError(
+                f"{key}: checkpoint shape {arr.shape} != model shape {np.shape(leaf)}"
+            )
+        leaves.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save_checkpoint(
+    checkpoint_dir: str,
+    step: int,
+    loss: float,
+    params: Any,
+    state: Any,
+    opt_state: Any = None,
+    extra: Optional[Dict[str, Any]] = None,
+) -> str:
+    """Write ``{timestamp}_{step:06}_{loss:08.5f}.ckpt``; returns the path."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    timestamp = time.strftime("%Y-%m-%d-%H-%M-%S")
+    filename = f"{timestamp}_{step:06d}_{loss:08.5f}.ckpt"
+    path = os.path.join(checkpoint_dir, filename)
+
+    payload = {}
+    payload.update(_flatten(params, "params/"))
+    payload.update(_flatten(state, "state/"))
+    if opt_state is not None:
+        payload.update(_flatten(opt_state, "opt/"))
+    meta = {"step": step, "loss": loss, "has_opt": opt_state is not None}
+    if extra:
+        meta["extra"] = extra
+    payload["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8
+    )
+
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **payload)
+    os.replace(tmp, path)  # atomic publish; avoids the reference's documented
+    # open-vs-write cache race (file_cache.rs:111-113)
+    return path
+
+
+def load_checkpoint(
+    path: str,
+    params_template: Any,
+    state_template: Any,
+    opt_template: Any = None,
+) -> Tuple[Any, Any, Any, Dict[str, Any]]:
+    """Load a .ckpt → (params, state, opt_state_or_None, meta)."""
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
+    meta = json.loads(bytes(flat.pop("__meta__").tobytes()).decode())
+    params = _unflatten_into(params_template, flat, "params/")
+    state = _unflatten_into(state_template, flat, "state/")
+    opt_state = None
+    if opt_template is not None and meta.get("has_opt"):
+        opt_state = _unflatten_into(opt_template, flat, "opt/")
+    return params, state, opt_state, meta
+
+
+def find_recent_checkpoint(checkpoint_dir: str) -> Optional[str]:
+    """Newest checkpoint by filename timestamp (checkpoint.rs:39-64)."""
+    if not os.path.isdir(checkpoint_dir):
+        return None
+    candidates = [
+        name for name in os.listdir(checkpoint_dir) if _CKPT_RE.match(name)
+    ]
+    if not candidates:
+        return None
+    return os.path.join(checkpoint_dir, max(candidates))
+
+
+def load_recent_checkpoint(
+    checkpoint_dir: str,
+    params_template: Any,
+    state_template: Any,
+    opt_template: Any = None,
+):
+    path = find_recent_checkpoint(checkpoint_dir)
+    if path is None:
+        return None
+    return load_checkpoint(path, params_template, state_template, opt_template)

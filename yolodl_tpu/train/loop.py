@@ -1,0 +1,152 @@
+"""Single-device training step.
+
+Equivalent capability to ``train/src/train/single_gpu.rs``: forward → YOLO
+loss → Adam step (beta1 = config momentum, matching multi_gpu.rs:425-434) →
+BN running-var clamp (dark_batch_norm.rs:148-172 via model.clamp_running_vars)
+→ LR schedule advance — but compiled as **one jitted function** with donated
+buffers, so a whole optimizer step is a single XLA program on the TPU.
+
+The training step count lives inside TrainState (the reference stores it as
+a VarStore tensor so it checkpoints — multi_gpu.rs:423; same effect here).
+Non-finite total loss must abort training (multi_gpu.rs:198-204): the step
+returns the loss for the host loop to check.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..loss import LossConfig, yolo_loss
+from ..models.builder import YoloModel
+from .ema import ema_init, ema_update
+from .lr_schedule import LrScheduleConfig, make_schedule_fn
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr: LrScheduleConfig = LrScheduleConfig(kind="constant", lr=1e-3)
+    momentum: float = 0.937       # Adam beta1 (multi_gpu.rs:425-434)
+    beta2: float = 0.999
+    eps: float = 1e-8
+    weight_decay: float = 0.0
+    clip_grad_value: Optional[float] = None
+    clip_grad_norm: Optional[float] = None
+    loss: LossConfig = LossConfig()
+    use_ema: bool = False
+    ema_decay: float = 0.9999
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    state: Any          # BN running stats
+    opt_state: Any
+    step: Array         # scalar int32
+    ema_params: Any     # None when EMA disabled
+
+    def tree_flatten(self):
+        return (self.params, self.state, self.opt_state, self.step, self.ema_params), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    schedule = make_schedule_fn(config.lr)
+    chain = []
+    if config.clip_grad_value is not None:
+        chain.append(optax.clip(config.clip_grad_value))
+    if config.clip_grad_norm is not None:
+        chain.append(optax.clip_by_global_norm(config.clip_grad_norm))
+    chain.append(
+        optax.adamw(
+            learning_rate=schedule,
+            b1=config.momentum,
+            b2=config.beta2,
+            eps=config.eps,
+            weight_decay=config.weight_decay,
+        )
+        if config.weight_decay
+        else optax.adam(
+            learning_rate=schedule,
+            b1=config.momentum,
+            b2=config.beta2,
+            eps=config.eps,
+        )
+    )
+    return optax.chain(*chain)
+
+
+def train_init(
+    model: YoloModel, config: TrainConfig, seed: int = 0
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    params, state = model.init(jax.random.PRNGKey(seed))
+    optimizer = make_optimizer(config)
+    opt_state = optimizer.init(params)
+    ema = ema_init(params) if config.use_ema else None
+    return (
+        TrainState(
+            params=params,
+            state=state,
+            opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32),
+            ema_params=ema,
+        ),
+        optimizer,
+    )
+
+
+def make_train_step(
+    model: YoloModel,
+    optimizer: optax.GradientTransformation,
+    config: TrainConfig,
+    data_format: str = "NCHW",
+) -> Callable:
+    """Build the jitted train step:
+    (TrainState, images, gt_boxes, gt_classes, gt_mask) → (TrainState, metrics).
+    """
+
+    def loss_fn(params, state, images, gt_boxes, gt_classes, gt_mask):
+        pred, new_state = model.apply(params, state, images, train=True,
+                                      data_format=data_format)
+        out, aux = yolo_loss(pred, gt_boxes, gt_classes, gt_mask, config.loss)
+        return out.total_loss, (out, new_state, aux)
+
+    def step(ts: TrainState, images, gt_boxes, gt_classes, gt_mask):
+        (total, (out, new_state, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(ts.params, ts.state, images, gt_boxes, gt_classes, gt_mask)
+
+        updates, new_opt_state = optimizer.update(grads, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+        new_state = model.clamp_running_vars(new_state)
+
+        new_step = ts.step + 1
+        new_ema = (
+            ema_update(ts.ema_params, new_params, new_step, config.ema_decay)
+            if ts.ema_params is not None
+            else None
+        )
+
+        metrics = {
+            "total_loss": out.total_loss,
+            "iou_loss": out.iou_loss,
+            "classification_loss": out.classification_loss,
+            "objectness_loss": out.objectness_loss,
+            "num_matched": aux.matching.num_matched(),
+        }
+        return (
+            TrainState(new_params, new_state, new_opt_state, new_step, new_ema),
+            metrics,
+        )
+
+    return jax.jit(step, donate_argnums=(0,))
