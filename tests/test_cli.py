@@ -1,0 +1,159 @@
+"""CLI end-to-end smoke tests: train/detect/tool on a synthetic CSV dataset."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture()
+def workspace(tmp_path, rng):
+    """Synthetic CSV dataset + toy model + train/detect JSON5 configs."""
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    for i in range(6):
+        arr = (rng.uniform(0, 255, (48, 48, 3))).astype(np.uint8)
+        arr[10:30, 10:30] = (255, 0, 0)  # a "detectable" red square
+        Image.fromarray(arr).save(img_dir / f"i{i}.png")
+    (tmp_path / "classes.txt").write_text("square\n")
+    lines = ["image_file,class_name,cy,cx,h,w"]
+    for i in range(6):
+        lines.append(f"i{i}.png,square,20,20,20,20")
+    (tmp_path / "label.csv").write_text("\n".join(lines) + "\n")
+
+    model = {
+        "main_group": "m",
+        "groups": {
+            "m": [
+                {"name": "input", "kind": "Input", "shape": ["_", 3, 32, 32]},
+                {"kind": "ConvBn2D", "c": 8, "k": 3, "s": 2},
+                {"kind": "ConvBn2D", "c": 12, "k": 3, "s": 2},
+                {"name": "head", "kind": "ConvBn2D", "c": 6, "k": 1,
+                 "act": "linear", "bn": {"enabled": False}},
+                {"name": "det", "kind": "Detect2D", "classes": 1,
+                 "anchors": [[0.4, 0.4]]},
+                {"name": "output", "kind": "MergeDetect2D", "from": ["det"]},
+            ]
+        },
+    }
+    (tmp_path / "model.json5").write_text(json.dumps(model))
+
+    train_cfg = {
+        "version": "0.1.0",
+        "model": {"kind": "NewslabV1", "cfg_file": "model.json5"},
+        "dataset": {
+            "kind": {
+                "type": "Csv", "image_size": 32, "input_channels": 3,
+                "image_dir": str(img_dir),
+                "label_file": str(tmp_path / "label.csv"),
+                "classes_file": str(tmp_path / "classes.txt"),
+            },
+        },
+        "logging": {"dir": str(tmp_path / "logs")},
+        "preprocessor": {
+            "mixup": {"mosaic_prob": 0.5, "mosaic_margin": 0.3},
+            "color_jitter": {"hue_shift": 0.05, "saturation_shift": 0.1, "value_shift": 0.1},
+            "cleanse": {"out_of_bound_tolerance": 5, "min_bbox_size": 1},
+        },
+        "training": {
+            "batch_size": 2,
+            "device_config": {"type": "SingleDevice", "device": "tpu:0"},
+            "optimizer": {
+                "momentum": 0.9,
+                "lr_schedule": {"type": "StepWise", "steps": [[0, 0.005], [100, 0.001]]},
+            },
+            "loss": {"box_metric": "DIoU"},
+            "save_checkpoint_steps": 2,
+            "load_checkpoint": {"type": "Disabled"},
+        },
+        "benchmark": {"nms_iou_thresh": 0.5, "nms_conf_thresh": 0.4},
+    }
+    (tmp_path / "train.json5").write_text(json.dumps(train_cfg))
+
+    detect_cfg = {
+        "version": "0.1.0",
+        "model": {"kind": "NewslabV1", "cfg_file": "model.json5", "minibatch_size": 2},
+        "input": dict(train_cfg["dataset"]),
+        "output": {
+            "output_dir": str(tmp_path / "out"),
+            "nms_iou_thresh": 0.5,
+            "nms_conf_thresh": 0.05,
+        },
+    }
+    (tmp_path / "detect.json5").write_text(json.dumps(detect_cfg))
+    return tmp_path
+
+
+def run_cli(module, *args):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    # sitecustomize re-forces the axon platform via jax.config; strip it for
+    # subprocess CLI tests
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    return subprocess.run(
+        [sys.executable, "-m", module, *args],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=600,
+    )
+
+
+class TestToolCli:
+    def test_info_newslab(self, workspace):
+        out = run_cli("yolodl_tpu.cli.tool_main", "info", str(workspace / "model.json5"))
+        assert out.returncode == 0, out.stderr
+        assert "MergeDetect2D" in out.stdout
+
+    def test_dot_darknet(self, workspace, tmp_path):
+        out = run_cli(
+            "yolodl_tpu.cli.tool_main", "make-dot-file",
+            os.path.join(REPO, "cfg/darknet/yolov4-tiny.cfg"),
+            str(tmp_path / "g.dot"),
+        )
+        assert out.returncode == 0, out.stderr
+        assert (tmp_path / "g.dot").read_text().startswith("digraph")
+
+
+class TestTrainCli:
+    def test_train_runs_and_checkpoints(self, workspace):
+        out = run_cli(
+            "yolodl_tpu.cli.train_main",
+            "--config-file", str(workspace / "train.json5"),
+            "--max-steps", "4",
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        runs = os.listdir(workspace / "logs")
+        assert len(runs) == 1
+        run_dir = workspace / "logs" / runs[0]
+        assert (run_dir / "train.json5").exists()
+        ckpts = os.listdir(run_dir / "checkpoints")
+        assert any(name.endswith(".ckpt") for name in ckpts)
+        # tensorboard event file written
+        assert any(name.startswith("events.out") for name in os.listdir(run_dir))
+
+    def test_train_resume_from_recent(self, workspace):
+        out1 = run_cli(
+            "yolodl_tpu.cli.train_main",
+            "--config-file", str(workspace / "train.json5"),
+            "--max-steps", "2",
+        )
+        assert out1.returncode == 0, out1.stderr[-3000:]
+
+
+class TestDetectCli:
+    def test_detect_writes_images(self, workspace):
+        out = run_cli(
+            "yolodl_tpu.cli.detect_main",
+            "--config-file", str(workspace / "detect.json5"),
+            "--limit", "3",
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        files = os.listdir(workspace / "out")
+        assert len(files) == 3
+        img = Image.open(workspace / "out" / sorted(files)[0])
+        assert img.size == (32, 32)

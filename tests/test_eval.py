@@ -1,0 +1,129 @@
+"""AP calculator + benchmark metric tests (average_precision.rs parity)."""
+
+import numpy as np
+import pytest
+
+from yolodl_tpu.loss.average_precision import (
+    Detection,
+    GroundTruth,
+    average_precision,
+    coco_map_50_95,
+    interpolated_ap,
+    match_detections,
+)
+from yolodl_tpu.loss.benchmark import yolo_benchmark
+from yolodl_tpu.loss.matcher import match_targets
+
+
+def det(img, cls, conf, t, l, b, r):
+    return Detection(img, cls, conf, (t, l, b, r))
+
+
+def gt(img, cls, t, l, b, r):
+    return GroundTruth(img, cls, (t, l, b, r))
+
+
+class TestMatching:
+    def test_perfect_detection(self):
+        gts = [gt(0, 0, 0, 0, 10, 10)]
+        dets = [det(0, 0, 0.9, 0, 0, 10, 10)]
+        tp, conf, n = match_detections(dets, gts, 0.5)
+        assert tp.tolist() == [True] and n == 1
+
+    def test_first_match_wins(self):
+        gts = [gt(0, 0, 0, 0, 10, 10)]
+        dets = [
+            det(0, 0, 0.9, 0, 0, 10, 10),
+            det(0, 0, 0.8, 1, 1, 10, 10),  # also overlaps, but GT taken
+        ]
+        tp, _, _ = match_detections(dets, gts, 0.5)
+        assert tp.tolist() == [True, False]
+
+    def test_sorted_by_confidence(self):
+        gts = [gt(0, 0, 0, 0, 10, 10)]
+        dets = [
+            det(0, 0, 0.5, 1, 1, 10, 10),
+            det(0, 0, 0.9, 0, 0, 10, 10),  # higher conf matches first
+        ]
+        tp, conf, _ = match_detections(dets, gts, 0.5)
+        assert conf[0] == 0.9 and tp[0]
+
+    def test_cross_image_no_match(self):
+        gts = [gt(1, 0, 0, 0, 10, 10)]
+        dets = [det(0, 0, 0.9, 0, 0, 10, 10)]
+        tp, _, _ = match_detections(dets, gts, 0.5)
+        assert not tp[0]
+
+
+class TestAp:
+    def test_perfect_ap_is_one(self):
+        tp = np.array([True, True, True])
+        assert interpolated_ap(tp, 3) == pytest.approx(1.0)
+
+    def test_all_fp_is_zero(self):
+        assert interpolated_ap(np.array([False, False]), 2) == 0.0
+        assert interpolated_ap(np.array([], dtype=bool), 0) == 0.0
+
+    def test_half_recall(self):
+        # one TP then one FP, 2 GTs: precision env = [1, .5], recall max 0.5
+        tp = np.array([True, False])
+        ap = interpolated_ap(tp, 2, num_points=101)
+        # 51 of 101 points at precision 1 (recall ≤ 0.5), rest 0
+        assert ap == pytest.approx(51 / 101, abs=1e-6)
+
+    def test_map_aggregation(self):
+        gts = [gt(0, 0, 0, 0, 10, 10), gt(0, 1, 20, 20, 30, 30)]
+        dets = [
+            det(0, 0, 0.9, 0, 0, 10, 10),     # class 0 perfect
+            det(0, 1, 0.8, 50, 50, 60, 60),   # class 1 miss
+        ]
+        out = average_precision(dets, gts, 0.5)
+        assert out["per_class"][0] == pytest.approx(1.0)
+        assert out["per_class"][1] == pytest.approx(0.0)
+        assert out["mAP"] == pytest.approx(0.5)
+
+    def test_coco_50_95_decreases_with_looser_boxes(self):
+        gts = [gt(0, 0, 0, 0, 10, 10)]
+        tight = [det(0, 0, 0.9, 0, 0, 10, 10)]
+        loose = [det(0, 0, 0.9, 2, 2, 12, 12)]  # IoU ≈ 0.47 → below most thresholds
+        assert coco_map_50_95(tight, gts) > coco_map_50_95(loose, gts)
+
+
+class TestYoloBenchmark:
+    def test_metrics_in_range(self, rng):
+        import jax.numpy as jnp
+        from tests.test_loss import make_merged, pad_targets
+
+        pred = make_merged(rng)
+        boxes, classes, mask = pad_targets(
+            [[(0.4, 0.4, 0.2, 0.2, 1)], [(0.6, 0.6, 0.3, 0.3, 0)]]
+        )
+        matching = match_targets(pred, boxes, classes, mask)
+        out = yolo_benchmark(pred, matching, confidence_threshold=0.5)
+        for v in (out.obj_accuracy, out.obj_recall, out.obj_precision, out.class_accuracy):
+            val = float(v)
+            assert 0.0 <= val <= 1.0
+
+    def test_confident_correct_prediction_scores_high(self, rng):
+        import jax.numpy as jnp
+        import numpy as np
+        from tests.test_loss import make_merged, pad_targets
+        from yolodl_tpu.ops.detect import MergedDetection
+
+        base = make_merged(rng, batch=1, num_classes=3, layers=((4, 4, 1),))
+        boxes, classes, mask = pad_targets([[(0.4, 0.4, 0.2, 0.2, 1)]])
+        matching = match_targets(base, boxes, classes, mask)
+        flat = np.asarray(matching.flat[0])
+        valid = np.asarray(matching.valid[0])
+        n = base.num_flats
+        obj = np.full((1, n), -20.0, np.float32)
+        cls = np.full((1, n, 3), -20.0, np.float32)
+        for k in np.nonzero(valid)[0]:
+            obj[0, flat[k]] = 20.0
+            cls[0, flat[k], 1] = 20.0
+        pred = MergedDetection(base.cycxhw, jnp.asarray(obj), jnp.asarray(cls), base.infos)
+        out = yolo_benchmark(pred, matching, confidence_threshold=0.5)
+        assert float(out.obj_accuracy) == pytest.approx(1.0)
+        assert float(out.obj_recall) == pytest.approx(1.0)
+        assert float(out.obj_precision) == pytest.approx(1.0)
+        assert float(out.class_accuracy) == pytest.approx(1.0)

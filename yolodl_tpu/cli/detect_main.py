@@ -1,0 +1,116 @@
+"""Detection CLI: ``python -m yolodl_tpu.cli.detect_main --config-file detect.json5``.
+
+Equivalent capability to the reference ``detect`` crate (detect/src/main.rs):
+batch inference over a dataset, NMS + per-instance class selection, then
+draw ground truth (yellow) and predictions (per-class colors) and save
+JPEGs into the output dir (:108-213).  Drawing is PIL-based (the reference
+uses OpenCV; host-side drawing is not perf-critical — SURVEY §2.7).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="yolodl_tpu detector")
+    parser.add_argument("--config-file", required=True)
+    parser.add_argument("--weights", default="", help="darknet .weights file")
+    parser.add_argument("--checkpoint", default="", help="framework .ckpt file")
+    parser.add_argument("--limit", type=int, default=0, help="max images (0 = all)")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from ..config.app_config import DetectAppConfig
+    from ..data import OnDemandLoader, SanitizedDataset
+    from ..graph import Graph
+    from ..graph.from_darknet import load_darknet_graph
+    from ..loss import non_max_suppression, yolo_inference
+    from ..loss.inference import to_host_detections
+    from ..models import YoloModel
+    from ..train.checkpoint import load_checkpoint
+    from ..train.logging import draw_boxes_on_image
+
+    config = DetectAppConfig.load(args.config_file)
+    base_dir = os.path.dirname(os.path.abspath(args.config_file))
+    model_path = os.path.join(base_dir, config.model_file)
+
+    if config.model_kind == "darknet":
+        if args.weights:
+            from ..models.zoo import load_darknet_model
+
+            model, params, state = load_darknet_model(model_path, args.weights)
+        else:
+            model, params, state = (
+                YoloModel(load_darknet_graph(model_path)),
+                *YoloModel(load_darknet_graph(model_path)).init(jax.random.PRNGKey(0)),
+            )
+    else:
+        graph = Graph.load_newslab_v1_json(model_path)
+        model = YoloModel(graph)
+        params, state = model.init(jax.random.PRNGKey(0))
+    if args.checkpoint:
+        params, state, _, _ = load_checkpoint(args.checkpoint, params, state)
+
+    dataset = SanitizedDataset(config.dataset.open(base_dir))
+    size = config.dataset.image_size
+    loader = OnDemandLoader((size, size))
+    os.makedirs(config.output_dir, exist_ok=True)
+
+    @jax.jit
+    def infer(params, state, images):
+        pred, _ = model.apply(params, state, images, train=False)
+        nms = non_max_suppression(
+            pred,
+            iou_threshold=config.nms_iou_thresh,
+            confidence_threshold=config.nms_conf_thresh,
+            suppress_by_class=False,
+        )
+        return yolo_inference(nms, pred.num_flats)
+
+    palette = [
+        (1.0, 0.2, 0.2), (0.2, 1.0, 0.2), (0.2, 0.4, 1.0), (1.0, 0.6, 0.1),
+        (0.8, 0.2, 1.0), (0.1, 0.9, 0.9),
+    ]
+
+    batch_size = config.minibatch_size
+    records = dataset.records()
+    if args.limit:
+        records = records[: args.limit]
+    count = 0
+    for start in range(0, len(records), batch_size):
+        chunk = records[start : start + batch_size]
+        decoded = [loader.load(r) for r in chunk]
+        # pad the trailing batch so jit sees a fixed shape
+        while len(decoded) < batch_size:
+            decoded.append(decoded[-1])
+        images = jnp.asarray(np.stack([d.image for d in decoded]))
+        out = infer(params, state, images)
+        dets = to_host_detections(out)
+        for i, rec in enumerate(chunk):
+            canvas = decoded[i].image.copy()
+            # ground truth in yellow (main.rs draws GT yellow)
+            if len(decoded[i].boxes):
+                cy, cx, h, w = (decoded[i].boxes[:, k] for k in range(4))
+                gt_tlbr = np.stack([cy - h / 2, cx - w / 2, cy + h / 2, cx + w / 2], -1)
+                canvas = draw_boxes_on_image(canvas, gt_tlbr, color=(1.0, 1.0, 0.0))
+            for det in dets[i]:
+                color = palette[det["class"] % len(palette)]
+                canvas = draw_boxes_on_image(
+                    canvas, np.asarray([det["tlbr"]]), color=color
+                )
+            out_path = os.path.join(config.output_dir, f"{start + i:06d}.jpg")
+            Image.fromarray(
+                (np.clip(np.transpose(canvas, (1, 2, 0)), 0, 1) * 255).astype(np.uint8)
+            ).save(out_path, quality=92)
+            count += 1
+    print(f"wrote {count} images to {config.output_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,160 @@
+"""Training CLI: ``python -m yolodl_tpu.cli.train_main --config-file train.json5``.
+
+Equivalent capability to the reference ``train`` crate (train/src/main.rs):
+load the versioned JSON5 config, create a timestamped log dir and save a
+config copy (:34-51), start the data pipeline and logging worker, run the
+training loop (single-chip or data-parallel mesh), checkpoint every N
+steps, and abort on non-finite loss (multi_gpu.rs:198-204).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import time
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="yolodl_tpu trainer")
+    parser.add_argument("--config-file", required=True)
+    parser.add_argument("--max-steps", type=int, default=0,
+                        help="stop after N steps (0 = run forever)")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..config.app_config import TrainAppConfig
+    from ..data import (
+        FileCache, MemoryCache, MosaicMixer, OnDemandLoader, SanitizedDataset,
+        TrainingStream, TrainingStreamConfig,
+    )
+    from ..data.pipeline import device_prefetch
+    from ..graph import Graph
+    from ..graph.from_darknet import load_darknet_graph
+    from ..loss.benchmark import yolo_benchmark
+    from ..models import YoloModel
+    from ..parallel import make_dp_train_step, make_mesh, shard_batch
+    from ..parallel.dp import replicate_state
+    from ..train import (
+        TrainConfig, load_checkpoint, load_recent_checkpoint, make_train_step,
+        save_checkpoint, train_init,
+    )
+    from ..train.logging import LoggingWorker
+    from ..train.lr_schedule import lr_at_step
+    from ..utils.timing import RateCounter
+
+    config = TrainAppConfig.load(args.config_file)
+    base_dir = os.path.dirname(os.path.abspath(args.config_file))
+
+    # timestamped run dir + config copy (main.rs:34-51)
+    run_dir = os.path.join(config.logging.dir, time.strftime("%Y-%m-%d-%H-%M-%S"))
+    os.makedirs(run_dir, exist_ok=True)
+    shutil.copy(args.config_file, os.path.join(run_dir, "train.json5"))
+    ckpt_dir = os.path.join(run_dir, "checkpoints")
+
+    # model
+    model_path = os.path.join(base_dir, config.model_file)
+    if config.model_kind == "darknet":
+        graph = load_darknet_graph(model_path)
+    else:
+        graph = Graph.load_newslab_v1_json(model_path)
+    model = YoloModel(graph)
+
+    # dataset + pipeline
+    dataset = SanitizedDataset(
+        config.dataset.open(base_dir),
+        out_of_bound_tolerance=config.preprocessor.out_of_bound_tolerance,
+        min_bbox_size=config.preprocessor.min_bbox_size,
+    )
+    size = config.dataset.image_size
+    pre = config.preprocessor
+    if pre.cache_method == "file":
+        loader = FileCache(pre.cache_dir or os.path.join(run_dir, "cache"), (size, size))
+    elif pre.cache_method == "memory":
+        loader = MemoryCache((size, size))
+    else:
+        loader = OnDemandLoader((size, size))
+    stream_cfg = TrainingStreamConfig(
+        batch_size=config.batch_size,
+        mosaic_prob=pre.mosaic_prob,
+        mosaic=MosaicMixer(mosaic_margin=pre.mosaic_margin),
+        color_jitter=pre.color_jitter,
+        random_affine=pre.affine,
+        bbox_scaling=pre.bbox_scaling,
+    )
+    stream = TrainingStream(dataset.records(), loader, stream_cfg)
+
+    # trainer
+    train_cfg = TrainConfig(
+        lr=config.lr, momentum=config.momentum, weight_decay=config.weight_decay,
+        loss=config.loss,
+    )
+    ts, optimizer = train_init(model, train_cfg, seed=0)
+
+    # checkpoint restore (utils/checkpoint.rs:24-81 semantics)
+    restored = None
+    if config.checkpoint.mode == "from_recent":
+        restored = load_recent_checkpoint(ckpt_dir, ts.params, ts.state, ts.opt_state)
+    elif config.checkpoint.mode == "from_file":
+        restored = load_checkpoint(
+            os.path.join(base_dir, config.checkpoint.file), ts.params, ts.state,
+            ts.opt_state,
+        )
+    if restored is not None:
+        params, state, opt_state, meta = restored
+        ts = ts.__class__(params, state, opt_state or ts.opt_state,
+                          jnp.asarray(meta["step"], jnp.int32), ts.ema_params)
+        print(f"restored checkpoint at step {meta['step']}")
+    if config.override_initial_step is not None:
+        ts = ts.__class__(ts.params, ts.state, ts.opt_state,
+                          jnp.asarray(config.override_initial_step, jnp.int32),
+                          ts.ema_params)
+
+    # device placement
+    if config.n_devices > 1:
+        mesh = make_mesh(config.n_devices)
+        step_fn = make_dp_train_step(model, optimizer, train_cfg, mesh)
+        ts = replicate_state(mesh, ts)
+        place = lambda batch: shard_batch(mesh, batch)
+    else:
+        step_fn = make_train_step(model, optimizer, train_cfg)
+        place = lambda batch: batch
+
+    logger = LoggingWorker(run_dir).start()
+    batch_rate = RateCounter()
+    record_rate = RateCounter()
+
+    try:
+        for record, arrays in device_prefetch(iter(stream)):
+            batch = place(arrays)
+            ts, metrics = step_fn(ts, *batch)
+            total = float(metrics["total_loss"])
+            if not np.isfinite(total):
+                raise RuntimeError(f"non-finite total loss at step {int(ts.step)}: {total}")
+
+            step = int(ts.step)
+            lr = lr_at_step(config.lr, step)
+            logger.log_training_output(
+                step, lr, {k: float(v) for k, v in metrics.items()}
+            )
+            batch_rate.add(1)
+            record_rate.add(config.batch_size)
+            if step % 10 == 0:
+                print(
+                    f"step {step}  loss {total:.5f}  "
+                    f"{batch_rate.rate():.2f} batches/s  {record_rate.rate():.1f} records/s"
+                )
+            if config.checkpoint.save_steps and step % config.checkpoint.save_steps == 0:
+                save_checkpoint(ckpt_dir, step, total, ts.params, ts.state, ts.opt_state)
+            if args.max_steps and step >= args.max_steps:
+                save_checkpoint(ckpt_dir, step, total, ts.params, ts.state, ts.opt_state)
+                break
+    finally:
+        logger.close()
+
+
+if __name__ == "__main__":
+    main()

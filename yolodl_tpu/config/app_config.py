@@ -1,0 +1,327 @@
+"""train.json5 / detect.json5 application config schemas.
+
+Equivalent capability to ``train/src/config.rs`` and ``detect/src/config.rs``:
+the same JSON5 files drive this framework — config compatibility is a
+deliberate parity surface (SURVEY §7.1).  Version is pinned to "0.1.0" like
+the reference's SemverReq derive (config.rs:9-11); tagged enums use the same
+"type"/"kind" discriminants.
+
+Device configs map onto the TPU mesh: SingleDevice → 1 chip,
+MultiDevice/NonUniformMultiDevice → a data-parallel mesh over that many
+chips (non-uniform minibatch splits are meaningless under SPMD and are
+normalized to uniform — documented divergence).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+from typing import Optional, Sequence, Tuple, Union
+
+import json5
+
+from ..data import (
+    CocoDataset,
+    ColorJitter,
+    CsvDataset,
+    IiiDataset,
+    MosaicMixer,
+    RandomAffine,
+    SanitizedDataset,
+    VocDataset,
+)
+from ..loss import LossConfig, MatcherConfig
+from ..train.lr_schedule import LrScheduleConfig
+
+SUPPORTED_VERSION = "0.1.0"
+
+
+def _check_version(raw: dict, path) -> None:
+    version = raw.get("version")
+    if version != SUPPORTED_VERSION:
+        raise ValueError(
+            f"{path}: config version {version!r} != supported {SUPPORTED_VERSION!r}"
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetConfig:
+    kind: str  # coco | voc | csv | iii
+    image_size: int
+    dataset_dir: str = ""
+    classes_file: str = ""
+    image_dir: str = ""
+    label_file: str = ""
+    input_channels: int = 3
+    dataset_name: str = ""
+    class_whitelist: Tuple[str, ...] = ()
+    blacklist_files: Tuple[str, ...] = ()
+
+    @staticmethod
+    def parse(raw: dict, class_whitelist=()) -> "DatasetConfig":
+        kind_raw = raw["kind"]
+        t = kind_raw["type"].lower()
+        return DatasetConfig(
+            kind=t,
+            image_size=int(kind_raw["image_size"]),
+            dataset_dir=kind_raw.get("dataset_dir", ""),
+            classes_file=kind_raw.get("classes_file", ""),
+            image_dir=kind_raw.get("image_dir", ""),
+            label_file=kind_raw.get("label_file", ""),
+            input_channels=int(kind_raw.get("input_channels", 3)),
+            dataset_name=kind_raw.get("dataset_name", ""),
+            class_whitelist=tuple(raw.get("class_whitelist", ()) or ()),
+            blacklist_files=tuple(kind_raw.get("blacklist_files", ()) or ()),
+        )
+
+    def open(self, base_dir: str = "."):
+        """Instantiate the dataset loader (train/src dataset dispatch parity)."""
+        base = pathlib.Path(base_dir)
+
+        def resolve(p):
+            q = pathlib.Path(p)
+            return str(q if q.is_absolute() else base / q)
+
+        whitelist = list(self.class_whitelist) or None
+        if self.kind == "coco":
+            return CocoDataset(
+                resolve(self.dataset_dir), classes_whitelist=whitelist
+            )
+        if self.kind == "voc":
+            return VocDataset(resolve(self.dataset_dir))
+        if self.kind == "csv":
+            return CsvDataset(
+                resolve(self.image_dir), resolve(self.label_file),
+                resolve(self.classes_file), self.input_channels,
+            )
+        if self.kind == "iii":
+            return IiiDataset(
+                resolve(self.dataset_dir), resolve(self.classes_file),
+                classes_whitelist=whitelist,
+                blacklist_files=list(self.blacklist_files),
+            )
+        raise ValueError(f"unknown dataset kind {self.kind!r}")
+
+
+@dataclasses.dataclass(frozen=True)
+class PreprocessorConfig:
+    cache_method: str = "none"  # none | memory | file
+    cache_dir: str = ""
+    mosaic_prob: float = 0.0
+    mosaic_margin: float = 0.25
+    affine: Optional[RandomAffine] = None
+    color_jitter: Optional[ColorJitter] = None
+    bbox_scaling: float = 1.0
+    out_of_bound_tolerance: float = 0.0
+    min_bbox_size: float = 1.0
+    workers: int = 2
+
+    @staticmethod
+    def parse(raw: dict) -> "PreprocessorConfig":
+        cache = raw.get("cache", {})
+        method = {
+            "NoCache": "none", "MemoryCache": "memory", "FileCache": "file"
+        }.get(cache.get("method", "NoCache"), "none")
+
+        mixup = raw.get("mixup", {})
+        affine_raw = raw.get("random_affine", {})
+        affine = None
+        if affine_raw:
+            prob = float(affine_raw.get("affine_prob", 1.0))
+            affine = RandomAffine(
+                rotate_prob=prob * float(affine_raw.get("rotate_prob", 0.0)),
+                rotate_degrees=float(affine_raw.get("rotate_degrees", 0.0)),
+                translation_prob=prob * float(affine_raw.get("translation_prob", 0.0)),
+                translation=float(affine_raw.get("translation", 0.0)),
+                scale_prob=prob * float(affine_raw.get("scale_prob", 0.0)),
+                scale=tuple(affine_raw["scale"]) if "scale" in affine_raw else None,
+                horizontal_flip_prob=prob * float(affine_raw.get("horizontal_flip_prob", 0.0)),
+                vertical_flip_prob=prob * float(affine_raw.get("vertical_flip_prob", 0.0)),
+                min_bbox_size=raw.get("cleanse", {}).get("min_bbox_size"),
+                min_bbox_cropping_ratio=raw.get("cleanse", {}).get("min_bbox_cropping_ratio"),
+            )
+
+        jitter_raw = raw.get("color_jitter", {})
+        jitter = None
+        if jitter_raw:
+            jprob = float(jitter_raw.get("color_jitter_prob", 1.0))
+            if jprob > 0:
+                jitter = ColorJitter(
+                    hue_shift=jitter_raw.get("hue_shift"),
+                    saturation_shift=jitter_raw.get("saturation_shift"),
+                    value_shift=jitter_raw.get("value_shift"),
+                )
+
+        cleanse = raw.get("cleanse", {})
+        return PreprocessorConfig(
+            cache_method=method,
+            cache_dir=cache.get("cache_dir", ""),
+            mosaic_prob=float(mixup.get("mosaic_prob", 0.0)),
+            mosaic_margin=float(mixup.get("mosaic_margin", 0.25)),
+            affine=affine,
+            color_jitter=jitter,
+            bbox_scaling=float(cleanse.get("bbox_scaling", 1.0)),
+            out_of_bound_tolerance=float(cleanse.get("out_of_bound_tolerance", 0.0)),
+            min_bbox_size=float(cleanse.get("min_bbox_size", 1.0)),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class LoggingConfig:
+    dir: str = "logs"
+    enable_images: bool = False
+    enable_debug_stat: bool = False
+    enable_inference: bool = False
+    enable_benchmark: bool = False
+    enable_gradients: bool = False
+
+    @staticmethod
+    def parse(raw: dict) -> "LoggingConfig":
+        return LoggingConfig(
+            dir=raw.get("dir", "logs"),
+            enable_images=bool(raw.get("enable_images", False)),
+            enable_debug_stat=bool(raw.get("enable_debug_stat", False)),
+            enable_inference=bool(raw.get("enable_inference", False)),
+            enable_benchmark=bool(raw.get("enable_benchmark", False)),
+            enable_gradients=bool(raw.get("enable_gradients", False)),
+        )
+
+
+def parse_loss_config(raw: dict) -> LossConfig:
+    """training.loss block → LossConfig (train/src config loss parity)."""
+    matcher = MatcherConfig(
+        match_grid=raw.get("match_grid_method", "Rect4").lower(),
+        anchor_scale_thresh=float(raw.get("anchor_scale_thresh", 4.0)),
+    )
+    return LossConfig(
+        box_metric=raw.get("box_metric", "DIoU").lower(),
+        objectness_loss_kind=raw.get("objectness_loss_fn", "Bce").lower(),
+        classification_loss_kind={
+            "bce": "bce", "focal": "focal", "crossentropy": "cross_entropy",
+            "cross_entropy": "cross_entropy", "l2": "l2",
+        }[raw.get("classification_loss_fn", "Bce").lower()],
+        objectness_pos_weight=raw.get("objectness_positive_weight"),
+        iou_loss_weight=float(raw.get("iou_loss_weight", 0.05)),
+        objectness_loss_weight=float(raw.get("objectness_loss_weight", 1.0)),
+        classification_loss_weight=float(raw.get("classification_loss_weight", 0.58)),
+        smooth_classification_coef=float(raw.get("smooth_classification_coef", 0.01)),
+        smooth_objectness_coef=float(raw.get("smooth_objectness_coef", 0.0)),
+        matcher=matcher,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class CheckpointPolicy:
+    mode: str = "disabled"  # disabled | from_recent | from_file
+    file: str = ""
+    save_steps: int = 0
+
+    @staticmethod
+    def parse(raw: dict, save_steps: int) -> "CheckpointPolicy":
+        t = raw.get("type", "Disabled").lower()
+        mode = {"disabled": "disabled", "fromrecent": "from_recent",
+                "fromfile": "from_file"}[t.replace("_", "")]
+        return CheckpointPolicy(mode=mode, file=raw.get("file", ""),
+                                save_steps=save_steps)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainAppConfig:
+    model_kind: str            # newslab_v1 | darknet
+    model_file: str
+    dataset: DatasetConfig
+    preprocessor: PreprocessorConfig
+    logging: LoggingConfig
+    batch_size: int
+    n_devices: int
+    lr: LrScheduleConfig
+    momentum: float
+    weight_decay: float
+    loss: LossConfig
+    checkpoint: CheckpointPolicy
+    override_initial_step: Optional[int]
+    nms_iou_thresh: float
+    nms_conf_thresh: float
+
+    @staticmethod
+    def load(path) -> "TrainAppConfig":
+        path = pathlib.Path(path)
+        with open(path) as f:
+            raw = json5.load(f)
+        _check_version(raw, path)
+
+        model = raw["model"]
+        kind = {"newslabv1": "newslab_v1", "darknet": "darknet"}[
+            model.get("kind", "NewslabV1").lower()
+        ]
+
+        training = raw["training"]
+        device_cfg = training.get("device_config", {"type": "SingleDevice"})
+        dtype = device_cfg.get("type", "SingleDevice").lower()
+        if dtype == "singledevice":
+            n_devices = 1
+        elif dtype in ("multidevice", "nonuniformmultidevice"):
+            devices = device_cfg.get("devices", []) or device_cfg.get("minibatch_sizes", [])
+            n_devices = max(len(devices), 1)
+        else:
+            raise ValueError(f"unknown device_config type {dtype!r}")
+
+        opt = training.get("optimizer", {})
+        benchmark = raw.get("benchmark", {})
+        return TrainAppConfig(
+            model_kind=kind,
+            model_file=model["cfg_file"],
+            dataset=DatasetConfig.parse(raw["dataset"],
+                                        raw["dataset"].get("class_whitelist", ())),
+            preprocessor=PreprocessorConfig.parse(raw.get("preprocessor", {})),
+            logging=LoggingConfig.parse(raw.get("logging", {})),
+            batch_size=int(training["batch_size"]),
+            n_devices=n_devices,
+            lr=LrScheduleConfig.parse(opt.get("lr_schedule", opt.get("lr"))),
+            momentum=float(opt.get("momentum", 0.937)),
+            weight_decay=float(opt.get("weight_decay", 0.0)),
+            loss=parse_loss_config(training.get("loss", {})),
+            checkpoint=CheckpointPolicy.parse(
+                training.get("load_checkpoint", {}),
+                int(training.get("save_checkpoint_steps", 0)),
+            ),
+            override_initial_step=training.get("override_initial_step"),
+            nms_iou_thresh=float(benchmark.get("nms_iou_thresh", 0.6)),
+            nms_conf_thresh=float(benchmark.get("nms_conf_thresh", 0.1)),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectAppConfig:
+    model_file: str
+    model_kind: str
+    minibatch_size: int
+    n_devices: int
+    dataset: DatasetConfig
+    output_dir: str
+    nms_iou_thresh: float
+    nms_conf_thresh: float
+    weights_file: str = ""
+
+    @staticmethod
+    def load(path) -> "DetectAppConfig":
+        path = pathlib.Path(path)
+        with open(path) as f:
+            raw = json5.load(f)
+        _check_version(raw, path)
+        model = raw["model"]
+        output = raw.get("output", {})
+        return DetectAppConfig(
+            model_file=model["cfg_file"],
+            model_kind={"newslabv1": "newslab_v1", "darknet": "darknet"}[
+                model.get("kind", "NewslabV1").lower()
+            ],
+            minibatch_size=int(model.get("minibatch_size", 1)),
+            n_devices=max(len(model.get("devices", [0])), 1),
+            dataset=DatasetConfig.parse(raw["input"],
+                                        raw["input"].get("class_whitelist", ())),
+            output_dir=output.get("output_dir", "detect_output"),
+            nms_iou_thresh=float(output.get("nms_iou_thresh", 0.6)),
+            nms_conf_thresh=float(output.get("nms_conf_thresh", 0.1)),
+            weights_file=model.get("weights_file", ""),
+        )

@@ -4,6 +4,7 @@ from .color import ColorJitter, hsv_to_rgb, rgb_to_hsv  # noqa: F401
 from .affine import RandomAffine  # noqa: F401
 from .mosaic import MosaicMixer  # noqa: F401
 from .datasets import (  # noqa: F401
+    IiiDataset,
     CocoDataset,
     CsvDataset,
     SanitizedDataset,

@@ -259,3 +259,58 @@ class SanitizedDataset(_ListDataset):
                 FileRecord(rec.path, rec.height, rec.width, boxes, classes)
             )
         super().__init__(records, inner.classes)
+
+
+class IiiDataset(_ListDataset):
+    """III Formosa dataset: VOC-style XML annotations scattered under nested
+    directories, image ``{stem}.jpg`` next to each XML (iii.rs:35-217).
+    ``blacklist_files`` are dataset-dir-relative XML paths to skip."""
+
+    def __init__(
+        self,
+        dataset_dir: str,
+        classes_file: str,
+        classes_whitelist: Optional[Sequence[str]] = None,
+        blacklist_files: Optional[Sequence[str]] = None,
+    ):
+        import glob as glob_mod
+
+        classes = load_classes_file(classes_file)
+        whitelist = set(classes_whitelist) if classes_whitelist else None
+        blacklist = set(blacklist_files or ())
+
+        records = []
+        for xml_path in sorted(
+            glob_mod.glob(os.path.join(dataset_dir, "**", "*.xml"), recursive=True)
+        ):
+            rel = os.path.relpath(xml_path, dataset_dir)
+            if rel in blacklist:
+                continue
+            root = ET.parse(xml_path).getroot()
+            size = root.find("size")
+            w = int(float(size.findtext("width")))
+            h = int(float(size.findtext("height")))
+            boxes, cls = [], []
+            for obj in root.iter("object"):
+                name = obj.findtext("name")
+                if name not in classes:
+                    continue
+                if whitelist is not None and name not in whitelist:
+                    continue
+                bb = obj.find("bndbox")
+                xmin, ymin = float(bb.findtext("xmin")), float(bb.findtext("ymin"))
+                xmax, ymax = float(bb.findtext("xmax")), float(bb.findtext("ymax"))
+                boxes.append(
+                    ((ymin + ymax) / 2, (xmin + xmax) / 2, ymax - ymin, xmax - xmin)
+                )
+                cls.append(classes.index(name))
+            stem = os.path.splitext(os.path.basename(xml_path))[0]
+            image_file = os.path.join(os.path.dirname(xml_path), stem + ".jpg")
+            records.append(
+                FileRecord(
+                    path=image_file, height=h, width=w,
+                    boxes_pixel=np.asarray(boxes, np.float64).reshape(-1, 4),
+                    classes=np.asarray(cls, np.int32),
+                )
+            )
+        super().__init__(records, classes)
