@@ -18,7 +18,7 @@ import sys
 import time
 
 V100_X2_IMG_S = 50.0
-BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 SIZE = int(os.environ.get("BENCH_SIZE", "608"))
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))
 

@@ -1,0 +1,27 @@
+#!/bin/bash
+# Build the darknet-C parity oracle (CPU) out-of-tree.
+#
+# Role of the reference's darknet-test build.rs (CMake build of the vendored
+# AlexeyAB darknet): compiles the darknet C sources read-only from
+# $DARKNET_SRC into ./darknet_build and links the dk_shim.so ctypes shim.
+set -euo pipefail
+cd "$(dirname "$0")"
+
+DARKNET_SRC="${DARKNET_SRC:-/root/reference/darknet-test/darknet}"
+BUILD=darknet_build
+mkdir -p "$BUILD"/obj "$BUILD"/backup "$BUILD"/results
+
+# out-of-tree Makefile: point VPATH/include paths at the read-only source
+sed -e "s|^VPATH=./src/|VPATH=$DARKNET_SRC/src/|" \
+    -e "s|^LIBSO=0|LIBSO=1|" \
+    -e "s|COMMON= -Iinclude/ -I3rdparty/stb/include|COMMON= -I$DARKNET_SRC/include/ -I$DARKNET_SRC/3rdparty/stb/include|" \
+    -e "s|DEPS = \$(wildcard src/\*.h) Makefile include/darknet.h|DEPS = \$(wildcard $DARKNET_SRC/src/*.h) Makefile $DARKNET_SRC/include/darknet.h|" \
+    -e "s|src/yolo_v2_class.cpp|$DARKNET_SRC/src/yolo_v2_class.cpp|g" \
+    -e "s|include/yolo_v2_class.hpp|$DARKNET_SRC/include/yolo_v2_class.hpp|g" \
+    "$DARKNET_SRC/Makefile" > "$BUILD/Makefile"
+
+make -C "$BUILD" libdarknet.so -j"$(nproc)"
+
+gcc -shared -fPIC -O2 -I"$DARKNET_SRC/include" dk_shim.c -o dk_shim.so \
+    -L"$BUILD" -ldarknet -Wl,-rpath,'$ORIGIN/'"$BUILD"
+echo "built parity/dk_shim.so"

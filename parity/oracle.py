@@ -1,0 +1,100 @@
+"""Python wrapper over the darknet-C parity oracle (dk_shim.so).
+
+Replaces the reference's darknet-test Rust FFI layer
+(darknet-test/src/darknet/network.rs:10-100): load a cfg+weights in the
+original AlexeyAB C implementation (CPU), run a forward pass, and read
+per-layer feature maps for comparison against the JAX model.
+
+Darknet layer outputs are [c, h, w] row-major for batch 1 — the same CHW
+order as our NCHW logical layout, so comparisons are direct.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+
+# darknet LAYER_TYPE enum prefix (include/darknet.h) — order matters
+LAYER_TYPES = [
+    "convolutional", "deconvolutional", "connected", "maxpool", "local_avgpool",
+    "softmax", "detection", "dropout", "crop", "route", "cost", "normalization",
+    "avgpool", "local", "shortcut", "scale_channels", "sam", "active", "rnn",
+    "gru", "lstm", "conv_lstm", "history", "crnn", "batchnorm", "network",
+    "xnor", "region", "yolo", "gaussian_yolo", "iseg", "reorg", "reorg_old",
+    "upsample", "logxent", "l2norm", "empty", "blank", "contrastive",
+]
+
+
+class DarknetOracle:
+    def __init__(self, cfg_path: str, weights_path: str):
+        self.lib = ctypes.CDLL(os.path.join(_DIR, "dk_shim.so"))
+        self.lib.dk_load.restype = ctypes.c_void_p
+        self.lib.dk_load.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+        self.lib.dk_forward.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+        for name in ("dk_num_layers", "dk_input_w", "dk_input_h", "dk_input_c",
+                     "dk_layer_type", "dk_layer_out_w", "dk_layer_out_h",
+                     "dk_layer_out_c", "dk_layer_outputs"):
+            fn = getattr(self.lib, name)
+            fn.restype = ctypes.c_int
+            fn.argtypes = [ctypes.c_void_p] + (
+                [ctypes.c_int] if name.startswith("dk_layer") else []
+            )
+        self.lib.dk_layer_output.restype = ctypes.c_int
+        self.lib.dk_layer_output.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ]
+        self.lib.dk_detections.restype = ctypes.c_int
+        self.lib.dk_detections.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ]
+
+        self.net = ctypes.c_void_p(
+            self.lib.dk_load(cfg_path.encode(), weights_path.encode(), 1)
+        )
+        if not self.net:
+            raise RuntimeError(f"darknet failed to load {cfg_path} + {weights_path}")
+        self.num_layers = self.lib.dk_num_layers(self.net)
+        self.input_hw = (self.lib.dk_input_h(self.net), self.lib.dk_input_w(self.net))
+        self.input_c = self.lib.dk_input_c(self.net)
+
+    def forward(self, image_chw: np.ndarray) -> None:
+        c, h, w = image_chw.shape
+        assert (h, w) == self.input_hw and c == self.input_c
+        buf = np.ascontiguousarray(image_chw, np.float32)
+        self.lib.dk_forward(
+            self.net, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        )
+
+    def layer_type(self, i: int) -> str:
+        t = self.lib.dk_layer_type(self.net, i)
+        return LAYER_TYPES[t] if 0 <= t < len(LAYER_TYPES) else f"unknown{t}"
+
+    def layer_output(self, i: int) -> np.ndarray:
+        """[c, h, w] float32 output of layer i (batch 1)."""
+        n = self.lib.dk_layer_outputs(self.net, i)
+        out = np.zeros((n,), np.float32)
+        got = self.lib.dk_layer_output(
+            self.net, i, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n
+        )
+        assert got == n
+        c = self.lib.dk_layer_out_c(self.net, i)
+        h = self.lib.dk_layer_out_h(self.net, i)
+        w = self.lib.dk_layer_out_w(self.net, i)
+        return out.reshape(c, h, w)
+
+    def detections(self, img_w: int, img_h: int, thresh: float = 0.25,
+                   capacity: int = 4096) -> np.ndarray:
+        """[(x, y, w, h, obj, class, prob)] rows from darknet's own decode."""
+        out = np.zeros((capacity, 7), np.float32)
+        n = self.lib.dk_detections(
+            self.net, img_w, img_h, thresh,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), capacity,
+        )
+        return out[:n]

@@ -1,0 +1,163 @@
+"""Cross-implementation parity: JAX model vs AlexeyAB darknet C (CPU).
+
+The reference's darknet-test harness (darknet-test/src/main.rs:112-195)
+loads the same cfg+weights into the C library and the Rust model and
+asserts per-layer MSE ≈ 0.  Same here, with one upgrade: weights are
+*random* (written by our own .weights serializer), so no pretrained
+download is needed — structural parity is what is being proven.
+
+Requires parity/dk_shim.so (built by parity/build.sh); skipped otherwise.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SHIM = os.path.join(REPO, "parity", "dk_shim.so")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SHIM), reason="darknet oracle not built"
+)
+
+sys.path.insert(0, os.path.join(REPO, "parity"))
+
+# compare these darknet layer kinds 1:1 against our node outputs
+COMPARABLE = {"convolutional", "maxpool", "upsample", "route", "shortcut"}
+
+
+@pytest.fixture(scope="module")
+def tiny_pair(tmp_path_factory):
+    """yolov4-tiny at 416: random weights → darknet net + our model."""
+    import jax
+
+    from oracle import DarknetOracle
+    from yolodl_tpu.config import darknet_cfg as dk
+    from yolodl_tpu.graph.from_darknet import graph_from_darknet
+    from yolodl_tpu.models import YoloModel
+    from yolodl_tpu.models.weights import save_darknet_weights
+
+    cfg_path = os.path.join(REPO, "cfg/darknet/yolov4-tiny.cfg")
+    darknet = dk.Darknet.load(cfg_path)
+    model = YoloModel(graph_from_darknet(darknet))
+    params, state = model.init(jax.random.PRNGKey(42))
+
+    # moderate BN stats so eval-mode outputs aren't all ~0
+    weights_path = str(tmp_path_factory.mktemp("w") / "tiny.weights")
+    save_darknet_weights(darknet, params, state, weights_path)
+
+    oracle = DarknetOracle(cfg_path, weights_path)
+    return darknet, model, params, state, oracle
+
+
+class TestYoloV4TinyParity:
+    def test_per_layer_feature_maps(self, tiny_pair):
+        import jax.numpy as jnp
+
+        darknet, model, params, state, oracle = tiny_pair
+        rng = np.random.default_rng(0)
+        image = rng.uniform(0.0, 1.0, (3, 416, 416)).astype(np.float32)
+
+        oracle.forward(image)
+        _, _, ours = model.apply(
+            params, state, jnp.asarray(image[None]), train=False,
+            return_intermediates=True,
+        )
+
+        compared = 0
+        for i in range(oracle.num_layers):
+            kind = oracle.layer_type(i)
+            if kind not in COMPARABLE:
+                continue
+            ref = oracle.layer_output(i)          # [c, h, w]
+            mine = np.asarray(ours[f"layer{i}"][0])  # [h, w, c] NHWC
+            mine_chw = np.transpose(mine, (2, 0, 1))
+            assert mine_chw.shape == ref.shape, (i, kind, mine_chw.shape, ref.shape)
+            denom = np.mean(ref**2) + 1e-12
+            mse = float(np.mean((mine_chw - ref) ** 2) / denom)
+            assert mse < 1e-5, f"layer {i} ({kind}): relative MSE {mse:.3e}"
+            compared += 1
+        assert compared >= 20  # yolov4-tiny has ~21 comparable layers
+
+    def test_decoded_boxes_match_darknet(self, tiny_pair):
+        """Our Detect2D decode vs darknet's get_network_boxes on the same
+        logits (thresholded candidates must agree in box geometry)."""
+        import jax.numpy as jnp
+
+        darknet, model, params, state, oracle = tiny_pair
+        rng = np.random.default_rng(1)
+        image = rng.uniform(0.0, 1.0, (3, 416, 416)).astype(np.float32)
+
+        oracle.forward(image)
+        dk_dets = oracle.detections(416, 416, thresh=0.2)
+
+        pred, _ = model.apply(params, state, jnp.asarray(image[None]), train=False)
+        obj = np.asarray(pred.obj_prob()[0])
+        conf = np.asarray(pred.confidence()[0])
+        boxes = np.asarray(pred.cycxhw[0])
+
+        # darknet emits candidates with objectness > thresh, iterating each
+        # yolo layer's cells row-major then anchors (get_yolo_detections);
+        # reconstruct the same order from our flat layout (anchor-major)
+        ours_rows = []
+        for info in pred.infos:
+            fh, fw, a = info.feature_h, info.feature_w, info.num_anchors
+            for cell in range(fh * fw):
+                r, c = divmod(cell, fw)
+                for n in range(a):
+                    flat = info.flat_begin + (n * fh + r) * fw + c
+                    if obj[flat] > 0.2:
+                        cy, cx, bh, bw = boxes[flat]
+                        ours_rows.append((cx, cy, bw, bh, obj[flat]))
+        assert len(ours_rows) == len(dk_dets), (len(ours_rows), len(dk_dets))
+        np.testing.assert_allclose(
+            np.asarray(ours_rows), dk_dets[:, :5], atol=3e-3
+        )
+
+
+def test_csp_new_coords_parity(tmp_path):
+    """yolov4-csp (new_coords=1, scaled decode) conv-layer parity at 256px."""
+    import jax
+    import jax.numpy as jnp
+
+    from oracle import DarknetOracle
+    from yolodl_tpu.config import darknet_cfg as dk
+    from yolodl_tpu.graph.from_darknet import graph_from_darknet
+    from yolodl_tpu.models import YoloModel
+    from yolodl_tpu.models.weights import save_darknet_weights
+
+    cfg_path = os.path.join(REPO, "cfg/darknet/yolov4-csp.cfg")
+    # shrink input for CPU runtime: rewrite width/height
+    text = open(cfg_path).read().replace("width=512", "width=256").replace(
+        "height=512", "height=256"
+    )
+    small_cfg = tmp_path / "csp256.cfg"
+    small_cfg.write_text(text)
+
+    darknet = dk.Darknet.load(str(small_cfg))
+    model = YoloModel(graph_from_darknet(darknet))
+    params, state = model.init(jax.random.PRNGKey(7))
+    weights_path = str(tmp_path / "csp.weights")
+    save_darknet_weights(darknet, params, state, weights_path)
+
+    oracle = DarknetOracle(str(small_cfg), weights_path)
+    rng = np.random.default_rng(3)
+    image = rng.uniform(0.0, 1.0, (3, 256, 256)).astype(np.float32)
+    oracle.forward(image)
+    _, _, ours = model.apply(
+        params, state, jnp.asarray(image[None]), train=False,
+        return_intermediates=True,
+    )
+
+    checked = 0
+    for i in range(oracle.num_layers):
+        if oracle.layer_type(i) not in COMPARABLE:
+            continue
+        ref = oracle.layer_output(i)
+        mine = np.transpose(np.asarray(ours[f"layer{i}"][0]), (2, 0, 1))
+        denom = np.mean(ref**2) + 1e-12
+        assert float(np.mean((mine - ref) ** 2) / denom) < 1e-5, i
+        checked += 1
+    assert checked > 80

@@ -185,6 +185,7 @@ class Detect2D(ModuleCfg):
     variant: str = "scaled"  # "scaled" | "darknet"
     scale_xy: float = 1.0
     channel_order: str = "entry_major"  # "entry_major" | "anchor_major"
+    entry_layout: str = "cycxhw"  # "cycxhw" (NEWSLAB) | "xywh" (darknet)
 
 
 @dataclasses.dataclass(frozen=True)

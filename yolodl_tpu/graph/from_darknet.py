@@ -115,6 +115,7 @@ def graph_from_darknet(darknet: dk.Darknet) -> Graph:
                     variant="scaled" if layer.new_coords else "darknet",
                     scale_xy=layer.scale_x_y,
                     channel_order="anchor_major",
+                    entry_layout="xywh",
                 )
             )
             yolo_names.append(name)

@@ -127,10 +127,15 @@ class YoloModel:
         x: Array,
         train: bool = False,
         data_format: str = "NCHW",
+        return_intermediates: bool = False,
     ) -> Tuple[detect.MergedDetection, State]:
         """Forward pass → (MergedDetection, new_state).
 
         ``data_format`` describes ``x``; compute is NHWC internally.
+        With ``return_intermediates`` the result is
+        (MergedDetection, new_state, {node_name: NHWC activation}) — the
+        hook the darknet parity harness uses for per-layer MSE checks
+        (darknet-test/src/main.rs:112-195 role).
         """
         if data_format == "NCHW":
             x = jnp.transpose(x, (0, 2, 3, 1))
@@ -218,7 +223,7 @@ class YoloModel:
                 outputs[key] = detect.detect_decode(
                     single(), layer.anchors, layer.classes,
                     order=layer.channel_order, variant=layer.variant,
-                    scale_xy=layer.scale_xy,
+                    scale_xy=layer.scale_xy, entry_layout=layer.entry_layout,
                 )
             elif isinstance(layer, cfg.DarknetRoute):
                 ins = [outputs[k] for k in ik.iter_keys()]
@@ -250,6 +255,13 @@ class YoloModel:
             else:
                 raise NotImplementedError(f"forward for {layer.kind}")
 
+        if return_intermediates:
+            named = {
+                self._pname[k]: v
+                for k, v in outputs.items()
+                if isinstance(v, jax.Array)
+            }
+            return outputs[self.output_key], new_state, named
         return outputs[self.output_key], new_state
 
     # ------------------------------------------------------------------

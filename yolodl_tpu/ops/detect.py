@@ -124,12 +124,16 @@ def detect_decode(
     order: str = "entry_major",
     variant: str = "scaled",
     scale_xy: float = 1.0,
+    entry_layout: str = "cycxhw",
 ) -> DenseDetection:
     """Decode a head feature map [b, H, W, A*(5+C)] into boxes.
 
     ``order`` selects the channel grouping: "entry_major" (channel =
     entry*A + anchor — the reference's view at detect_2d.rs:65) or
     "anchor_major" (channel = anchor*(5+C) + entry — darknet layout).
+
+    ``entry_layout`` selects the meaning of the first four entries:
+    "cycxhw" (NEWSLAB: cy, cx, h, w) or "xywh" (darknet: tx, ty, tw, th).
     """
     b, fh, fw, c = x.shape
     a = len(anchors)
@@ -146,7 +150,12 @@ def detect_decode(
     else:
         raise ValueError(f"unknown channel order {order!r}")
 
-    ty, tx, th, tw = x[..., 0], x[..., 1], x[..., 2], x[..., 3]
+    if entry_layout == "cycxhw":
+        ty, tx, th, tw = x[..., 0], x[..., 1], x[..., 2], x[..., 3]
+    elif entry_layout == "xywh":
+        tx, ty, tw, th = x[..., 0], x[..., 1], x[..., 2], x[..., 3]
+    else:
+        raise ValueError(f"unknown entry layout {entry_layout!r}")
     obj_logit = x[..., 4]
     class_logit = x[..., 5:]
 
