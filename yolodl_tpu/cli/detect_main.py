@@ -46,10 +46,8 @@ def main(argv=None):
 
             model, params, state = load_darknet_model(model_path, args.weights)
         else:
-            model, params, state = (
-                YoloModel(load_darknet_graph(model_path)),
-                *YoloModel(load_darknet_graph(model_path)).init(jax.random.PRNGKey(0)),
-            )
+            model = YoloModel(load_darknet_graph(model_path))
+            params, state = model.init(jax.random.PRNGKey(0))
     else:
         graph = Graph.load_newslab_v1_json(model_path)
         model = YoloModel(graph)

@@ -1,0 +1,1 @@
+from .iou_pallas import pairwise_iou_pallas  # noqa: F401

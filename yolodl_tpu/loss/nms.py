@@ -62,13 +62,20 @@ class NmsOutput:
 
 
 def _suppress(tlbr: Array, scores: Array, group: Array, valid: Array,
-              iou_threshold: float) -> Array:
+              iou_threshold: float, backend: str = "xla") -> Array:
     """Greedy NMS over score-sorted candidates (single image).
 
     tlbr [K,4], scores [K] (descending), group [K], valid [K] → keep [K].
+    ``backend="pallas"`` computes the IoU matrix with the tiled TPU kernel
+    (kernels/iou_pallas.py) — the tch-nms replacement path.
     """
     k = tlbr.shape[0]
-    iou = box_iou_pairwise(tlbr, tlbr)
+    if backend == "pallas":
+        from ..kernels import pairwise_iou_pallas
+
+        iou = pairwise_iou_pallas(tlbr)
+    else:
+        iou = box_iou_pairwise(tlbr, tlbr)
     same_group = group[:, None] == group[None, :]
     conflict = (iou > iou_threshold) & same_group
     # conflict[i, j]: candidate j conflicts with higher-scored candidate i
@@ -92,6 +99,7 @@ def non_max_suppression(
     confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD,
     suppress_by_class: bool = False,
     max_dets: int = 512,
+    backend: str = "xla",
 ) -> NmsOutput:
     """Batched NMS on a merged detection tensor.
 
@@ -120,7 +128,7 @@ def non_max_suppression(
     group = classes if suppress_by_class else jnp.zeros_like(classes)
 
     keep = jax.vmap(
-        lambda t, s, g, v: _suppress(t, s, g, v, iou_threshold)
+        lambda t, s, g, v: _suppress(t, s, g, v, iou_threshold, backend)
     )(tlbr, top_conf, group, valid)
 
     return NmsOutput(

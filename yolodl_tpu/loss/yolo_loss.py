@@ -131,6 +131,17 @@ def yolo_loss(
     gt_mask: Array,
     config: LossConfig = LossConfig(),
 ) -> Tuple[LossOutput, LossAuxiliary]:
+    # the network may run in bf16; the loss/matcher math runs in f32 so box
+    # geometry and log-losses keep full precision
+    if prediction.cycxhw.dtype != jnp.float32:
+        prediction = MergedDetection(
+            cycxhw=prediction.cycxhw.astype(jnp.float32),
+            obj_logit=prediction.obj_logit.astype(jnp.float32),
+            class_logit=prediction.class_logit.astype(jnp.float32),
+            infos=prediction.infos,
+        )
+    gt_cycxhw = gt_cycxhw.astype(jnp.float32)
+
     matching = match_targets(prediction, gt_cycxhw, gt_class, gt_mask, config.matcher)
     pred_boxes, pred_obj, pred_class = matching.gather_pred(prediction)
     valid = matching.valid  # [B, C]
