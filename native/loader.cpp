@@ -1,0 +1,270 @@
+// Native host data-loader: threaded JPEG/PNG decode + letterbox resize.
+//
+// The TPU-native counterpart of the reference's native data path: yolo-dl's
+// hot I/O loop runs through libtorch's C++ image decode inside a par-stream
+// pipeline (yolo-dl/src/processor/file_cache.rs:131-223).  Here a C++
+// thread pool decodes images (libjpeg/libpng), performs the aspect-
+// preserving letterbox resize with bilinear sampling, and writes float32
+// CHW tensors in [0,1] into caller-owned buffers — Python's pipeline calls
+// it via ctypes with zero copies on the result path.
+//
+// C ABI:
+//   ldr_create(threads, out_h, out_w) -> handle
+//   ldr_load(handle, path, out[3*out_h*out_w])        synchronous decode
+//   ldr_submit(handle, ticket, path)                  async enqueue
+//   ldr_fetch(handle, out) -> ticket                  blocking dequeue
+//   ldr_destroy(handle)
+//
+// Build: native/build.sh → native/libyolodl_loader.so
+
+#include <cstddef>
+#include <cstdio>
+
+#include <jpeglib.h>
+#include <png.h>
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <deque>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Image {
+    int h = 0, w = 0, c = 0;
+    std::vector<uint8_t> data;  // HWC, 8-bit
+};
+
+bool decode_jpeg(FILE* f, Image* out) {
+    jpeg_decompress_struct cinfo;
+    jpeg_error_mgr jerr;
+    cinfo.err = jpeg_std_error(&jerr);
+    jpeg_create_decompress(&cinfo);
+    jpeg_stdio_src(&cinfo, f);
+    if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+        jpeg_destroy_decompress(&cinfo);
+        return false;
+    }
+    cinfo.out_color_space = JCS_RGB;
+    jpeg_start_decompress(&cinfo);
+    out->w = cinfo.output_width;
+    out->h = cinfo.output_height;
+    out->c = 3;
+    out->data.resize((size_t)out->h * out->w * 3);
+    while (cinfo.output_scanline < cinfo.output_height) {
+        uint8_t* row = out->data.data() + (size_t)cinfo.output_scanline * out->w * 3;
+        jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return true;
+}
+
+bool decode_png(FILE* f, Image* out) {
+    png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+    if (!png) return false;
+    png_infop info = png_create_info_struct(png);
+    if (!info) {
+        png_destroy_read_struct(&png, nullptr, nullptr);
+        return false;
+    }
+    if (setjmp(png_jmpbuf(png))) {
+        png_destroy_read_struct(&png, &info, nullptr);
+        return false;
+    }
+    png_init_io(png, f);
+    png_read_info(png, info);
+
+    png_set_strip_16(png);
+    png_set_palette_to_rgb(png);
+    png_set_expand_gray_1_2_4_to_8(png);
+    if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+    png_set_strip_alpha(png);
+    png_set_gray_to_rgb(png);
+    png_read_update_info(png, info);
+
+    out->w = png_get_image_width(png, info);
+    out->h = png_get_image_height(png, info);
+    out->c = 3;
+    out->data.resize((size_t)out->h * out->w * 3);
+    std::vector<png_bytep> rows(out->h);
+    for (int y = 0; y < out->h; ++y)
+        rows[y] = out->data.data() + (size_t)y * out->w * 3;
+    png_read_image(png, rows.data());
+    png_destroy_read_struct(&png, &info, nullptr);
+    return true;
+}
+
+bool decode_file(const char* path, Image* out) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return false;
+    uint8_t magic[8] = {0};
+    size_t got = fread(magic, 1, 8, f);
+    rewind(f);
+    bool ok = false;
+    if (got >= 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
+        ok = decode_jpeg(f, out);
+    } else if (got >= 8 && png_sig_cmp(magic, 0, 8) == 0) {
+        ok = decode_png(f, out);
+    }
+    fclose(f);
+    return ok;
+}
+
+// letterbox into a float32 CHW buffer: integer-rounded geometry, matching
+// yolodl_tpu.data.letterbox.letterbox_geometry (parity with the Python path)
+void letterbox_into(const Image& img, int out_h, int out_w, float pad, float* out) {
+    int new_h, new_w;
+    if ((int64_t)out_h * img.w <= (int64_t)out_w * img.h) {
+        new_h = out_h;
+        new_w = (int)((int64_t)img.w * out_h / (double)img.h + 0.5);
+        if (new_w < 1) new_w = 1;
+    } else {
+        new_h = (int)((int64_t)img.h * out_w / (double)img.w + 0.5);
+        if (new_h < 1) new_h = 1;
+        new_w = out_w;
+    }
+    int off_y = (out_h - new_h) / 2;
+    int off_x = (out_w - new_w) / 2;
+
+    const size_t plane = (size_t)out_h * out_w;
+    for (size_t i = 0; i < plane * 3; ++i) out[i] = pad;
+
+    // bilinear resample (align-corners=false, PIL-like box centers)
+    const float sy = (float)img.h / new_h;
+    const float sx = (float)img.w / new_w;
+    for (int y = 0; y < new_h; ++y) {
+        float fy = (y + 0.5f) * sy - 0.5f;
+        int y0 = (int)fy;
+        if (fy < 0) { fy = 0; y0 = 0; }
+        int y1 = y0 + 1 < img.h ? y0 + 1 : img.h - 1;
+        float wy = fy - y0;
+        for (int x = 0; x < new_w; ++x) {
+            float fx = (x + 0.5f) * sx - 0.5f;
+            int x0 = (int)fx;
+            if (fx < 0) { fx = 0; x0 = 0; }
+            int x1 = x0 + 1 < img.w ? x0 + 1 : img.w - 1;
+            float wx = fx - x0;
+            const uint8_t* p00 = &img.data[((size_t)y0 * img.w + x0) * 3];
+            const uint8_t* p01 = &img.data[((size_t)y0 * img.w + x1) * 3];
+            const uint8_t* p10 = &img.data[((size_t)y1 * img.w + x0) * 3];
+            const uint8_t* p11 = &img.data[((size_t)y1 * img.w + x1) * 3];
+            const size_t dst = (size_t)(off_y + y) * out_w + (off_x + x);
+            for (int ch = 0; ch < 3; ++ch) {
+                float v = (1 - wy) * ((1 - wx) * p00[ch] + wx * p01[ch]) +
+                          wy * ((1 - wx) * p10[ch] + wx * p11[ch]);
+                out[ch * plane + dst] = v / 255.0f;
+            }
+        }
+    }
+}
+
+struct Job {
+    int64_t ticket;
+    std::string path;
+};
+
+struct Result {
+    int64_t ticket;
+    std::vector<float> data;  // empty on failure
+};
+
+struct Loader {
+    int out_h, out_w;
+    std::vector<std::thread> workers;
+    std::deque<Job> jobs;
+    std::deque<Result> results;
+    std::mutex mu;
+    std::condition_variable job_cv, result_cv;
+    bool stopping = false;
+
+    Loader(int threads, int h, int w) : out_h(h), out_w(w) {
+        for (int i = 0; i < threads; ++i)
+            workers.emplace_back([this] { run(); });
+    }
+
+    void run() {
+        for (;;) {
+            Job job;
+            {
+                std::unique_lock<std::mutex> lk(mu);
+                job_cv.wait(lk, [this] { return stopping || !jobs.empty(); });
+                if (stopping && jobs.empty()) return;
+                job = std::move(jobs.front());
+                jobs.pop_front();
+            }
+            Result res;
+            res.ticket = job.ticket;
+            Image img;
+            if (decode_file(job.path.c_str(), &img)) {
+                res.data.resize((size_t)3 * out_h * out_w);
+                letterbox_into(img, out_h, out_w, 0.5f, res.data.data());
+            }
+            {
+                std::lock_guard<std::mutex> lk(mu);
+                results.push_back(std::move(res));
+            }
+            result_cv.notify_one();
+        }
+    }
+
+    ~Loader() {
+        {
+            std::lock_guard<std::mutex> lk(mu);
+            stopping = true;
+        }
+        job_cv.notify_all();
+        for (auto& t : workers) t.join();
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* ldr_create(int threads, int out_h, int out_w) {
+    if (threads < 1) threads = 1;
+    return new Loader(threads, out_h, out_w);
+}
+
+void ldr_destroy(void* handle) { delete static_cast<Loader*>(handle); }
+
+// synchronous decode+letterbox; returns 0 on success
+int ldr_load(void* handle, const char* path, float* out) {
+    Loader* l = static_cast<Loader*>(handle);
+    Image img;
+    if (!decode_file(path, &img)) return -1;
+    letterbox_into(img, l->out_h, l->out_w, 0.5f, out);
+    return 0;
+}
+
+void ldr_submit(void* handle, int64_t ticket, const char* path) {
+    Loader* l = static_cast<Loader*>(handle);
+    {
+        std::lock_guard<std::mutex> lk(l->mu);
+        l->jobs.push_back({ticket, path});
+    }
+    l->job_cv.notify_one();
+}
+
+// blocks until one result is ready; copies into out and returns the ticket,
+// or returns -1 with out untouched when the decode failed
+int64_t ldr_fetch(void* handle, float* out) {
+    Loader* l = static_cast<Loader*>(handle);
+    std::unique_lock<std::mutex> lk(l->mu);
+    l->result_cv.wait(lk, [l] { return !l->results.empty(); });
+    Result res = std::move(l->results.front());
+    l->results.pop_front();
+    lk.unlock();
+    if (res.data.empty()) return -1;
+    std::memcpy(out, res.data.data(), res.data.size() * sizeof(float));
+    return res.ticket;
+}
+
+}  // extern "C"

@@ -385,3 +385,42 @@ class TestTrainingStream:
         b = next(iter(TrainingStream(records, OnDemandLoader((24, 24)), cfg)))
         np.testing.assert_allclose(a.images, b.images)
         np.testing.assert_allclose(a.boxes, b.boxes)
+
+
+class TestNativeLoader:
+    def test_matches_pil_path(self, image_dir):
+        from yolodl_tpu.data.native_loader import NativeLoader, native_loader_available
+
+        if not native_loader_available():
+            pytest.skip("native loader not built")
+        tmp, records = image_dir
+        # a smooth gradient: PIL's antialiased downscale and our 2-tap
+        # bilinear agree closely on smooth content (they differ on noise)
+        grad = np.zeros((40, 60, 3), np.uint8)
+        grad[..., 0] = np.linspace(0, 255, 60, dtype=np.uint8)[None, :]
+        grad[..., 1] = np.linspace(0, 255, 40, dtype=np.uint8)[:, None]
+        path = tmp / "grad.png"
+        Image.fromarray(grad).save(path)
+        rec = FileRecord(str(path), 40, 60, records[0].boxes_pixel, records[0].classes)
+
+        native = NativeLoader((32, 32))
+        pil = OnDemandLoader((32, 32))
+        a = native.load(rec)
+        b = pil.load(rec)
+        assert a.image.shape == b.image.shape == (3, 32, 32)
+        assert np.abs(a.image - b.image).mean() < 0.02
+        np.testing.assert_allclose(a.boxes, b.boxes, atol=1e-5)
+
+    def test_jpeg_decode(self, tmp_path, rng):
+        from yolodl_tpu.data.native_loader import NativeLoader, native_loader_available
+
+        if not native_loader_available():
+            pytest.skip("native loader not built")
+        arr = (rng.uniform(0, 255, (40, 60, 3))).astype(np.uint8)
+        path = tmp_path / "x.jpg"
+        Image.fromarray(arr).save(path, quality=95)
+        rec = FileRecord(str(path), 40, 60, np.zeros((0, 4)), np.zeros((0,), np.int32))
+        out = NativeLoader((48, 48)).load(rec)
+        assert out.image.shape == (3, 48, 48)
+        ref = OnDemandLoader((48, 48)).load(rec)
+        assert np.abs(out.image - ref.image).mean() < 0.03

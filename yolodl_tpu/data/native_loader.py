@@ -1,0 +1,77 @@
+"""ctypes bridge to the native C++ image loader (native/loader.cpp).
+
+Drop-in alternative to :class:`OnDemandLoader`: decode (libjpeg/libpng) and
+letterbox happen in C++ worker threads, so the Python pipeline thread only
+shuffles pointers.  Falls back to the PIL path when the shared library
+hasn't been built (``native/build.sh``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .cache import OnDemandLoader, _boxes_to_ratio
+from .letterbox import letterbox_unit_transform
+from .records import DataRecord, FileRecord
+
+_LIB_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+    "libyolodl_loader.so",
+)
+
+
+def native_loader_available() -> bool:
+    return os.path.exists(_LIB_PATH)
+
+
+class NativeLoader:
+    """Threaded C++ decode+letterbox; same .load contract as OnDemandLoader."""
+
+    def __init__(self, cache_hw: Tuple[int, int], threads: int = 2):
+        if not native_loader_available():
+            raise FileNotFoundError(
+                f"{_LIB_PATH} not built — run native/build.sh"
+            )
+        self.cache_hw = cache_hw
+        self._lib = ctypes.CDLL(_LIB_PATH)
+        self._lib.ldr_create.restype = ctypes.c_void_p
+        self._lib.ldr_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        self._lib.ldr_load.restype = ctypes.c_int
+        self._lib.ldr_load.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_float)
+        ]
+        self._lib.ldr_destroy.argtypes = [ctypes.c_void_p]
+        self._handle = ctypes.c_void_p(
+            self._lib.ldr_create(threads, cache_hw[0], cache_hw[1])
+        )
+        self._fallback = OnDemandLoader(cache_hw)
+        self._lock = threading.Lock()
+
+    def load(self, record: FileRecord) -> DataRecord:
+        h, w = self.cache_hw
+        out = np.empty((3, h, w), np.float32)
+        rc = self._lib.ldr_load(
+            self._handle,
+            record.path.encode(),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if rc != 0:
+            # unsupported format → PIL fallback
+            return self._fallback.load(record)
+        unit = letterbox_unit_transform((record.height, record.width), self.cache_hw)
+        boxes = unit.apply_cycxhw(_boxes_to_ratio(record)).astype(np.float32)
+        return DataRecord(image=out, boxes=boxes, classes=record.classes)
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.ldr_destroy(self._handle)
+                self._handle = None
+        except Exception:
+            pass

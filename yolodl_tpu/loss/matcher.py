@@ -71,16 +71,20 @@ class MatchingOutput:
 
     def gather_pred(self, prediction: MergedDetection):
         """Gather predicted boxes/logits at the matched cells
-        (index_by_flats parity, merged_dense_detection.rs:280)."""
-        idx = self.flat[..., None]
-        pred_boxes = jnp.take_along_axis(prediction.cycxhw, idx, axis=1)
-        pred_obj = jnp.take_along_axis(prediction.obj_logit, self.flat, axis=1)
-        pred_class = jnp.take_along_axis(
-            prediction.class_logit,
-            self.flat[..., None].repeat(prediction.num_classes, axis=-1),
-            axis=1,
+        (index_by_flats parity, merged_dense_detection.rs:280).
+
+        Implemented as vmapped row gathers — XLA lowers ``x[idx]`` on the
+        leading axis to contiguous-row gathers, which are an order of
+        magnitude faster on TPU than the per-element general gather that
+        ``take_along_axis`` with a broadcast index produces.
+        """
+
+        def per_image(cycxhw, obj, cls, flat):
+            return cycxhw[flat], obj[flat], cls[flat]
+
+        return jax.vmap(per_image)(
+            prediction.cycxhw, prediction.obj_logit, prediction.class_logit, self.flat
         )
-        return pred_boxes, pred_obj, pred_class
 
 
 def match_targets(
