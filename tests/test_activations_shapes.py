@@ -95,3 +95,85 @@ class TestShapes:
     def test_with_dim(self):
         s = Shape([1, 3, 8, 8]).with_dim(1, 16)
         assert s.concrete() == (1, 16, 8, 8)
+
+
+class TestUnits:
+    def test_arithmetic_passthrough(self):
+        from yolodl_tpu.units import Pixel, Ratio
+
+        a = Pixel(10.0)
+        assert (a + Pixel(5.0)).value == 15.0
+        assert (a * 2).value == 20.0
+        assert a.to_ratio(100.0) == Ratio(0.1)
+        assert Ratio(0.25).to_pixel(80.0) == Pixel(20.0)
+
+    def test_mixing_units_rejected(self):
+        from yolodl_tpu.units import Pixel, Ratio
+        import pytest as _pytest
+
+        with _pytest.raises(TypeError):
+            Pixel(1.0) + Ratio(1.0)
+
+
+class TestTensorExt:
+    def test_crop_by_ratio(self):
+        import jax.numpy as jnp
+        from yolodl_tpu.utils.tensor_ext import crop_by_ratio
+
+        x = jnp.arange(16.0).reshape(4, 4)
+        out = crop_by_ratio(x, 0.25, 0.75, 0.0, 0.5)
+        assert out.shape == (2, 2)
+        np.testing.assert_allclose(out, [[4, 5], [8, 9]])
+
+    def test_multi_softmax_groups(self):
+        import jax.numpy as jnp
+        from yolodl_tpu.utils.tensor_ext import multi_softmax
+
+        x = jnp.zeros((2, 8))
+        out = multi_softmax(x, num_groups=2)
+        np.testing.assert_allclose(out, 0.25)  # each group of 4 sums to 1
+
+    def test_cartesian_product(self):
+        import jax.numpy as jnp
+        from yolodl_tpu.utils.tensor_ext import cartesian_product_nd
+
+        out = cartesian_product_nd(jnp.array([0, 1]), jnp.array([5, 6, 7]))
+        assert out.shape == (6, 2)
+        assert out.tolist() == [[0, 5], [0, 6], [0, 7], [1, 5], [1, 6], [1, 7]]
+
+    def test_weighted_mean(self):
+        import jax.numpy as jnp
+        from yolodl_tpu.utils.tensor_ext import weighted_mean_tensors
+
+        out = weighted_mean_tensors([(jnp.asarray(1.0), 1.0), (jnp.asarray(3.0), 3.0)])
+        assert float(out) == pytest.approx(2.5)
+
+    def test_resize_exact_and_finite(self):
+        import jax.numpy as jnp
+        from yolodl_tpu.utils.tensor_ext import all_finite, resize2d_exact
+
+        x = jnp.ones((3, 4, 4))
+        assert resize2d_exact(x, 8, 8).shape == (3, 8, 8)
+        assert bool(all_finite({"a": x}))
+        assert not bool(all_finite({"a": x * jnp.inf}))
+
+
+class TestExtraNorms:
+    def test_instance_norm(self, rng=np.random.default_rng(0)):
+        import jax.numpy as jnp
+        from yolodl_tpu.ops.norm import instance_norm_apply
+
+        x = jnp.asarray(rng.normal(2, 3, (2, 8, 8, 4)), jnp.float32)
+        out = instance_norm_apply({}, x)
+        m = np.asarray(out).mean(axis=(1, 2))
+        np.testing.assert_allclose(m, 0.0, atol=1e-4)
+
+    def test_group_norm(self, rng=np.random.default_rng(1)):
+        import jax.numpy as jnp
+        from yolodl_tpu.ops.norm import group_norm_apply
+
+        x = jnp.asarray(rng.normal(size=(2, 4, 4, 8)), jnp.float32)
+        out = group_norm_apply({}, x, num_groups=2)
+        assert out.shape == x.shape
+        grouped = np.asarray(out).reshape(2, 4, 4, 2, 4)
+        np.testing.assert_allclose(grouped.mean(axis=(1, 2, 4)), 0.0, atol=1e-4)

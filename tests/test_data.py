@@ -424,3 +424,50 @@ class TestNativeLoader:
         assert out.image.shape == (3, 48, 48)
         ref = OnDemandLoader((48, 48)).load(rec)
         assert np.abs(out.image - ref.image).mean() < 0.03
+
+
+class TestMixUpCutMix:
+    def _rec(self, value, boxes, classes):
+        return DataRecord(
+            np.full((3, 16, 16), value, np.float32),
+            np.asarray(boxes, np.float32).reshape(-1, 4),
+            np.asarray(classes, np.int32),
+        )
+
+    def test_mixup_blends_and_unions(self):
+        from yolodl_tpu.data.mosaic import MixUpMixer
+
+        a = self._rec(0.0, [[0.3, 0.3, 0.2, 0.2]], [0])
+        b = self._rec(1.0, [[0.7, 0.7, 0.2, 0.2]], [1])
+        out = MixUpMixer(alpha=8.0)(a, b, np.random.default_rng(0))
+        v = float(out.image.mean())
+        assert 0.2 < v < 0.8  # a genuine blend
+        assert len(out.boxes) == 2 and set(out.classes.tolist()) == {0, 1}
+
+    def test_cutmix_pastes_window(self):
+        from yolodl_tpu.data.mosaic import CutMixMixer
+
+        a = self._rec(0.0, [[0.1, 0.1, 0.1, 0.1]], [0])  # corner box, likely kept
+        b = self._rec(1.0, [[0.5, 0.5, 0.9, 0.9]], [1])  # big box, overlaps window
+        # keep-ratio low: the large B box retains only ~16% of its area
+        # after clipping to the pasted window
+        out = CutMixMixer(min_bbox_keep_ratio=0.05)(a, b, np.random.default_rng(3))
+        # some pixels now come from b
+        assert float(out.image.max()) == 1.0 and float(out.image.min()) == 0.0
+        # b contributes a clipped box
+        assert 1 in out.classes.tolist()
+
+    def test_stream_with_mixup_cutmix(self, image_dir):
+        tmp, records = image_dir
+        cfg2 = TrainingStreamConfig(
+            batch_size=2, max_gt=8, seed=3, mosaic_prob=0.3, mixup_prob=0.3,
+            cutmix_prob=0.3,
+        )
+        stream = TrainingStream(records, OnDemandLoader((24, 24)), cfg2)
+        rec = next(iter(stream))
+        assert rec.images.shape == (2, 3, 24, 24)
+        assert np.isfinite(rec.images).all()
+
+    def test_prob_sum_validation(self):
+        with pytest.raises(ValueError, match="sum"):
+            TrainingStreamConfig(mosaic_prob=0.6, mixup_prob=0.6)

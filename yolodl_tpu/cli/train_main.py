@@ -80,6 +80,8 @@ def main(argv=None):
     stream_cfg = TrainingStreamConfig(
         batch_size=config.batch_size,
         mosaic_prob=pre.mosaic_prob,
+        mixup_prob=pre.mixup_prob,
+        cutmix_prob=pre.cutmix_prob,
         mosaic=MosaicMixer(mosaic_margin=pre.mosaic_margin),
         color_jitter=pre.color_jitter,
         random_affine=pre.affine,

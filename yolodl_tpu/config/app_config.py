@@ -108,6 +108,8 @@ class PreprocessorConfig:
     cache_method: str = "none"  # none | memory | file
     cache_dir: str = ""
     mosaic_prob: float = 0.0
+    mixup_prob: float = 0.0
+    cutmix_prob: float = 0.0
     mosaic_margin: float = 0.25
     affine: Optional[RandomAffine] = None
     color_jitter: Optional[ColorJitter] = None
@@ -157,6 +159,8 @@ class PreprocessorConfig:
             cache_method=method,
             cache_dir=cache.get("cache_dir", ""),
             mosaic_prob=float(mixup.get("mosaic_prob", 0.0)),
+            mixup_prob=float(mixup.get("mixup_prob", 0.0)),
+            cutmix_prob=float(mixup.get("cutmix_prob", 0.0)),
             mosaic_margin=float(mixup.get("mosaic_margin", 0.25)),
             affine=affine,
             color_jitter=jitter,

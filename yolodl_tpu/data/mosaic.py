@@ -109,3 +109,82 @@ def _crop_boxes(
         [(new_t + new_b) / 2, (new_l + new_r) / 2, nh, nw], axis=-1
     ).astype(np.float32)
     return out[keep], classes[keep]
+
+
+@dataclasses.dataclass
+class MixUpMixer:
+    """MixUp blending of two records.
+
+    The reference declares mixup in its config but does not implement it
+    (training_stream.rs:548-555 warns and keeps the first record); this is a
+    real implementation: image = λ·A + (1−λ)·B with λ ~ Beta(α, α), labels =
+    union of both.
+    """
+
+    alpha: float = 8.0
+
+    def __call__(self, a: DataRecord, b: DataRecord, rng: np.random.Generator) -> DataRecord:
+        if a.image.shape != b.image.shape:
+            raise ValueError("images must have identical shape")
+        lam = float(rng.beta(self.alpha, self.alpha))
+        image = (lam * a.image + (1.0 - lam) * b.image).astype(np.float32)
+        return DataRecord(
+            image=image,
+            boxes=np.concatenate([a.boxes, b.boxes], axis=0),
+            classes=np.concatenate([a.classes, b.classes], axis=0),
+        )
+
+
+@dataclasses.dataclass
+class CutMixMixer:
+    """CutMix: paste a random crop of B into A (also unimplemented in the
+    reference).  A-boxes mostly covered by the pasted region are dropped;
+    B-boxes are clipped to the region."""
+
+    min_ratio: float = 0.3
+    max_ratio: float = 0.6
+    min_bbox_keep_ratio: float = 0.25
+
+    def __call__(self, a: DataRecord, b: DataRecord, rng: np.random.Generator) -> DataRecord:
+        if a.image.shape != b.image.shape:
+            raise ValueError("images must have identical shape")
+        _, h, w = a.image.shape
+        rh = rng.uniform(self.min_ratio, self.max_ratio)
+        rw = rng.uniform(self.min_ratio, self.max_ratio)
+        t = rng.uniform(0.0, 1.0 - rh)
+        l = rng.uniform(0.0, 1.0 - rw)
+        bnd = (t, t + rh, l, l + rw)  # ratio bounds
+
+        image = a.image.copy()
+        pt, pb = round(t * h), round((t + rh) * h)
+        pl, pr = round(l * w), round((l + rw) * w)
+        image[:, pt:pb, pl:pr] = b.image[:, pt:pb, pl:pr]
+
+        # keep A boxes whose remaining visible area is large enough
+        keep_a, cls_a = self._filter_a(a.boxes, a.classes, bnd)
+        # clip B boxes into the pasted window
+        keep_b, cls_b = _crop_boxes(
+            b.boxes, b.classes, bnd[0], bnd[1], bnd[2], bnd[3],
+            min_size=0.0, min_crop_ratio=self.min_bbox_keep_ratio,
+        )
+        return DataRecord(
+            image=image,
+            boxes=np.concatenate([keep_a, keep_b], axis=0),
+            classes=np.concatenate([cls_a, cls_b], axis=0),
+        )
+
+    def _filter_a(self, boxes, classes, bnd):
+        if len(boxes) == 0:
+            return boxes.reshape(0, 4), classes
+        t, b_, l, r = bnd
+        cy, cx, bh, bw = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+        bt, bb = cy - bh / 2, cy + bh / 2
+        bl, br = cx - bw / 2, cx + bw / 2
+        inter_h = np.clip(np.minimum(bb, b_) - np.maximum(bt, t), 0, None)
+        inter_w = np.clip(np.minimum(br, r) - np.maximum(bl, l), 0, None)
+        covered = inter_h * inter_w
+        area = bh * bw
+        with np.errstate(invalid="ignore", divide="ignore"):
+            vis = np.where(area > 0, 1.0 - covered / area, 0.0)
+        keep = vis >= self.min_bbox_keep_ratio
+        return boxes[keep], classes[keep]

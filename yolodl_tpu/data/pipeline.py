@@ -34,9 +34,14 @@ from .records import DataRecord, FileRecord
 class TrainingStreamConfig:
     batch_size: int = 8
     max_gt: int = 64
-    # mix kind weights: (none, mosaic) — mixup/cutmix fall back to none
+    # mix-kind weights; the remainder is "none".  Unlike the reference,
+    # mixup and cutmix are real implementations (mosaic.py), not warnings.
     mosaic_prob: float = 0.0
+    mixup_prob: float = 0.0
+    cutmix_prob: float = 0.0
     mosaic: MosaicMixer = dataclasses.field(default_factory=MosaicMixer)
+    mixup: "MixUpMixer" = None  # type: ignore[assignment]
+    cutmix: "CutMixMixer" = None  # type: ignore[assignment]
     color_jitter: Optional[ColorJitter] = None
     random_affine: Optional[RandomAffine] = None
     bbox_scaling: float = 1.0  # cleanse.bbox_scaling (training_stream.rs:320-329)
@@ -44,6 +49,16 @@ class TrainingStreamConfig:
     workers: int = 2
     queue_depth: int = 4
     drop_last: bool = True
+
+    def __post_init__(self):
+        from .mosaic import CutMixMixer, MixUpMixer
+
+        if self.mosaic_prob + self.mixup_prob + self.cutmix_prob > 1.0 + 1e-9:
+            raise ValueError("mix-kind probabilities must sum to <= 1")
+        if self.mixup is None:
+            self.mixup = MixUpMixer()
+        if self.cutmix is None:
+            self.cutmix = CutMixMixer()
 
 
 @dataclasses.dataclass
@@ -93,8 +108,18 @@ class TrainingStream:
     def _make_record(self, indices: Tuple[int, ...], rng: np.random.Generator,
                      timing: Timing) -> DataRecord:
         cfg = self.config
-        use_mosaic = cfg.mosaic_prob > 0 and rng.random() < cfg.mosaic_prob
-        need = 4 if use_mosaic else 1
+        # weighted mix-kind choice (training_stream.rs:299-307)
+        draw = rng.random()
+        if draw < cfg.mosaic_prob:
+            mix_kind = "mosaic"
+        elif draw < cfg.mosaic_prob + cfg.mixup_prob:
+            mix_kind = "mixup"
+        elif draw < cfg.mosaic_prob + cfg.mixup_prob + cfg.cutmix_prob:
+            mix_kind = "cutmix"
+        else:
+            mix_kind = "none"
+        use_mosaic = mix_kind == "mosaic"
+        need = {"mosaic": 4, "mixup": 2, "cutmix": 2, "none": 1}[mix_kind]
 
         loaded: List[DataRecord] = []
         with timing.timed("load"):
@@ -117,9 +142,15 @@ class TrainingStream:
                     )
                     loaded[i] = DataRecord(img, boxes, classes)
 
-        if use_mosaic:
+        if mix_kind == "mosaic":
             with timing.timed("mosaic"):
                 return cfg.mosaic(loaded, rng)
+        if mix_kind == "mixup":
+            with timing.timed("mixup"):
+                return cfg.mixup(loaded[0], loaded[1], rng)
+        if mix_kind == "cutmix":
+            with timing.timed("cutmix"):
+                return cfg.cutmix(loaded[0], loaded[1], rng)
         return loaded[0]
 
     # -- epoch/step index plan -------------------------------------------

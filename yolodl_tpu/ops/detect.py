@@ -225,3 +225,15 @@ def instance_to_flat(
     merged_dense_detection.rs:417).  anchor/row/col may be arrays."""
     info = infos[layer]
     return info.flat_begin + (anchor * info.feature_h + row) * info.feature_w + col
+
+
+def flat_to_instance(infos: Sequence[DetectionInfo], flat: int):
+    """flat index → (layer, anchor, row, col) (flats_to_instances parity,
+    merged_dense_detection.rs:384).  Python ints (host-side debugging)."""
+    for layer, info in enumerate(infos):
+        if info.flat_begin <= flat < info.flat_end:
+            local = flat - info.flat_begin
+            anchor, rest = divmod(local, info.feature_h * info.feature_w)
+            row, col = divmod(rest, info.feature_w)
+            return layer, anchor, row, col
+    raise IndexError(f"flat index {flat} out of range")

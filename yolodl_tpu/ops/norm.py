@@ -125,3 +125,40 @@ def fold_batch_norm(
     b0 = conv_b if conv_b is not None else 0.0
     folded_b = (b0 - state["mean"]) * inv + bias
     return folded_w, folded_b
+
+
+def instance_norm_apply(
+    params: Params, x: Array, eps: float = 1e-5
+) -> Array:
+    """Instance norm over spatial dims of NHWC (tch-modules instance_norm.rs
+    equivalent; stateless inference form)."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    out = (x - mean) * jax.lax.rsqrt(var + eps)
+    scale = params.get("scale")
+    bias = params.get("bias")
+    if scale is not None:
+        out = out * scale
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def group_norm_apply(
+    params: Params, x: Array, num_groups: int, eps: float = 1e-5
+) -> Array:
+    """Group norm over NHWC (tch-modules group_norm.rs equivalent)."""
+    b, h, w, c = x.shape
+    if c % num_groups:
+        raise ValueError(f"channels {c} not divisible by groups {num_groups}")
+    g = x.reshape(b, h, w, num_groups, c // num_groups)
+    mean = jnp.mean(g, axis=(1, 2, 4), keepdims=True)
+    var = jnp.var(g, axis=(1, 2, 4), keepdims=True)
+    out = ((g - mean) * jax.lax.rsqrt(var + eps)).reshape(b, h, w, c)
+    scale = params.get("scale")
+    bias = params.get("bias")
+    if scale is not None:
+        out = out * scale
+    if bias is not None:
+        out = out + bias
+    return out
