@@ -97,6 +97,7 @@ def run_cli(module, *args):
     # sitecustomize re-forces the axon platform via jax.config; strip it for
     # subprocess CLI tests
     env["PALLAS_AXON_POOL_IPS"] = ""
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8").strip()
     return subprocess.run(
         [sys.executable, "-m", module, *args],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=600,
@@ -157,3 +158,34 @@ class TestDetectCli:
         assert len(files) == 3
         img = Image.open(workspace / "out" / sorted(files)[0])
         assert img.size == (32, 32)
+
+
+class TestDetectMultiDevice:
+    def test_detect_sharded_over_8_devices(self, workspace):
+        # batch must divide over the mesh: use minibatch 8
+        import json5 as _json5
+        cfg = _json5.loads((workspace / "detect.json5").read_text())
+        cfg["model"]["minibatch_size"] = 8
+        cfg["output"]["output_dir"] = str(workspace / "out8")
+        (workspace / "detect8.json5").write_text(json.dumps(cfg))
+        out = run_cli(
+            "yolodl_tpu.cli.detect_main",
+            "--config-file", str(workspace / "detect8.json5"),
+            "--limit", "6", "--devices", "8",
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        assert len(os.listdir(workspace / "out8")) == 6
+
+
+class TestBenchmarkMetrics:
+    def test_train_logs_benchmark_metrics(self, workspace):
+        import json5 as _json5
+        cfg = _json5.loads((workspace / "train.json5").read_text())
+        cfg["logging"]["enable_benchmark"] = True
+        (workspace / "train_bench.json5").write_text(json.dumps(cfg))
+        out = run_cli(
+            "yolodl_tpu.cli.train_main",
+            "--config-file", str(workspace / "train_bench.json5"),
+            "--max-steps", "2",
+        )
+        assert out.returncode == 0, out.stderr[-3000:]

@@ -19,6 +19,8 @@ def main(argv=None):
     parser.add_argument("--weights", default="", help="darknet .weights file")
     parser.add_argument("--checkpoint", default="", help="framework .ckpt file")
     parser.add_argument("--limit", type=int, default=0, help="max images (0 = all)")
+    parser.add_argument("--devices", type=int, default=0,
+                        help="shard inference batches over N devices (0 = single)")
     args = parser.parse_args(argv)
 
     import jax
@@ -71,6 +73,24 @@ def main(argv=None):
         )
         return yolo_inference(nms, pred.num_flats)
 
+    # multi-device: replicate params, shard the batch axis — the reference
+    # replicates the model per device and fans a shared stream out
+    # (detect/src/main.rs:44-67); under SPMD this is just sharding metadata
+    n_devices = args.devices or config.n_devices
+    if n_devices > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(n_devices)
+        replicated = NamedSharding(mesh, P())
+        batch_sharded = NamedSharding(mesh, P("data"))
+        params = jax.device_put(params, replicated)
+        state = jax.device_put(state, replicated)
+        place_batch = lambda x: jax.device_put(x, batch_sharded)
+    else:
+        place_batch = lambda x: x
+
     palette = [
         (1.0, 0.2, 0.2), (0.2, 1.0, 0.2), (0.2, 0.4, 1.0), (1.0, 0.6, 0.1),
         (0.8, 0.2, 1.0), (0.1, 0.9, 0.9),
@@ -87,7 +107,7 @@ def main(argv=None):
         # pad the trailing batch so jit sees a fixed shape
         while len(decoded) < batch_size:
             decoded.append(decoded[-1])
-        images = jnp.asarray(np.stack([d.image for d in decoded]))
+        images = place_batch(jnp.asarray(np.stack([d.image for d in decoded])))
         out = infer(params, state, images)
         dets = to_host_detections(out)
         for i, rec in enumerate(chunk):

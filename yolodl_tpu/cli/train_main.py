@@ -93,6 +93,9 @@ def main(argv=None):
     train_cfg = TrainConfig(
         lr=config.lr, momentum=config.momentum, weight_decay=config.weight_decay,
         loss=config.loss,
+        benchmark_confidence=(
+            config.nms_conf_thresh if config.logging.enable_benchmark else None
+        ),
     )
     ts, optimizer = train_init(model, train_cfg, seed=0)
 

@@ -61,11 +61,11 @@ def make_dp_train_step(
         pred, new_state = model.apply(params, state, images, train=True,
                                       data_format=data_format)
         out, aux = yolo_loss(pred, gt_boxes, gt_classes, gt_mask, config.loss)
-        return out.total_loss, (out, new_state, aux)
+        return out.total_loss, (out, new_state, aux, pred)
 
     def shard_step(ts: TrainState, images, gt_boxes, gt_classes, gt_mask):
         # per-shard forward/backward on the local micro-batch
-        (total, (out, new_state, aux)), grads = jax.value_and_grad(
+        (total, (out, new_state, aux, pred)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(ts.params, ts.state, images, gt_boxes, gt_classes, gt_mask)
 
@@ -93,6 +93,16 @@ def make_dp_train_step(
             "objectness_loss": jax.lax.pmean(out.objectness_loss, DATA_AXIS),
             "num_matched": jax.lax.psum(aux.matching.num_matched(), DATA_AXIS),
         }
+        if config.benchmark_confidence is not None:
+            from ..loss.benchmark import yolo_benchmark
+
+            bench = yolo_benchmark(pred, aux.matching, config.benchmark_confidence)
+            metrics.update({
+                "obj_accuracy": jax.lax.pmean(bench.obj_accuracy, DATA_AXIS),
+                "obj_recall": jax.lax.pmean(bench.obj_recall, DATA_AXIS),
+                "obj_precision": jax.lax.pmean(bench.obj_precision, DATA_AXIS),
+                "class_accuracy": jax.lax.pmean(bench.class_accuracy, DATA_AXIS),
+            })
         return (
             TrainState(new_params, new_state, new_opt_state, new_step, new_ema),
             metrics,

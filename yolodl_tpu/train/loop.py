@@ -41,6 +41,9 @@ class TrainConfig:
     loss: LossConfig = LossConfig()
     use_ema: bool = False
     ema_decay: float = 0.9999
+    # when set, per-step obj/class quality metrics (benchmark.rs taxonomy)
+    # are computed inside the step at this confidence threshold
+    benchmark_confidence: Optional[float] = None
 
 
 @jax.tree_util.register_pytree_node_class
@@ -119,10 +122,10 @@ def make_train_step(
         pred, new_state = model.apply(params, state, images, train=True,
                                       data_format=data_format)
         out, aux = yolo_loss(pred, gt_boxes, gt_classes, gt_mask, config.loss)
-        return out.total_loss, (out, new_state, aux)
+        return out.total_loss, (out, new_state, aux, pred)
 
     def step(ts: TrainState, images, gt_boxes, gt_classes, gt_mask):
-        (total, (out, new_state, aux)), grads = jax.value_and_grad(
+        (total, (out, new_state, aux, pred)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(ts.params, ts.state, images, gt_boxes, gt_classes, gt_mask)
 
@@ -144,6 +147,16 @@ def make_train_step(
             "objectness_loss": out.objectness_loss,
             "num_matched": aux.matching.num_matched(),
         }
+        if config.benchmark_confidence is not None:
+            from ..loss.benchmark import yolo_benchmark
+
+            bench = yolo_benchmark(pred, aux.matching, config.benchmark_confidence)
+            metrics.update({
+                "obj_accuracy": bench.obj_accuracy,
+                "obj_recall": bench.obj_recall,
+                "obj_precision": bench.obj_precision,
+                "class_accuracy": bench.class_accuracy,
+            })
         return (
             TrainState(new_params, new_state, new_opt_state, new_step, new_ema),
             metrics,
