@@ -35,7 +35,10 @@ State = Dict[str, Any]
 class YoloModel:
     """A detection model compiled from a :class:`Graph`."""
 
-    def __init__(self, graph: Graph):
+    def __init__(self, graph: Graph, spd_stem: str = "auto"):
+        """``spd_stem``: "auto" enables the space-to-depth stem rewrite
+        (ops/spd_stem.py) when the graph starts with the eligible darknet
+        conv(k3,s1)→conv(k3,s2) pair; "off" disables it."""
         self.graph = graph
 
         out = graph.output_node()
@@ -59,6 +62,29 @@ class YoloModel:
         self._pname: Dict[int, str] = {}
         for key, node in graph.nodes.items():
             self._pname[key] = node.path if node.path is not None else f"node{key}"
+
+        # space-to-depth stem eligibility: Input → conv0 → conv1 where conv0
+        # has no other consumer (ops/spd_stem.py)
+        self._spd_pair = None
+        if spd_stem != "off" and len(graph.order) >= 3:
+            from ..ops import spd_stem as spd
+
+            k_in, k0, k1 = graph.order[0], graph.order[1], graph.order[2]
+            n_in, n0, n1 = graph.nodes[k_in], graph.nodes[k0], graph.nodes[k1]
+            consumers_of_k0 = [
+                n.key for n in graph.nodes.values()
+                if k0 in n.input_keys.iter_keys()
+            ]
+            if (
+                isinstance(n_in.config, cfg.Input)
+                and n0.input_keys.kind == "single"
+                and n0.input_keys.single_key == k_in
+                and n1.input_keys.kind == "single"
+                and n1.input_keys.single_key == k0
+                and consumers_of_k0 == [k1]
+                and spd.stem_is_eligible(n0.config, n1.config)
+            ):
+                self._spd_pair = (k_in, k0, k1)
 
         # input channel count per node (from predecessor's inferred shape)
         self._in_c: Dict[int, int] = {}
@@ -145,7 +171,36 @@ class YoloModel:
         outputs: Dict[int, Any] = {}
         new_state: State = dict(state)
 
+        # space-to-depth stem fast path (exact rewrite; skipped when
+        # intermediates are requested, e.g. by the parity harness)
+        spd_skip = set()
+        if (
+            self._spd_pair is not None
+            and not return_intermediates
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        ):
+            from ..ops import spd_stem as spd
+
+            k_in, k0, k1 = self._spd_pair
+            n0, n1 = self.graph.nodes[k0], self.graph.nodes[k1]
+            name0, name1 = self._pname[k0], self._pname[k1]
+            out1, s0, s1 = spd.spd_stem_apply(
+                params[name0], state.get(name0, {}), n0.config,
+                params[name1], state.get(name1, {}), n1.config,
+                x, train,
+            )
+            if s0:
+                new_state[name0] = s0
+            if s1:
+                new_state[name1] = s1
+            outputs[k_in] = x
+            outputs[k1] = out1
+            spd_skip = {k_in, k0, k1}
+
         for key in self.graph.order:
+            if key in spd_skip:
+                continue
             node = self.graph.nodes[key]
             layer = node.config
             name = self._pname[key]
