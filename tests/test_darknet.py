@@ -156,3 +156,31 @@ def test_new_coords_cfg_uses_scaled_decode():
     g = graph_from_darknet(d)
     dets = [n.config for n in g.nodes.values() if n.config.kind == "Detect2D"]
     assert all(c.variant == "scaled" for c in dets)
+
+
+class TestCfgRoundTrip:
+    @pytest.mark.parametrize(
+        "name", ["yolov4-tiny.cfg", "yolov4-csp.cfg", "yolov4.cfg"]
+    )
+    def test_parse_serialize_parse_identity(self, name):
+        from yolodl_tpu.config.darknet_cfg import to_cfg_string
+
+        path = os.path.join(REPO, "cfg/darknet", name)
+        first = dk.Darknet.load(path)
+        text = to_cfg_string(first)
+        second = dk.Darknet.from_str(text)
+        assert len(first.layers) == len(second.layers)
+        assert first.net.input_shape_hwc == second.net.input_shape_hwc
+        for a, b in zip(first.layers, second.layers):
+            assert type(a) is type(b)
+            if isinstance(a, dk.Convolutional):
+                assert (a.filters, a.size, a.stride_x, a.padding,
+                        a.batch_normalize, a.activation) == \
+                       (b.filters, b.size, b.stride_x, b.padding,
+                        b.batch_normalize, b.activation)
+            if isinstance(a, dk.Yolo):
+                assert a.masked_anchors == b.masked_anchors
+                assert a.scale_x_y == b.scale_x_y
+                assert a.new_coords == b.new_coords
+        # output shapes identical → structural identity
+        assert first.output_shapes() == second.output_shapes()

@@ -471,3 +471,57 @@ class TestMixUpCutMix:
     def test_prob_sum_validation(self):
         with pytest.raises(ValueError, match="sum"):
             TrainingStreamConfig(mosaic_prob=0.6, mixup_prob=0.6)
+
+
+class TestTfrecordCache:
+    def test_roundtrip_and_framing(self, image_dir, tmp_path):
+        from yolodl_tpu.data.tfrecord_cache import TfrecordCache, read_tfrecord
+
+        tmp, records = image_dir
+        cache = TfrecordCache(str(tmp_path / "tfc"), (32, 32))
+        first = cache.load(records[0])
+        second = cache.load(records[0])  # hit
+        # uint8 quantization: within 1/255
+        assert np.abs(first.image - second.image).max() <= 1 / 255 + 1e-6
+        np.testing.assert_allclose(first.boxes, second.boxes, atol=1e-5)
+        # shard contains valid TFRecord framing
+        shard = cache.shard_path
+        with open(shard, "rb") as f:
+            payload = read_tfrecord(f, 0)
+        assert len(payload) == 3 * 32 * 32
+
+    def test_crc_detects_corruption(self, image_dir, tmp_path):
+        from yolodl_tpu.data.tfrecord_cache import TfrecordCache
+
+        tmp, records = image_dir
+        cache = TfrecordCache(str(tmp_path / "tfc"), (16, 16))
+        cache.load(records[1])
+        # flip a payload byte
+        with open(cache.shard_path, "r+b") as f:
+            f.seek(20)
+            byte = f.read(1)
+            f.seek(20)
+            f.write(bytes([byte[0] ^ 0xFF]))
+        rec = cache.load(records[1])  # falls back to re-decode, no crash
+        assert rec.image.shape == (3, 16, 16)
+
+    def test_tf_compatible_crc(self):
+        """Framing matches TF's masked crc32c on a known vector."""
+        from yolodl_tpu.data.tfrecord_cache import _masked_crc
+
+        # crc32c("123456789") = 0xE3069283 → masked per TF formula
+        crc = 0xE3069283
+        masked = ((crc >> 15 | crc << 17) + 0xA282EAD8) & 0xFFFFFFFF
+        assert _masked_crc(b"123456789") == masked
+
+    def test_multiple_records_indexed(self, image_dir, tmp_path):
+        from yolodl_tpu.data.tfrecord_cache import TfrecordCache
+
+        tmp, records = image_dir
+        cache = TfrecordCache(str(tmp_path / "tfc"), (24, 24))
+        outs = [cache.load(r) for r in records]
+        # new instance reuses the shard + index
+        cache2 = TfrecordCache(str(tmp_path / "tfc"), (24, 24))
+        outs2 = [cache2.load(r) for r in records]
+        for a, b in zip(outs, outs2):
+            assert np.abs(a.image - b.image).max() <= 1 / 255 + 1e-6

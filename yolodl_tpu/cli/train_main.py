@@ -73,6 +73,10 @@ def main(argv=None):
     pre = config.preprocessor
     if pre.cache_method == "file":
         loader = FileCache(pre.cache_dir or os.path.join(run_dir, "cache"), (size, size))
+    elif pre.cache_method == "tfrecord":
+        from ..data.tfrecord_cache import TfrecordCache
+
+        loader = TfrecordCache(pre.cache_dir or os.path.join(run_dir, "cache"), (size, size))
     elif pre.cache_method == "memory":
         loader = MemoryCache((size, size))
     else:

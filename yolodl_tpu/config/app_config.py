@@ -122,7 +122,8 @@ class PreprocessorConfig:
     def parse(raw: dict) -> "PreprocessorConfig":
         cache = raw.get("cache", {})
         method = {
-            "NoCache": "none", "MemoryCache": "memory", "FileCache": "file"
+            "NoCache": "none", "MemoryCache": "memory", "FileCache": "file",
+            "TfrecordCache": "tfrecord",
         }.get(cache.get("method", "NoCache"), "none")
 
         mixup = raw.get("mixup", {})

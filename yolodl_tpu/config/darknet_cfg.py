@@ -396,3 +396,106 @@ def _parse_layer(name: str, d: Dict[str, str]) -> Layer:
             beta_nms=_get_float(d, "beta_nms", 0.0),
         )
     return Unimplemented(section=name, raw=dict(d))
+
+
+# ---------------------------------------------------------------------------
+# serialization (round-trip support, darknet.rs:23-25 `to_string` parity)
+
+
+def _fmt(value) -> str:
+    if isinstance(value, bool):
+        return "1" if value else "0"
+    if isinstance(value, float):
+        return f"{value:g}"
+    return str(value)
+
+
+def to_cfg_string(darknet: Darknet) -> str:
+    """Serialize back to .cfg text.  Parse→serialize→parse is identity on
+    the supported fields (unknown keys from `raw` are preserved for [net]
+    and Unimplemented sections)."""
+    out = ["[net]"]
+    net = darknet.net
+    emitted = {
+        "width": net.width, "height": net.height, "channels": net.channels,
+        "batch": net.batch, "subdivisions": net.subdivisions,
+        "momentum": net.momentum, "decay": net.decay,
+        "learning_rate": net.learning_rate, "burn_in": net.burn_in,
+        "max_batches": net.max_batches, "policy": net.policy,
+    }
+    for key, value in emitted.items():
+        out.append(f"{key}={_fmt(value)}")
+    if net.steps:
+        out.append("steps=" + ",".join(str(s) for s in net.steps))
+    if net.scales:
+        out.append("scales=" + ",".join(_fmt(s) for s in net.scales))
+    for flag in ("mosaic", "letter_box", "adam"):
+        if getattr(net, flag):
+            out.append(f"{flag}=1")
+
+    for layer in darknet.layers:
+        out.append("")
+        if isinstance(layer, Convolutional):
+            out.append("[convolutional]")
+            if layer.batch_normalize:
+                out.append("batch_normalize=1")
+            out.append(f"filters={layer.filters}")
+            out.append(f"size={layer.size}")
+            if layer.stride_x == layer.stride_y:
+                out.append(f"stride={layer.stride_x}")
+            else:
+                out.append(f"stride_x={layer.stride_x}")
+                out.append(f"stride_y={layer.stride_y}")
+            out.append(f"padding={layer.padding}")
+            if layer.groups != 1:
+                out.append(f"groups={layer.groups}")
+            if layer.dilation != 1:
+                out.append(f"dilation={layer.dilation}")
+            out.append(f"activation={layer.activation}")
+        elif isinstance(layer, Route):
+            out.append("[route]")
+            out.append("layers=" + ",".join(str(i) for i in layer.layers))
+            if layer.groups != 1:
+                out.append(f"groups={layer.groups}")
+                out.append(f"group_id={layer.group_id}")
+        elif isinstance(layer, Shortcut):
+            out.append("[shortcut]")
+            out.append("from=" + ",".join(str(i) for i in layer.from_layers))
+            out.append(f"activation={layer.activation}")
+        elif isinstance(layer, MaxPool):
+            out.append("[maxpool]")
+            out.append(f"size={layer.size}")
+            if layer.stride_x == layer.stride_y:
+                out.append(f"stride={layer.stride_x}")
+            else:
+                out.append(f"stride_x={layer.stride_x}")
+                out.append(f"stride_y={layer.stride_y}")
+            out.append(f"padding={layer.padding}")
+        elif isinstance(layer, UpSample):
+            out.append("[upsample]")
+            out.append(f"stride={layer.stride}")
+            if layer.reverse:
+                out.append("reverse=1")
+        elif isinstance(layer, Yolo):
+            out.append("[yolo]")
+            if layer.mask:
+                out.append("mask=" + ",".join(str(i) for i in layer.mask))
+            if layer.anchors:
+                out.append(
+                    "anchors="
+                    + ",".join(f"{_fmt(w)},{_fmt(h)}" for w, h in layer.anchors)
+                )
+            out.append(f"classes={layer.classes}")
+            out.append(f"scale_x_y={_fmt(layer.scale_x_y)}")
+            if layer.new_coords:
+                out.append("new_coords=1")
+            out.append(f"iou_loss={layer.iou_loss}")
+            out.append(f"ignore_thresh={_fmt(layer.ignore_thresh)}")
+            out.append(f"truth_thresh={_fmt(layer.truth_thresh)}")
+            out.append(f"max={layer.max_boxes}")
+            out.append(f"nms_kind={layer.nms_kind}")
+        else:
+            out.append(f"[{layer.section}]")
+            for key, value in layer.raw.items():
+                out.append(f"{key}={value}")
+    return "\n".join(out) + "\n"

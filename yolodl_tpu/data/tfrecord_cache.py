@@ -1,0 +1,119 @@
+"""TFRecord-format letterbox cache.
+
+The driver's milestone-4 recipe calls for "tfrecord cache" (BASELINE.md);
+this cache stores letterboxed images in standard TFRecord framing
+(length + masked-crc32c + payload + masked-crc32c, TF-compatible via
+google_crc32c), one shard file per cache directory with a JSON offset
+index.  Compared to :class:`FileCache`'s one-file-per-image raw floats,
+the single-shard layout is sequential-read friendly and 4× smaller
+(uint8 payloads).
+
+Single-writer, many-reader; writes append + atomically republish the index.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import threading
+from typing import Dict, Optional, Tuple
+
+import google_crc32c
+import numpy as np
+
+from .cache import OnDemandLoader, _boxes_to_ratio
+from .letterbox import letterbox_unit_transform
+from .records import DataRecord, FileRecord
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = int.from_bytes(google_crc32c.Checksum(data).digest(), "big")
+    return ((crc >> 15 | crc << 17) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def write_tfrecord(f, payload: bytes) -> Tuple[int, int]:
+    """Append one TFRecord; returns (offset, total_length)."""
+    offset = f.tell()
+    length = struct.pack("<Q", len(payload))
+    f.write(length)
+    f.write(struct.pack("<I", _masked_crc(length)))
+    f.write(payload)
+    f.write(struct.pack("<I", _masked_crc(payload)))
+    return offset, 8 + 4 + len(payload) + 4
+
+
+def read_tfrecord(f, offset: int) -> bytes:
+    f.seek(offset)
+    length_bytes = f.read(8)
+    (length,) = struct.unpack("<Q", length_bytes)
+    (length_crc,) = struct.unpack("<I", f.read(4))
+    if _masked_crc(length_bytes) != length_crc:
+        raise ValueError("tfrecord length CRC mismatch")
+    payload = f.read(length)
+    (data_crc,) = struct.unpack("<I", f.read(4))
+    if _masked_crc(payload) != data_crc:
+        raise ValueError("tfrecord data CRC mismatch")
+    return payload
+
+
+class TfrecordCache:
+    """Letterboxed-image cache in a TFRecord shard."""
+
+    def __init__(self, cache_dir: str, cache_hw: Tuple[int, int]):
+        self.cache_hw = cache_hw
+        os.makedirs(cache_dir, exist_ok=True)
+        h, w = cache_hw
+        self.shard_path = os.path.join(cache_dir, f"cache-{h}x{w}.tfrecord")
+        self.index_path = self.shard_path + ".index.json"
+        self._loader = OnDemandLoader(cache_hw)
+        self._lock = threading.Lock()
+        self._index: Dict[str, int] = {}
+        if os.path.exists(self.index_path):
+            with open(self.index_path) as f:
+                self._index = json.load(f)
+
+    def _key(self, record: FileRecord) -> str:
+        return os.path.abspath(record.path)
+
+    def _boxes_for(self, record: FileRecord) -> np.ndarray:
+        unit = letterbox_unit_transform(
+            (record.height, record.width), self.cache_hw
+        )
+        return unit.apply_cycxhw(_boxes_to_ratio(record)).astype(np.float32)
+
+    def load(self, record: FileRecord) -> DataRecord:
+        key = self._key(record)
+        h, w = self.cache_hw
+        with self._lock:
+            offset = self._index.get(key)
+        if offset is not None and os.path.exists(self.shard_path):
+            try:
+                with open(self.shard_path, "rb") as f:
+                    payload = read_tfrecord(f, offset)
+                image = (
+                    np.frombuffer(payload, np.uint8)
+                    .reshape(3, h, w)
+                    .astype(np.float32)
+                    / 255.0
+                )
+                return DataRecord(
+                    image=image, boxes=self._boxes_for(record),
+                    classes=record.classes,
+                )
+            except (ValueError, OSError):
+                pass  # corrupt entry → re-decode below
+
+        rec = self._loader.load(record)
+        payload = (
+            np.clip(rec.image * 255.0 + 0.5, 0, 255).astype(np.uint8).tobytes()
+        )
+        with self._lock:
+            with open(self.shard_path, "ab") as f:
+                offset, _ = write_tfrecord(f, payload)
+            self._index[key] = offset
+            tmp = self.index_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self._index, f)
+            os.replace(tmp, self.index_path)
+        return rec
