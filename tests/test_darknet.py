@@ -184,3 +184,43 @@ class TestCfgRoundTrip:
                 assert a.new_coords == b.new_coords
         # output shapes identical → structural identity
         assert first.output_shapes() == second.output_shapes()
+
+
+class TestGaussianYolo:
+    def test_gaussian_cfg_builds_and_runs(self):
+        path = os.path.join(REPO, "cfg/darknet/Gaussian_yolov3_BDD.cfg")
+        d = dk.Darknet.load(path)
+        yolos = [l for l in d.layers if isinstance(l, dk.Yolo)]
+        assert all(y.gaussian for y in yolos)
+        g = graph_from_darknet(d)
+        model = YoloModel(g)
+        params, state = model.init(jax.random.PRNGKey(0))
+        # run at reduced input size for CPU speed: gaussian bdd is 512
+        x = jnp.zeros((1, 3, d.net.height, d.net.width), jnp.float32)
+        out, _ = model.apply(params, state, x, train=False)
+        assert out.uncertainty is not None
+        assert out.uncertainty.shape == (1, out.num_flats)
+        u = np.asarray(out.uncertainty)
+        assert np.all((u >= 0) & (u <= 1))
+        # confidence is scaled down by uncertainty
+        conf = np.asarray(out.confidence())
+        plain = np.asarray(out.obj_prob())[..., None] * np.asarray(out.class_prob())
+        assert np.all(conf <= plain + 1e-6)
+
+    def test_gaussian_decode_formula(self):
+        from yolodl_tpu.ops.detect import detect_decode
+
+        # 1 anchor, 1 class → 10 channels; zero logits
+        x = jnp.zeros((1, 2, 2, 10))
+        det = detect_decode(
+            x, [(0.4, 0.6)], 1, order="anchor_major", variant="darknet",
+            scale_xy=1.0, entry_layout="xywh", gaussian=True,
+        )
+        # mu = σ(0)=0.5 → cy = (0.5+row)/2; h = exp(0)*0.4
+        np.testing.assert_allclose(
+            np.asarray(det.cycxhw[0, 0, :, :, 0]), [[0.25, 0.25], [0.75, 0.75]],
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(np.asarray(det.cycxhw[..., 2]), 0.4, atol=1e-6)
+        # sigmas all σ(0)=0.5 → uncertainty 0.5
+        np.testing.assert_allclose(np.asarray(det.uncertainty), 0.5, atol=1e-6)

@@ -194,6 +194,7 @@ class UpSample:
 @dataclasses.dataclass(frozen=True)
 class Yolo:
     classes: int = 20
+    gaussian: bool = False  # [gaussian_yolo] section
     # all anchor pairs as (w, h) pixels (darknet order!), mask selects a subset
     anchors: Tuple[Tuple[float, float], ...] = ()
     mask: Tuple[int, ...] = ()
@@ -218,10 +219,11 @@ class Yolo:
 
     def output_shape(self, in_hwc: ShapeHWC) -> ShapeHWC:
         h, w, c = in_hwc
-        expect = len(self.masked_anchors) * (5 + self.classes)
+        entries = (9 if self.gaussian else 5) + self.classes
+        expect = len(self.masked_anchors) * entries
         if c != expect:
             raise ValueError(
-                f"[yolo] input channels {c} != anchors*(5+classes) = {expect}"
+                f"[yolo] input channels {c} != anchors*entries = {expect}"
             )
         return in_hwc
 
@@ -380,6 +382,7 @@ def _parse_layer(name: str, d: Dict[str, str]) -> Layer:
             anchors = tuple((flat[i], flat[i + 1]) for i in range(0, len(flat) - 1, 2))
         return Yolo(
             classes=_get_int(d, "classes", 20),
+            gaussian=(name == "gaussian_yolo"),
             anchors=anchors,
             mask=tuple(_int_list(d["mask"])) if "mask" in d else (),
             scale_x_y=_get_float(d, "scale_x_y", 1.0),

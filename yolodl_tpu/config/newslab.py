@@ -186,6 +186,10 @@ class Detect2D(ModuleCfg):
     scale_xy: float = 1.0
     channel_order: str = "entry_major"  # "entry_major" | "anchor_major"
     entry_layout: str = "cycxhw"  # "cycxhw" (NEWSLAB) | "xywh" (darknet)
+    # Gaussian-YOLO head: entries are interleaved mean/sigma
+    # (mu_x, s_x, mu_y, s_y, mu_w, s_w, mu_h, s_h, obj, classes) — darknet
+    # gaussian_yolo_layer.c:809-825
+    gaussian: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

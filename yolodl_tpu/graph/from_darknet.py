@@ -116,6 +116,7 @@ def graph_from_darknet(darknet: dk.Darknet) -> Graph:
                     scale_xy=layer.scale_x_y,
                     channel_order="anchor_major",
                     entry_layout="xywh",
+                    gaussian=layer.gaussian,
                 )
             )
             yolo_names.append(name)

@@ -410,11 +410,12 @@ def _infer_shape(
     if isinstance(layer, cfg.Detect2D):
         shape = _single_tensor(ik, shapes)
         _, c, _, _ = shape
-        expect_c = len(layer.anchors) * (5 + layer.classes)
+        entries = (9 if layer.gaussian else 5) + layer.classes
+        expect_c = len(layer.anchors) * entries
         if c.is_known and c.size != expect_c:
             raise ValueError(
                 f"Detect2D {path or ''}: input channels {c.size} != "
-                f"anchors*(5+classes) = {expect_c}"
+                f"anchors*entries = {expect_c}"
             )
         return ShapeOut(DETECT_2D)
 

@@ -279,6 +279,7 @@ class YoloModel:
                     single(), layer.anchors, layer.classes,
                     order=layer.channel_order, variant=layer.variant,
                     scale_xy=layer.scale_xy, entry_layout=layer.entry_layout,
+                    gaussian=layer.gaussian,
                 )
             elif isinstance(layer, cfg.DarknetRoute):
                 ins = [outputs[k] for k in ik.iter_keys()]

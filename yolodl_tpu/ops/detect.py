@@ -55,15 +55,20 @@ class DetectionInfo:
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class DenseDetection:
-    """One head's decoded output; fields [b, A, H, W, ...], boxes in ratio units."""
+    """One head's decoded output; fields [b, A, H, W, ...], boxes in ratio units.
+
+    ``uncertainty`` is the Gaussian-YOLO per-box mean sigma (None for plain
+    heads)."""
 
     cycxhw: Array  # [b, A, H, W, 4]
     obj_logit: Array  # [b, A, H, W]
     class_logit: Array  # [b, A, H, W, C]
     anchors: Tuple[Tuple[float, float], ...]  # static
+    uncertainty: Optional[Array] = None  # [b, A, H, W]
 
     def tree_flatten(self):
-        return (self.cycxhw, self.obj_logit, self.class_logit), self.anchors
+        return (self.cycxhw, self.obj_logit, self.class_logit,
+                self.uncertainty), self.anchors
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -86,9 +91,11 @@ class MergedDetection:
     obj_logit: Array  # [b, N]
     class_logit: Array  # [b, N, C]
     infos: Tuple[DetectionInfo, ...]  # static
+    uncertainty: Optional[Array] = None  # [b, N] (Gaussian-YOLO heads)
 
     def tree_flatten(self):
-        return (self.cycxhw, self.obj_logit, self.class_logit), self.infos
+        return (self.cycxhw, self.obj_logit, self.class_logit,
+                self.uncertainty), self.infos
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -113,8 +120,13 @@ class MergedDetection:
         return jax.nn.sigmoid(self.class_logit)
 
     def confidence(self) -> Array:
-        """obj_prob × class_prob, [b, N, C] (merged_dense_detection.rs:143-153)."""
-        return self.obj_prob()[..., None] * self.class_prob()
+        """obj_prob × class_prob, [b, N, C] (merged_dense_detection.rs:143-153).
+        Gaussian heads additionally scale by (1 − uncertainty)
+        (gaussian_yolo_layer.c:823-825)."""
+        conf = self.obj_prob()[..., None] * self.class_prob()
+        if self.uncertainty is not None:
+            conf = conf * (1.0 - self.uncertainty)[..., None]
+        return conf
 
 
 def detect_decode(
@@ -125,6 +137,7 @@ def detect_decode(
     variant: str = "scaled",
     scale_xy: float = 1.0,
     entry_layout: str = "cycxhw",
+    gaussian: bool = False,
 ) -> DenseDetection:
     """Decode a head feature map [b, H, W, A*(5+C)] into boxes.
 
@@ -137,9 +150,9 @@ def detect_decode(
     """
     b, fh, fw, c = x.shape
     a = len(anchors)
-    e = 5 + num_classes
+    e = (9 if gaussian else 5) + num_classes
     if c != a * e:
-        raise ValueError(f"head channels {c} != anchors*(5+classes) = {a * e}")
+        raise ValueError(f"head channels {c} != anchors*entries = {a * e}")
 
     if order == "entry_major":
         x = x.reshape(b, fh, fw, e, a)
@@ -150,14 +163,27 @@ def detect_decode(
     else:
         raise ValueError(f"unknown channel order {order!r}")
 
-    if entry_layout == "cycxhw":
+    uncertainty = None
+    if gaussian:
+        # interleaved mean/sigma entries (gaussian_yolo_layer.c:809-816):
+        # mu_x, s_x, mu_y, s_y, mu_w, s_w, mu_h, s_h, obj, classes
+        tx, ty, tw, th = x[..., 0], x[..., 2], x[..., 4], x[..., 6]
+        sigmas = jax.nn.sigmoid(
+            jnp.stack([x[..., 1], x[..., 3], x[..., 5], x[..., 7]], axis=-1)
+        )
+        uncertainty = jnp.mean(sigmas, axis=-1)
+        obj_logit = x[..., 8]
+        class_logit = x[..., 9:]
+    elif entry_layout == "cycxhw":
         ty, tx, th, tw = x[..., 0], x[..., 1], x[..., 2], x[..., 3]
+        obj_logit = x[..., 4]
+        class_logit = x[..., 5:]
     elif entry_layout == "xywh":
         tx, ty, tw, th = x[..., 0], x[..., 1], x[..., 2], x[..., 3]
+        obj_logit = x[..., 4]
+        class_logit = x[..., 5:]
     else:
         raise ValueError(f"unknown entry layout {entry_layout!r}")
-    obj_logit = x[..., 4]
-    class_logit = x[..., 5:]
 
     rows = jax.lax.broadcasted_iota(x.dtype, (fh, fw), 0)
     cols = jax.lax.broadcasted_iota(x.dtype, (fh, fw), 1)
@@ -183,6 +209,7 @@ def detect_decode(
         obj_logit=obj_logit,
         class_logit=class_logit,
         anchors=tuple((float(ah), float(aw)) for ah, aw in anchors),
+        uncertainty=uncertainty,
     )
 
 
@@ -192,7 +219,7 @@ def merge_detections(heads: Sequence[DenseDetection]) -> MergedDetection:
         raise ValueError("merge_detections needs at least one head")
     num_classes = heads[0].num_classes
     infos: List[DetectionInfo] = []
-    boxes, objs, classes = [], [], []
+    boxes, objs, classes, uncs = [], [], [], []
     begin = 0
     for head in heads:
         if head.num_classes != num_classes:
@@ -209,12 +236,17 @@ def merge_detections(heads: Sequence[DenseDetection]) -> MergedDetection:
         boxes.append(head.cycxhw.reshape(b, n, 4))
         objs.append(head.obj_logit.reshape(b, n))
         classes.append(head.class_logit.reshape(b, n, num_classes))
+        if head.uncertainty is not None:
+            uncs.append(head.uncertainty.reshape(b, n))
 
+    if uncs and len(uncs) != len(heads):
+        raise ValueError("either all heads are gaussian or none")
     return MergedDetection(
         cycxhw=jnp.concatenate(boxes, axis=1),
         obj_logit=jnp.concatenate(objs, axis=1),
         class_logit=jnp.concatenate(classes, axis=1),
         infos=tuple(infos),
+        uncertainty=jnp.concatenate(uncs, axis=1) if uncs else None,
     )
 
 
