@@ -72,7 +72,9 @@ class DenseDetection:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, anchors=aux)
+        cycxhw, obj_logit, class_logit, uncertainty = children
+        return cls(cycxhw=cycxhw, obj_logit=obj_logit, class_logit=class_logit,
+                   anchors=aux, uncertainty=uncertainty)
 
     @property
     def num_classes(self) -> int:
@@ -99,7 +101,9 @@ class MergedDetection:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, infos=aux)
+        cycxhw, obj_logit, class_logit, uncertainty = children
+        return cls(cycxhw=cycxhw, obj_logit=obj_logit, class_logit=class_logit,
+                   infos=aux, uncertainty=uncertainty)
 
     @property
     def batch_size(self) -> int:
