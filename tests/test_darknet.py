@@ -224,3 +224,76 @@ class TestGaussianYolo:
         np.testing.assert_allclose(np.asarray(det.cycxhw[..., 2]), 0.4, atol=1e-6)
         # sigmas all σ(0)=0.5 → uncertainty 0.5
         np.testing.assert_allclose(np.asarray(det.uncertainty), 0.5, atol=1e-6)
+
+
+class TestClassifierModels:
+    def test_darknet53_builds_and_runs(self, tmp_path):
+        from yolodl_tpu.models import GraphModel
+
+        path = os.path.join(REPO, "cfg/darknet/darknet53.cfg")
+        text = open(path).read().replace("width=256", "width=64").replace(
+            "height=256", "height=64"
+        )
+        small = tmp_path / "d53.cfg"
+        small.write_text(text)
+        d = dk.Darknet.load(str(small))
+        model = GraphModel(graph_from_darknet(d))
+        params, state = model.init(jax.random.PRNGKey(0))
+        x = jnp.zeros((1, 3, 64, 64), jnp.float32)
+        out, _ = model.apply(params, state, x, train=False)
+        # softmax over 1000 classes sums to 1 (NHWC [b, 1, 1, 1000])
+        assert out.shape == (1, 1, 1, 1000)
+        np.testing.assert_allclose(float(out.sum()), 1.0, atol=1e-4)
+
+    def test_alexnet_connected_weights_roundtrip(self, tmp_path):
+        from yolodl_tpu.models import GraphModel
+        from yolodl_tpu.models.weights import (
+            load_darknet_weights, merge_into_model_tree, save_darknet_weights,
+        )
+
+        path = os.path.join(REPO, "cfg/darknet/alexnet.cfg")
+        d = dk.Darknet.load(path)
+        model = GraphModel(graph_from_darknet(d))
+        params, state = model.init(jax.random.PRNGKey(0))
+        wpath = tmp_path / "alex.weights"
+        save_darknet_weights(d, params, state, wpath)
+        lp, ls, _ = load_darknet_weights(d, wpath)
+        p2, s2 = merge_into_model_tree(lp, ls, params, state)
+        for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+    def test_dropout_active_with_rng(self, tmp_path):
+        from yolodl_tpu.models import GraphModel
+        from yolodl_tpu.config import newslab
+        from yolodl_tpu.graph import Graph
+
+        model_dict = {
+            "main_group": "m",
+            "groups": {
+                "m": [
+                    {"name": "input", "kind": "Input", "shape": ["_", 4, 4, 4]},
+                    {"name": "gap", "kind": "GlobalAvgPool2D"},
+                    {"name": "drop", "kind": "Dropout", "probability": 0.5},
+                ]
+            },
+        }
+        # Dropout/GlobalAvgPool parse via dataclass construction only (no
+        # JSON kind registered) — build the model directly
+        from yolodl_tpu.config.newslab import Dropout, GlobalAvgPool2D, Input, Model
+        from yolodl_tpu.shapes import Shape
+        from yolodl_tpu.graph.ir import _flatten
+
+        m = Model(groups={"m": (
+            Input(name="input", shape=Shape(["_", 4, 4, 4])),
+            GlobalAvgPool2D(name="gap", from_="input"),
+            Dropout(name="drop", from_="gap", probability=0.5),
+        )}, main_group="m")
+        gm = GraphModel(_flatten(m))
+        params, state = gm.init(jax.random.PRNGKey(0))
+        x = jnp.ones((2, 4, 4, 4), jnp.float32)
+        out_eval, _ = gm.apply(params, state, x, train=False)
+        np.testing.assert_allclose(np.asarray(out_eval), 1.0)
+        out_train, _ = gm.apply(params, state, x, train=True,
+                                rng=jax.random.PRNGKey(1))
+        vals = np.unique(np.asarray(out_train))
+        assert set(np.round(vals, 4)).issubset({0.0, 2.0})  # dropped or scaled

@@ -229,6 +229,42 @@ class Yolo:
 
 
 @dataclasses.dataclass(frozen=True)
+class Connected:
+    """darknet [connected]: fully-connected layer."""
+
+    output: int
+    activation: str = "linear"
+    batch_normalize: bool = False
+
+    def output_shape(self, in_hwc: ShapeHWC) -> ShapeHWC:
+        return (1, 1, self.output)
+
+
+@dataclasses.dataclass(frozen=True)
+class AvgPool:
+    """darknet [avgpool]: global average pool."""
+
+    def output_shape(self, in_hwc: ShapeHWC) -> ShapeHWC:
+        return (1, 1, in_hwc[2])
+
+
+@dataclasses.dataclass(frozen=True)
+class Dropout:
+    probability: float = 0.5
+
+    def output_shape(self, in_hwc: ShapeHWC) -> ShapeHWC:
+        return in_hwc
+
+
+@dataclasses.dataclass(frozen=True)
+class Softmax:
+    groups: int = 1
+
+    def output_shape(self, in_hwc: ShapeHWC) -> ShapeHWC:
+        return in_hwc
+
+
+@dataclasses.dataclass(frozen=True)
 class Unimplemented:
     """Parsed-but-not-buildable section (parity with darknet-config's
     Connected/Softmax/Cost/Crop/AvgPool/Dropout/Unimplemented handling)."""
@@ -237,7 +273,8 @@ class Unimplemented:
     raw: Dict[str, str] = dataclasses.field(hash=False, compare=False, default_factory=dict)
 
 
-Layer = Union[Convolutional, Route, Shortcut, MaxPool, UpSample, Yolo, Unimplemented]
+Layer = Union[Convolutional, Route, Shortcut, MaxPool, UpSample, Yolo,
+              Connected, AvgPool, Dropout, Softmax, Unimplemented]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -258,7 +295,11 @@ class Darknet:
         """Per-layer output shapes (HWC), resolving route/shortcut indices."""
         shapes: List[ShapeHWC] = []
         for i, layer in enumerate(self.layers):
-            if isinstance(layer, (Convolutional, MaxPool, UpSample, Yolo)):
+            if isinstance(
+                layer,
+                (Convolutional, MaxPool, UpSample, Yolo, Connected, AvgPool,
+                 Dropout, Softmax),
+            ):
                 src = self.net.input_shape_hwc if i == 0 else shapes[i - 1]
                 shapes.append(layer.output_shape(src))
             elif isinstance(layer, Route):
@@ -398,6 +439,18 @@ def _parse_layer(name: str, d: Dict[str, str]) -> Layer:
             nms_kind=_get_str(d, "nms_kind", "default"),
             beta_nms=_get_float(d, "beta_nms", 0.0),
         )
+    if name == "connected":
+        return Connected(
+            output=int(d["output"]),
+            activation=_get_str(d, "activation", "linear"),
+            batch_normalize=_get_bool(d, "batch_normalize", False),
+        )
+    if name == "avgpool":
+        return AvgPool()
+    if name == "dropout":
+        return Dropout(probability=_get_float(d, "probability", 0.5))
+    if name == "softmax":
+        return Softmax(groups=_get_int(d, "groups", 1))
     return Unimplemented(section=name, raw=dict(d))
 
 

@@ -229,7 +229,38 @@ class MaxPool(ModuleCfg):
 class Linear(ModuleCfg):
     from_: Optional[str] = None
     out: int = 0
+    act: str = "linear"
     bn: BatchNormConfig = BatchNormConfig()
+
+
+@dataclasses.dataclass(frozen=True)
+class GlobalAvgPool2D(ModuleCfg):
+    """darknet [avgpool]: global spatial average → [b, c, 1, 1] (keepdims,
+    matching darknet's [1,1,c] output so 1×1 convs can follow)."""
+
+    from_: Optional[str] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class Identity(ModuleCfg):
+    """Pass-through (darknet [cost] at inference)."""
+
+    from_: Optional[str] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class Dropout(ModuleCfg):
+    """darknet [dropout]; identity at inference."""
+
+    from_: Optional[str] = None
+    probability: float = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class Softmax(ModuleCfg):
+    """darknet [softmax] over the class axis."""
+
+    from_: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)

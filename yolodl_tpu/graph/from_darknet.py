@@ -120,15 +120,29 @@ def graph_from_darknet(darknet: dk.Darknet) -> Graph:
                 )
             )
             yolo_names.append(name)
+        elif isinstance(layer, dk.Connected):
+            layers.append(
+                cfg.Linear(name=name, from_=prev, out=layer.output,
+                           act=layer.activation)
+            )
+        elif isinstance(layer, dk.AvgPool):
+            layers.append(cfg.GlobalAvgPool2D(name=name, from_=prev))
+        elif isinstance(layer, dk.Dropout):
+            layers.append(cfg.Dropout(name=name, from_=prev,
+                                      probability=layer.probability))
+        elif isinstance(layer, dk.Softmax):
+            layers.append(cfg.Softmax(name=name, from_=prev))
+        elif isinstance(layer, dk.Unimplemented) and layer.section in ("cost", "crop"):
+            # training-only/no-op sections at inference → identity
+            layers.append(cfg.Identity(name=name, from_=prev))
         else:
             raise ValueError(
-                f"layer {i}: [{layer.section}] has no graph mapping "
-                "(classification-only section)"
+                f"layer {i}: [{layer.section}] has no graph mapping"
             )
 
-    if not yolo_names:
-        raise ValueError("cfg has no [yolo] layers; not a detection model")
-    layers.append(cfg.MergeDetect2D(name="output", from_=tuple(yolo_names)))
+    if yolo_names:
+        layers.append(cfg.MergeDetect2D(name="output", from_=tuple(yolo_names)))
+    # classifier cfgs (no [yolo] heads) end at their last layer
 
     model = cfg.Model(groups={"darknet": tuple(layers)}, main_group="darknet")
     return _flatten(model)

@@ -455,6 +455,13 @@ def _infer_shape(
         shape = _single_tensor(ik, shapes)
         return ShapeOut.tensor(Shape([shape[0], layer.out]))
 
+    if isinstance(layer, cfg.GlobalAvgPool2D):
+        b, c, _, _ = _single_tensor(ik, shapes)
+        return ShapeOut.tensor(Shape([b, c, 1, 1]))
+
+    if isinstance(layer, (cfg.Dropout, cfg.Softmax, cfg.Identity)):
+        return ShapeOut.tensor(_single_tensor(ik, shapes))
+
     if isinstance(layer, cfg.DarknetRoute):
         ins = [shapes[k].tensor_shape() for k in ik.iter_keys()]
         n = layer.num_groups

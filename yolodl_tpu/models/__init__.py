@@ -1,1 +1,1 @@
-from .builder import YoloModel  # noqa: F401
+from .builder import GraphModel, YoloModel  # noqa: F401

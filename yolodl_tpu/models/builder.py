@@ -32,31 +32,17 @@ Params = Dict[str, Any]
 State = Dict[str, Any]
 
 
-class YoloModel:
-    """A detection model compiled from a :class:`Graph`."""
+class GraphModel:
+    """Any graph compiled to a jittable functional model (generic sink —
+    classifier cfgs build too, exceeding the reference whose non-detection
+    path is todo!())."""
 
     def __init__(self, graph: Graph, spd_stem: str = "auto"):
         """``spd_stem``: "auto" enables the space-to-depth stem rewrite
         (ops/spd_stem.py) when the graph starts with the eligible darknet
         conv(k3,s1)→conv(k3,s2) pair; "off" disables it."""
         self.graph = graph
-
-        out = graph.output_node()
-        if out.output_shape.kind != MERGE_DETECT_2D:
-            raise ValueError(
-                "model output must be a MergeDetect2D node (model.rs:330-353)"
-            )
-        self.output_key = out.key
-
-        # uniform num_classes across Detect2D heads (model.rs:330-353)
-        det_nodes = [n for n in graph.nodes.values() if isinstance(n.config, cfg.Detect2D)]
-        if not det_nodes:
-            raise ValueError("model has no Detect2D heads")
-        classes = {n.config.classes for n in det_nodes}
-        if len(classes) != 1:
-            raise ValueError(f"Detect2D heads disagree on num_classes: {classes}")
-        self.num_classes: int = classes.pop()
-        self.anchors = tuple(n.config.anchors for n in det_nodes)
+        self.output_key = graph.output_node().key
 
         # param name per node: readable path when available
         self._pname: Dict[int, str] = {}
@@ -88,14 +74,21 @@ class YoloModel:
 
         # input channel count per node (from predecessor's inferred shape)
         self._in_c: Dict[int, int] = {}
+        self._in_features: Dict[int, int] = {}  # flattened size (Linear)
         for key, node in graph.nodes.items():
             ik = node.input_keys
             if ik.kind == "single":
                 src_shape = graph.nodes[ik.single_key].output_shape
                 if src_shape.is_tensor:
-                    c = src_shape.tensor_shape()[1]
+                    shape = src_shape.tensor_shape()
+                    c = shape[1]
                     if c.is_known:
                         self._in_c[key] = c.size  # NCHW logical shape: C at axis 1
+                    if all(d.is_known for d in shape[1:]):
+                        feat = 1
+                        for d in shape[1:]:
+                            feat *= d.size
+                        self._in_features[key] = feat
 
     # ------------------------------------------------------------------
 
@@ -132,9 +125,10 @@ class YoloModel:
             elif isinstance(layer, cfg.Linear):
                 from ..ops import initializers
                 kw, kb = jax.random.split(k)
+                in_f = self._in_features[node.key]
                 p = {
-                    "w": initializers.linear_weight(kw, in_c, layer.out),
-                    "b": initializers.conv_bias(kb, layer.out, in_c),
+                    "w": initializers.linear_weight(kw, in_f, layer.out),
+                    "b": initializers.conv_bias(kb, layer.out, in_f),
                 }
                 s = {}
             else:  # pragma: no cover
@@ -154,7 +148,8 @@ class YoloModel:
         train: bool = False,
         data_format: str = "NCHW",
         return_intermediates: bool = False,
-    ) -> Tuple[detect.MergedDetection, State]:
+        rng: Optional[Array] = None,
+    ) -> Tuple[Any, State]:
         """Forward pass → (MergedDetection, new_state).
 
         ``data_format`` describes ``x``; compute is NHWC internally.
@@ -305,9 +300,26 @@ class YoloModel:
                     [outputs[k] for k in ik.iter_keys()]
                 )
             elif isinstance(layer, cfg.Linear):
+                from .. import activations as act_mod
                 h = single()
                 h = h.reshape(h.shape[0], -1)
-                outputs[key] = h @ params[name]["w"] + params[name]["b"]
+                h = h @ params[name]["w"] + params[name]["b"]
+                outputs[key] = act_mod.apply(layer.act, h)
+            elif isinstance(layer, cfg.GlobalAvgPool2D):
+                # NHWC → [b, 1, 1, c] (darknet avgpool keeps a 1×1 map)
+                outputs[key] = jnp.mean(single(), axis=(1, 2), keepdims=True)
+            elif isinstance(layer, cfg.Identity):
+                outputs[key] = single()
+            elif isinstance(layer, cfg.Dropout):
+                h = single()
+                if train and rng is not None:
+                    keep = 1.0 - layer.probability
+                    node_rng = jax.random.fold_in(rng, key)
+                    mask = jax.random.bernoulli(node_rng, keep, h.shape)
+                    h = jnp.where(mask, h / keep, 0.0)
+                outputs[key] = h
+            elif isinstance(layer, cfg.Softmax):
+                outputs[key] = jax.nn.softmax(single(), axis=-1)
             else:
                 raise NotImplementedError(f"forward for {layer.kind}")
 
@@ -354,3 +366,26 @@ class YoloModel:
                         }
                 new_state[name] = sub
         return new_state
+
+
+class YoloModel(GraphModel):
+    """A detection model: validates the MergeDetect2D sink and uniform class
+    count (model.rs:330-353)."""
+
+    def __init__(self, graph: Graph, spd_stem: str = "auto"):
+        super().__init__(graph, spd_stem)
+        out = graph.nodes[self.output_key]
+        if out.output_shape.kind != MERGE_DETECT_2D:
+            raise ValueError(
+                "model output must be a MergeDetect2D node (model.rs:330-353)"
+            )
+        det_nodes = [
+            n for n in graph.nodes.values() if isinstance(n.config, cfg.Detect2D)
+        ]
+        if not det_nodes:
+            raise ValueError("model has no Detect2D heads")
+        classes = {n.config.classes for n in det_nodes}
+        if len(classes) != 1:
+            raise ValueError(f"Detect2D heads disagree on num_classes: {classes}")
+        self.num_classes: int = classes.pop()
+        self.anchors = tuple(n.config.anchors for n in det_nodes)

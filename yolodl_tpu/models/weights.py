@@ -71,6 +71,15 @@ def load_darknet_weights(
     state: Dict[str, Any] = {}
 
     for i, layer in enumerate(darknet.layers):
+        if isinstance(layer, dk.Connected):
+            # darknet connected: bias[out], weights[out, in] row-major
+            prev = darknet.net.input_shape_hwc if i == 0 else shapes[i - 1]
+            in_f = prev[0] * prev[1] * prev[2]
+            out_f = layer.output
+            b = reader.floats(out_f)
+            w = reader.floats(out_f * in_f).reshape(out_f, in_f)
+            params[f"layer{i}"] = {"w": np.ascontiguousarray(w.T), "b": b}
+            continue
         if not isinstance(layer, dk.Convolutional):
             continue
         if layer.share_index is not None:
@@ -109,6 +118,11 @@ def save_darknet_weights(
     """Write params back to the darknet binary layout (round-trip/testing)."""
     chunks = [struct.pack("<iii", 0, 2, 0), struct.pack("<q", seen)]
     for i, layer in enumerate(darknet.layers):
+        if isinstance(layer, dk.Connected):
+            p = params[f"layer{i}"]
+            chunks.append(np.asarray(p["b"], "<f4").tobytes())
+            chunks.append(np.ascontiguousarray(np.asarray(p["w"], "<f4").T).tobytes())
+            continue
         if not isinstance(layer, dk.Convolutional) or layer.share_index is not None:
             continue
         p = params[f"layer{i}"]
