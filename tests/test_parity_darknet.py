@@ -161,3 +161,52 @@ def test_csp_new_coords_parity(tmp_path):
         assert float(np.mean((mine - ref) ** 2) / denom) < 1e-5, i
         checked += 1
     assert checked > 80
+
+
+def test_yolov2_reorg_region_parity(tmp_path):
+    """YOLOv2 (reorg + region head) per-layer parity vs darknet-C — validates
+    the space-to-depth reorg channel order and the region decode path."""
+    import jax
+    import jax.numpy as jnp
+
+    from oracle import DarknetOracle
+    from yolodl_tpu.config import darknet_cfg as dk
+    from yolodl_tpu.graph.from_darknet import graph_from_darknet
+    from yolodl_tpu.models import YoloModel
+    from yolodl_tpu.models.weights import save_darknet_weights
+
+    cfg_path = os.path.join(REPO, "cfg/darknet/yolov2.cfg")
+    text = open(cfg_path).read().replace("width=416", "width=320").replace(
+        "height=416", "height=320"
+    )
+    small = tmp_path / "v2.cfg"
+    small.write_text(text)
+
+    darknet = dk.Darknet.load(str(small))
+    model = YoloModel(graph_from_darknet(darknet))
+    params, state = model.init(jax.random.PRNGKey(11))
+    wpath = str(tmp_path / "v2.weights")
+    save_darknet_weights(darknet, params, state, wpath)
+
+    oracle = DarknetOracle(str(small), wpath)
+    rng = np.random.default_rng(5)
+    image = rng.uniform(0.0, 1.0, (3, 320, 320)).astype(np.float32)
+    oracle.forward(image)
+    _, _, ours = model.apply(
+        params, state, jnp.asarray(image[None]), train=False,
+        return_intermediates=True,
+    )
+
+    checked = 0
+    comparable = COMPARABLE | {"reorg"}
+    for i in range(oracle.num_layers):
+        if oracle.layer_type(i) not in comparable:
+            continue
+        ref = oracle.layer_output(i)
+        mine = np.transpose(np.asarray(ours[f"layer{i}"][0]), (2, 0, 1))
+        assert mine.shape == ref.shape, (i, oracle.layer_type(i))
+        denom = np.mean(ref**2) + 1e-12
+        mse = float(np.mean((mine - ref) ** 2) / denom)
+        assert mse < 1e-5, f"layer {i} ({oracle.layer_type(i)}): {mse:.3e}"
+        checked += 1
+    assert checked > 20

@@ -171,6 +171,7 @@ class MaxPool:
     stride_y: int = 2
     padding: int = 1  # darknet default: size - 1
     maxpool_depth: bool = False
+    pool_kind: str = "max"  # "max" | "avg" ([local_avgpool])
 
     def output_shape(self, in_hwc: ShapeHWC) -> ShapeHWC:
         h, w, c = in_hwc
@@ -229,6 +230,54 @@ class Yolo:
 
 
 @dataclasses.dataclass(frozen=True)
+class Reorg:
+    """darknet [reorg]/[reorg3d]: space-to-depth, stride default 2.
+    ``old`` marks the [reorg] REORG_OLD semantics (parser.c:80-81)."""
+
+    stride: int = 2
+    reverse: bool = False
+    old: bool = True
+
+    def output_shape(self, in_hwc: ShapeHWC) -> ShapeHWC:
+        h, w, c = in_hwc
+        s = self.stride
+        if self.reverse:
+            return (h * s, w * s, c // (s * s))
+        return (h // s, w // s, c * s * s)
+
+
+@dataclasses.dataclass(frozen=True)
+class Sam:
+    """darknet [sam]: elementwise product with `from` layer."""
+
+    from_layer: int = -1
+
+    def output_shape(self, in_hwc: ShapeHWC) -> ShapeHWC:
+        return in_hwc
+
+
+@dataclasses.dataclass(frozen=True)
+class ScaleChannels:
+    """darknet [scale_channels]: SE-style broadcast multiply."""
+
+    from_layer: int = -1
+    scale_wh: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class Region:
+    """darknet [region] (YOLOv2 head): anchors in grid units, softmax classes."""
+
+    classes: int = 20
+    num: int = 5
+    anchors: Tuple[Tuple[float, float], ...] = ()  # (w, h) grid units
+    softmax: bool = True
+
+    def output_shape(self, in_hwc: ShapeHWC) -> ShapeHWC:
+        return in_hwc
+
+
+@dataclasses.dataclass(frozen=True)
 class Connected:
     """darknet [connected]: fully-connected layer."""
 
@@ -274,7 +323,8 @@ class Unimplemented:
 
 
 Layer = Union[Convolutional, Route, Shortcut, MaxPool, UpSample, Yolo,
-              Connected, AvgPool, Dropout, Softmax, Unimplemented]
+              Connected, AvgPool, Dropout, Softmax, Reorg, Sam,
+              ScaleChannels, Region, Unimplemented]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -298,7 +348,7 @@ class Darknet:
             if isinstance(
                 layer,
                 (Convolutional, MaxPool, UpSample, Yolo, Connected, AvgPool,
-                 Dropout, Softmax),
+                 Dropout, Softmax, Reorg, Sam, Region),
             ):
                 src = self.net.input_shape_hwc if i == 0 else shapes[i - 1]
                 shapes.append(layer.output_shape(src))
@@ -307,8 +357,10 @@ class Darknet:
                 shapes.append(layer.output_shape([shapes[j] for j in idxs]))
             elif isinstance(layer, Shortcut):
                 prev = self.net.input_shape_hwc if i == 0 else shapes[i - 1]
-                idxs = [resolve_index(j, i) for j in layer.from_layers]
-                shapes.append(layer.output_shape([prev] + [shapes[j] for j in idxs]))
+                shapes.append(prev)  # darknet shortcut output = previous layer
+            elif isinstance(layer, ScaleChannels):
+                j = resolve_index(layer.from_layer, i)
+                shapes.append(shapes[j])
             else:
                 # passthrough estimate for unimplemented kinds
                 shapes.append(self.net.input_shape_hwc if i == 0 else shapes[i - 1])
@@ -401,7 +453,7 @@ def _parse_layer(name: str, d: Dict[str, str]) -> Layer:
             activation=_get_str(d, "activation", "linear"),
             weights_type=_get_str(d, "weights_type", "none"),
         )
-    if name in ("maxpool", "max", "localavg"):
+    if name in ("maxpool", "max", "local_avgpool"):
         stride = _get_int(d, "stride", 1)
         size = _get_int(d, "size", stride)
         return MaxPool(
@@ -410,6 +462,7 @@ def _parse_layer(name: str, d: Dict[str, str]) -> Layer:
             stride_y=_get_int(d, "stride_y", stride),
             padding=_get_int(d, "padding", size - 1),
             maxpool_depth=_get_bool(d, "maxpool_depth", False),
+            pool_kind="avg" if name == "local_avgpool" else "max",
         )
     if name == "upsample":
         return UpSample(
@@ -438,6 +491,26 @@ def _parse_layer(name: str, d: Dict[str, str]) -> Layer:
             max_boxes=_get_int(d, "max", 200),
             nms_kind=_get_str(d, "nms_kind", "default"),
             beta_nms=_get_float(d, "beta_nms", 0.0),
+        )
+    if name in ("reorg", "reorg_old", "reorg3d"):
+        return Reorg(stride=_get_int(d, "stride", 2),
+                     reverse=_get_bool(d, "reverse", False),
+                     old=(name != "reorg3d"))
+    if name == "sam":
+        return Sam(from_layer=int(d["from"]))
+    if name == "scale_channels":
+        return ScaleChannels(from_layer=int(d["from"]),
+                             scale_wh=_get_bool(d, "scale_wh", False))
+    if name == "region":
+        anchors = ()
+        if "anchors" in d:
+            flat = _float_list(d["anchors"])
+            anchors = tuple((flat[i], flat[i + 1]) for i in range(0, len(flat) - 1, 2))
+        return Region(
+            classes=_get_int(d, "classes", 20),
+            num=_get_int(d, "num", 5),
+            anchors=anchors,
+            softmax=_get_bool(d, "softmax", True),
         )
     if name == "connected":
         return Connected(

@@ -186,6 +186,7 @@ class Detect2D(ModuleCfg):
     scale_xy: float = 1.0
     channel_order: str = "entry_major"  # "entry_major" | "anchor_major"
     entry_layout: str = "cycxhw"  # "cycxhw" (NEWSLAB) | "xywh" (darknet)
+    class_activation: str = "sigmoid"  # "sigmoid" | "softmax" (region heads)
     # Gaussian-YOLO head: entries are interleaved mean/sigma
     # (mu_x, s_x, mu_y, s_y, mu_w, s_w, mu_h, s_h, obj, classes) — darknet
     # gaussian_yolo_layer.c:809-825
@@ -223,6 +224,7 @@ class MaxPool(ModuleCfg):
     padding: int = 0
     maxpool_depth: bool = False
     total_padding: Optional[int] = None
+    pool_kind: str = "max"  # "max" | "avg" (darknet local_avgpool)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -246,6 +248,39 @@ class Identity(ModuleCfg):
     """Pass-through (darknet [cost] at inference)."""
 
     from_: Optional[str] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class Reorg2D(ModuleCfg):
+    """darknet reorg.  ``old=True`` reproduces [reorg]/[reorg_old] (the
+    historical flatten-reinterpret semantics: parser.c:81 maps [reorg] to
+    REORG_OLD, whose forward reinterprets the input buffer as
+    [c/s^2, h*s, w*s] before the shuffle — blas.c reorg_cpu with input
+    dims).  ``old=False`` is the plain space-to-depth of [reorg3d]."""
+
+    from_: Optional[str] = None
+    stride: int = 2
+    reverse: bool = False
+    old: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class DarknetSam(ModuleCfg):
+    """darknet [sam]: elementwise product of previous layer and `from`
+    (sam_layer.c:61-71).  from_ = (prev, referenced)."""
+
+    from_: Tuple[str, ...] = ()
+
+
+@dataclasses.dataclass(frozen=True)
+class DarknetScaleChannels(ModuleCfg):
+    """darknet [scale_channels] (SE block): broadcast-multiply the previous
+    layer's [b,1,1,c] (or [b,h,w,1] when scale_wh) onto `from`
+    (scale_channels_layer.c).  from_ = (prev, referenced); output takes the
+    referenced layer's shape."""
+
+    from_: Tuple[str, ...] = ()
+    scale_wh: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -87,6 +87,7 @@ def graph_from_darknet(darknet: dk.Darknet) -> Graph:
                     stride_x=layer.stride_x,
                     total_padding=layer.padding,
                     maxpool_depth=layer.maxpool_depth,
+                    pool_kind=layer.pool_kind,
                 )
             )
         elif isinstance(layer, dk.UpSample):
@@ -117,6 +118,40 @@ def graph_from_darknet(darknet: dk.Darknet) -> Graph:
                     channel_order="anchor_major",
                     entry_layout="xywh",
                     gaussian=layer.gaussian,
+                )
+            )
+            yolo_names.append(name)
+        elif isinstance(layer, dk.Reorg):
+            layers.append(
+                cfg.Reorg2D(name=name, from_=prev, stride=layer.stride,
+                            reverse=layer.reverse, old=layer.old)
+            )
+        elif isinstance(layer, dk.Sam):
+            layers.append(
+                cfg.DarknetSam(name=name, from_=(prev, ref(layer.from_layer, i)))
+            )
+        elif isinstance(layer, dk.ScaleChannels):
+            layers.append(
+                cfg.DarknetScaleChannels(
+                    name=name, from_=(prev, ref(layer.from_layer, i)),
+                    scale_wh=layer.scale_wh,
+                )
+            )
+        elif isinstance(layer, dk.Region):
+            # region anchors are in grid units of this head's feature map
+            fh, fw, _ = darknet.output_shapes()[i]
+            anchors = tuple((ah / fh, aw / fw) for aw, ah in layer.anchors)
+            layers.append(
+                cfg.Detect2D(
+                    name=name,
+                    from_=prev,
+                    classes=layer.classes,
+                    anchors=anchors,
+                    variant="darknet",
+                    scale_xy=1.0,
+                    channel_order="anchor_major",
+                    entry_layout="xywh",
+                    class_activation="softmax" if layer.softmax else "sigmoid",
                 )
             )
             yolo_names.append(name)

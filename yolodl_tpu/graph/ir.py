@@ -236,7 +236,7 @@ def _flatten(model: cfg.Model) -> Graph:
             elif isinstance(
                 layer,
                 (cfg.Concat2D, cfg.Sum2D, cfg.MergeDetect2D, cfg.DarknetRoute,
-                 cfg.DarknetShortcut),
+                 cfg.DarknetShortcut, cfg.DarknetSam, cfg.DarknetScaleChannels),
             ):
                 edges.append(
                     (key, ("indexed", [_join(prefix, p) for p in layer.from_]))
@@ -475,12 +475,31 @@ def _infer_shape(
         return ShapeOut.tensor(Shape([b, c, h, w]))
 
     if isinstance(layer, cfg.DarknetShortcut):
+        # darknet shortcut samples/strides mismatched spatial sizes
+        # (blas.c shortcut_cpu), so the output is simply the first (previous
+        # layer) input's shape
         ins = [shapes[k].tensor_shape() for k in ik.iter_keys()]
-        b, c, h, w = ins[0]
-        for s2 in ins[1:]:
-            b = b.unify(s2[0])
-            h = h.unify(s2[2])
-            w = w.unify(s2[3])
-        return ShapeOut.tensor(Shape([b, c, h, w]))
+        return ShapeOut.tensor(ins[0])
+
+    if isinstance(layer, cfg.DarknetSam):
+        ins = [shapes[k].tensor_shape() for k in ik.iter_keys()]
+        return ShapeOut.tensor(ins[0].unify(ins[1]))
+
+    if isinstance(layer, cfg.DarknetScaleChannels):
+        ins = [shapes[k].tensor_shape() for k in ik.iter_keys()]
+        return ShapeOut.tensor(ins[1])  # referenced layer's shape
+
+    if isinstance(layer, cfg.Reorg2D):
+        b, c, h, w = _single_tensor(ik, shapes)
+        st = layer.stride
+        if layer.reverse:
+            return ShapeOut.tensor(
+                Shape([b, c.map(lambda v: v // (st * st)),
+                       h.map(lambda v: v * st), w.map(lambda v: v * st)])
+            )
+        return ShapeOut.tensor(
+            Shape([b, c.map(lambda v: v * st * st),
+                   h.map(lambda v: v // st), w.map(lambda v: v // st)])
+        )
 
     raise ValueError(f"no shape rule for module kind {layer.kind!r}")

@@ -259,7 +259,7 @@ class GraphModel:
             elif isinstance(layer, cfg.MaxPool):
                 outputs[key] = simple.max_pool2d(
                     single(), layer.size, layer.stride_y, layer.stride_x,
-                    layer.padding, layer.total_padding,
+                    layer.padding, layer.total_padding, layer.pool_kind,
                 )
             elif isinstance(layer, cfg.DynamicPad2D):
                 outputs[key] = simple.dynamic_pad2d(
@@ -275,6 +275,7 @@ class GraphModel:
                     order=layer.channel_order, variant=layer.variant,
                     scale_xy=layer.scale_xy, entry_layout=layer.entry_layout,
                     gaussian=layer.gaussian,
+                    class_activation=layer.class_activation,
                 )
             elif isinstance(layer, cfg.DarknetRoute):
                 ins = [outputs[k] for k in ik.iter_keys()]
@@ -290,11 +291,54 @@ class GraphModel:
                 from .. import activations
                 ins = [outputs[k] for k in ik.iter_keys()]
                 out = ins[0]
+                oh, ow = out.shape[1], out.shape[2]
                 for other in ins[1:]:
+                    # darknet shortcut_cpu: stride-sample larger maps,
+                    # nearest-repeat smaller ones
+                    fh, fw = other.shape[1], other.shape[2]
+                    if fh > oh:
+                        other = other[:, :: fh // oh, :: fw // ow, :]
+                    elif fh < oh:
+                        other = jnp.repeat(
+                            jnp.repeat(other, oh // fh, axis=1), ow // fw, axis=2
+                        )
                     c = min(out.shape[-1], other.shape[-1])
                     out = out.at[..., :c].add(other[..., :c]) if c < out.shape[-1] \
                         else out + other[..., :c]
                 outputs[key] = activations.apply(layer.act, out)
+            elif isinstance(layer, cfg.DarknetSam):
+                ins = [outputs[k] for k in ik.iter_keys()]
+                outputs[key] = ins[0] * ins[1]
+            elif isinstance(layer, cfg.DarknetScaleChannels):
+                scale, target = (outputs[k] for k in ik.iter_keys())
+                # scale is [b,1,1,c] (SE) or [b,h,w,1] (scale_wh); broadcast
+                outputs[key] = scale * target
+            elif isinstance(layer, cfg.Reorg2D):
+                from ..ops.spd_stem import space_to_depth
+
+                st = layer.stride
+                h2 = single()
+                if layer.old and not layer.reverse:
+                    # REORG_OLD: reinterpret the NCHW buffer as
+                    # [c/s^2, h*s, w*s], space-to-depth, reinterpret back as
+                    # [c*s^2, h/s, w/s] (blas.c reorg_cpu with input dims)
+                    b_, hh, ww, cc = h2.shape
+                    nchw = jnp.transpose(h2, (0, 3, 1, 2))
+                    view = nchw.reshape(b_, cc // (st * st), hh * st, ww * st)
+                    view = jnp.transpose(view, (0, 2, 3, 1))        # NHWC
+                    shuffled = space_to_depth(view, st)             # [b,h,w,c]
+                    out_nchw = jnp.transpose(shuffled, (0, 3, 1, 2))
+                    out_nchw = out_nchw.reshape(
+                        b_, cc * st * st, hh // st, ww // st
+                    )
+                    outputs[key] = jnp.transpose(out_nchw, (0, 2, 3, 1))
+                elif layer.reverse:
+                    b_, hh, ww, cc = h2.shape
+                    h2 = h2.reshape(b_, hh, ww, st, st, cc // (st * st))
+                    h2 = jnp.transpose(h2, (0, 1, 3, 2, 4, 5))
+                    outputs[key] = h2.reshape(b_, hh * st, ww * st, cc // (st * st))
+                else:
+                    outputs[key] = space_to_depth(h2, st)
             elif isinstance(layer, cfg.MergeDetect2D):
                 outputs[key] = detect.merge_detections(
                     [outputs[k] for k in ik.iter_keys()]

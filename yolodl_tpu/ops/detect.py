@@ -42,6 +42,7 @@ class DetectionInfo:
     anchors: Tuple[Tuple[float, float], ...]  # (h, w) in image-ratio units
     flat_begin: int
     flat_end: int
+    class_act: str = "sigmoid"  # "sigmoid" | "softmax" (region heads)
 
     @property
     def num_anchors(self) -> int:
@@ -64,17 +65,19 @@ class DenseDetection:
     obj_logit: Array  # [b, A, H, W]
     class_logit: Array  # [b, A, H, W, C]
     anchors: Tuple[Tuple[float, float], ...]  # static
+    class_act: str = "sigmoid"
     uncertainty: Optional[Array] = None  # [b, A, H, W]
 
     def tree_flatten(self):
         return (self.cycxhw, self.obj_logit, self.class_logit,
-                self.uncertainty), self.anchors
+                self.uncertainty), (self.anchors, self.class_act)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
+        anchors, class_act = aux
         cycxhw, obj_logit, class_logit, uncertainty = children
         return cls(cycxhw=cycxhw, obj_logit=obj_logit, class_logit=class_logit,
-                   anchors=aux, uncertainty=uncertainty)
+                   anchors=anchors, class_act=class_act, uncertainty=uncertainty)
 
     @property
     def num_classes(self) -> int:
@@ -121,6 +124,8 @@ class MergedDetection:
         return jax.nn.sigmoid(self.obj_logit)
 
     def class_prob(self) -> Array:
+        if self.infos and self.infos[0].class_act == "softmax":
+            return jax.nn.softmax(self.class_logit, axis=-1)
         return jax.nn.sigmoid(self.class_logit)
 
     def confidence(self) -> Array:
@@ -142,6 +147,7 @@ def detect_decode(
     scale_xy: float = 1.0,
     entry_layout: str = "cycxhw",
     gaussian: bool = False,
+    class_activation: str = "sigmoid",
 ) -> DenseDetection:
     """Decode a head feature map [b, H, W, A*(5+C)] into boxes.
 
@@ -213,6 +219,7 @@ def detect_decode(
         obj_logit=obj_logit,
         class_logit=class_logit,
         anchors=tuple((float(ah), float(aw)) for ah, aw in anchors),
+        class_act=class_activation,
         uncertainty=uncertainty,
     )
 
@@ -234,6 +241,7 @@ def merge_detections(heads: Sequence[DenseDetection]) -> MergedDetection:
             DetectionInfo(
                 feature_h=fh, feature_w=fw, anchors=head.anchors,
                 flat_begin=begin, flat_end=begin + n,
+                class_act=head.class_act,
             )
         )
         begin += n

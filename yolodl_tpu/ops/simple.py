@@ -40,6 +40,7 @@ def max_pool2d(
     stride_x: int,
     padding: int = 0,
     total_padding: int = None,
+    pool_kind: str = "max",
 ) -> Array:
     """Max-pool with -inf padding.
 
@@ -51,6 +52,14 @@ def max_pool2d(
         lo, hi = total_padding // 2, total_padding - total_padding // 2
     else:
         lo = hi = padding
+    if pool_kind == "avg":
+        summed = jax.lax.reduce_window(
+            x, 0.0, jax.lax.add,
+            window_dimensions=(1, size, size, 1),
+            window_strides=(1, stride_y, stride_x, 1),
+            padding=((0, 0), (lo, hi), (lo, hi), (0, 0)),
+        )
+        return summed / (size * size)
     # -inf identity keeps reduce_window differentiable (select-and-scatter VJP)
     return jax.lax.reduce_window(
         x,
