@@ -189,3 +189,17 @@ class TestBenchmarkMetrics:
             "--max-steps", "2",
         )
         assert out.returncode == 0, out.stderr[-3000:]
+
+
+class TestEvalCli:
+    def test_eval_runs_and_reports(self, workspace):
+        out = run_cli(
+            "yolodl_tpu.cli.eval_main",
+            "--config-file", str(workspace / "detect.json5"),
+            "--limit", "4",
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        result = json.loads(out.stdout.strip().splitlines()[-1])
+        assert result["images"] == 4
+        assert 0.0 <= result["mAP@0.5"] <= 1.0
+        assert "mAP@0.5:0.95" in result

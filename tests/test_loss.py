@@ -357,3 +357,27 @@ class TestNms:
         pred = self._pred_with_boxes([(0.5, 0.5, 0.2, 0.2, 0, 8.0)])
         f = jax.jit(lambda p: non_max_suppression(p, max_dets=16).num_valid())
         assert int(f(pred)[0]) == 1
+
+
+class TestDiouNms:
+    def test_diou_suppresses_less_for_distant_boxes(self):
+        from tests.test_loss import TestNms as _T
+
+        helper = _T()
+        # two same-class boxes with IoU just above threshold but distant
+        # centers: DIoU-NMS (iou - dist/diag) keeps both, greedy kills one
+        pred = helper._pred_with_boxes([
+            (0.45, 0.45, 0.4, 0.4, 0, 8.0),
+            (0.62, 0.62, 0.4, 0.4, 0, 5.0),  # IoU ≈ 0.30
+        ])
+        from yolodl_tpu.loss import non_max_suppression
+
+        # pair IoU ≈ 0.198; DIoU ≈ 0.198 − 0.089 = 0.109 → threshold 0.15
+        # separates the two policies
+        greedy = non_max_suppression(pred, iou_threshold=0.15,
+                                     confidence_threshold=0.3, max_dets=16)
+        diou = non_max_suppression(pred, iou_threshold=0.15,
+                                   confidence_threshold=0.3, max_dets=16,
+                                   kind="diou")
+        assert int(greedy.num_valid()[0]) == 1
+        assert int(diou.num_valid()[0]) == 2

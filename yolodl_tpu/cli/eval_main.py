@@ -1,0 +1,124 @@
+"""Evaluation CLI: dataset mAP.
+
+    python -m yolodl_tpu.cli.eval_main --config-file detect.json5 \
+        [--weights w.weights | --checkpoint c.ckpt] [--limit N]
+
+Runs batch inference + NMS over the configured dataset and reports COCO
+101-point AP@0.5 and mAP@0.5:0.95.  The reference has only in-training
+benchmark telemetry and an AP calculator library (average_precision.rs) —
+no standalone evaluation entry point; this closes that gap.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="yolodl_tpu evaluator")
+    parser.add_argument("--config-file", required=True,
+                        help="detect.json5-style config")
+    parser.add_argument("--weights", default="")
+    parser.add_argument("--checkpoint", default="")
+    parser.add_argument("--limit", type=int, default=0)
+    parser.add_argument("--conf-thresh", type=float, default=0.005,
+                        help="confidence floor for candidate detections")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..config.app_config import DetectAppConfig
+    from ..data import OnDemandLoader, SanitizedDataset
+    from ..graph import Graph
+    from ..graph.from_darknet import load_darknet_graph
+    from ..loss import non_max_suppression, yolo_inference
+    from ..loss.average_precision import (
+        Detection, GroundTruth, average_precision, coco_map_50_95,
+    )
+    from ..models import YoloModel
+    from ..train.checkpoint import load_checkpoint
+
+    config = DetectAppConfig.load(args.config_file)
+    base_dir = os.path.dirname(os.path.abspath(args.config_file))
+    model_path = os.path.join(base_dir, config.model_file)
+
+    if config.model_kind == "darknet":
+        if args.weights:
+            from ..models.zoo import load_darknet_model
+
+            model, params, state = load_darknet_model(model_path, args.weights)
+        else:
+            model = YoloModel(load_darknet_graph(model_path))
+            params, state = model.init(jax.random.PRNGKey(0))
+    else:
+        model = YoloModel(Graph.load_newslab_v1_json(model_path))
+        params, state = model.init(jax.random.PRNGKey(0))
+    if args.checkpoint:
+        params, state, _, _ = load_checkpoint(args.checkpoint, params, state)
+
+    dataset = SanitizedDataset(config.dataset.open(base_dir))
+    size = config.dataset.image_size
+    loader = OnDemandLoader((size, size))
+
+    @jax.jit
+    def infer(params, state, images):
+        pred, _ = model.apply(params, state, images, train=False)
+        nms = non_max_suppression(
+            pred,
+            iou_threshold=config.nms_iou_thresh,
+            confidence_threshold=args.conf_thresh,
+            suppress_by_class=True,
+        )
+        return yolo_inference(nms, pred.num_flats)
+
+    records = dataset.records()
+    if args.limit:
+        records = records[: args.limit]
+    batch_size = config.minibatch_size
+
+    dets, gts = [], []
+    for start in range(0, len(records), batch_size):
+        chunk = records[start : start + batch_size]
+        decoded = [loader.load(r) for r in chunk]
+        while len(decoded) < batch_size:
+            decoded.append(decoded[-1])
+        images = jnp.asarray(np.stack([d.image for d in decoded]))
+        out = infer(params, state, images)
+        tlbr = np.asarray(out.tlbr)
+        conf = np.asarray(out.confidence)
+        classes = np.asarray(out.classes)
+        valid = np.asarray(out.valid)
+        for i, _rec in enumerate(chunk):
+            img_id = start + i
+            boxes = decoded[i].boxes
+            for (cy, cx, h, w), cls in zip(boxes, decoded[i].classes):
+                gts.append(
+                    GroundTruth(img_id, int(cls),
+                                (cy - h / 2, cx - w / 2, cy + h / 2, cx + w / 2))
+                )
+            for k in np.nonzero(valid[i])[0]:
+                dets.append(
+                    Detection(img_id, int(classes[i, k]), float(conf[i, k]),
+                              tuple(tlbr[i, k]))
+                )
+
+    ap50 = average_precision(dets, gts, iou_threshold=0.5,
+                             num_classes=len(dataset.classes))
+    map5095 = coco_map_50_95(dets, gts)
+    result = {
+        "images": len(records),
+        "detections": len(dets),
+        "ground_truths": len(gts),
+        "mAP@0.5": round(ap50["mAP"], 4),
+        "mAP@0.5:0.95": round(map5095, 4),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

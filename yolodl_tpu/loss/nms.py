@@ -62,12 +62,15 @@ class NmsOutput:
 
 
 def _suppress(tlbr: Array, scores: Array, group: Array, valid: Array,
-              iou_threshold: float, backend: str = "xla") -> Array:
+              iou_threshold: float, backend: str = "xla",
+              kind: str = "greedy") -> Array:
     """Greedy NMS over score-sorted candidates (single image).
 
     tlbr [K,4], scores [K] (descending), group [K], valid [K] → keep [K].
     ``backend="pallas"`` computes the IoU matrix with the tiled TPU kernel
     (kernels/iou_pallas.py) — the tch-nms replacement path.
+    ``kind="diou"`` subtracts the normalized center distance from the IoU
+    before thresholding (darknet nms_kind=diounms).
     """
     k = tlbr.shape[0]
     if backend == "pallas":
@@ -76,6 +79,18 @@ def _suppress(tlbr: Array, scores: Array, group: Array, valid: Array,
         iou = pairwise_iou_pallas(tlbr)
     else:
         iou = box_iou_pairwise(tlbr, tlbr)
+    if kind == "diou":
+        cy = (tlbr[:, 0] + tlbr[:, 2]) / 2
+        cx = (tlbr[:, 1] + tlbr[:, 3]) / 2
+        dist = (cy[:, None] - cy[None, :]) ** 2 + (cx[:, None] - cx[None, :]) ** 2
+        enc_t = jnp.minimum(tlbr[:, None, 0], tlbr[None, :, 0])
+        enc_l = jnp.minimum(tlbr[:, None, 1], tlbr[None, :, 1])
+        enc_b = jnp.maximum(tlbr[:, None, 2], tlbr[None, :, 2])
+        enc_r = jnp.maximum(tlbr[:, None, 3], tlbr[None, :, 3])
+        diag = (enc_b - enc_t) ** 2 + (enc_r - enc_l) ** 2 + 1e-16
+        iou = iou - dist / diag
+    elif kind != "greedy":
+        raise ValueError(f"unknown nms kind {kind!r}")
     same_group = group[:, None] == group[None, :]
     conflict = (iou > iou_threshold) & same_group
     # conflict[i, j]: candidate j conflicts with higher-scored candidate i
@@ -100,6 +115,7 @@ def non_max_suppression(
     suppress_by_class: bool = False,
     max_dets: int = 512,
     backend: str = "xla",
+    kind: str = "greedy",
 ) -> NmsOutput:
     """Batched NMS on a merged detection tensor.
 
@@ -128,7 +144,7 @@ def non_max_suppression(
     group = classes if suppress_by_class else jnp.zeros_like(classes)
 
     keep = jax.vmap(
-        lambda t, s, g, v: _suppress(t, s, g, v, iou_threshold, backend)
+        lambda t, s, g, v: _suppress(t, s, g, v, iou_threshold, backend, kind)
     )(tlbr, top_conf, group, valid)
 
     return NmsOutput(

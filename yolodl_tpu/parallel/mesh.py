@@ -18,6 +18,30 @@ from jax.sharding import Mesh
 DATA_AXIS = "data"
 
 
+def initialize_multi_host(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Join a multi-host JAX runtime (DCN extension point, SURVEY §2.8).
+
+    On TPU pods the defaults auto-discover from the environment; explicit
+    arguments support manual clusters.  After this, ``jax.devices()`` spans
+    all hosts and the same data-parallel mesh/axis-name code runs unchanged
+    — the DP axis simply gets bigger.
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(
     n_devices: Optional[int] = None, devices: Optional[Sequence] = None
 ) -> Mesh:

@@ -124,6 +124,25 @@ class LoggingWorker:
     def log_image(self, step: int, name: str, image_chw: np.ndarray) -> None:
         self._offer(("image", step, (name, np.asarray(image_chw))))
 
+    def log_objectness_heatmap(
+        self, step: int, image_chw: np.ndarray, obj_prob_flat: np.ndarray,
+        infos, layer: int = 0,
+    ) -> None:
+        """Objectness probabilities of one head resized over the input
+        (logging.rs:379-422 objectness-image equivalent)."""
+        info = infos[layer]
+        per_layer = obj_prob_flat[info.flat_begin:info.flat_end].reshape(
+            info.num_anchors, info.feature_h, info.feature_w
+        )
+        heat = per_layer.max(axis=0)
+        _, h, w = image_chw.shape
+        ry = max(1, h // info.feature_h)
+        rx = max(1, w // info.feature_w)
+        heat_up = np.kron(heat, np.ones((ry, rx)))[:h, :w]
+        overlay = image_chw * 0.5
+        overlay[0, : heat_up.shape[0], : heat_up.shape[1]] += 0.5 * heat_up
+        self.log_image(step, "objectness/heatmap", np.clip(overlay, 0, 1))
+
     def close(self):
         if self._thread is not None:
             self._queue.put(None)
