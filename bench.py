@@ -21,6 +21,9 @@ V100_X2_IMG_S = 50.0
 BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 SIZE = int(os.environ.get("BENCH_SIZE", "608"))
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))
+# "train" (default): full train step img/s.  "infer": forward+NMS img/s.
+# "nms": p50 NMS latency in ms (BASELINE.json metric family).
+MODE = os.environ.get("BENCH_MODE", "train")
 
 
 def main():
@@ -44,6 +47,10 @@ def main():
 
     cfg_path = os.path.join(os.path.dirname(__file__), "cfg/darknet/yolov4-csp.cfg")
     model = YoloModel(graph_from_darknet(dk.Darknet.load(cfg_path)))
+
+    if MODE in ("infer", "nms"):
+        _bench_inference(jax, jnp, np, model)
+        return
 
     config = TrainConfig()
     ts, opt = train_init(model, config, seed=0)
@@ -81,6 +88,98 @@ def main():
             }
         )
     )
+
+
+def _bench_inference(jax, jnp, np, model):
+    """forward+NMS throughput, or p50 NMS latency (MODE == "nms")."""
+    from yolodl_tpu.loss import non_max_suppression, yolo_inference
+    from yolodl_tpu.train import TrainConfig, train_init
+
+    ts, _ = train_init(model, TrainConfig())
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.normal(size=(BATCH, 3, SIZE, SIZE)).astype(np.float32), jnp.bfloat16
+    )
+
+    @jax.jit
+    def fwd(params, state, x):
+        pred, _ = model.apply(params, state, x, train=False)
+        return pred
+
+    # NMS runs as a second jit: fused into the conv program, XLA's layout
+    # choice for the confidence tensor sends TopK down a strided-sort path
+    # (~50 ms/batch); as a separate program it costs microseconds
+    @jax.jit
+    def nms_stage(pred):
+        out = non_max_suppression(pred, confidence_threshold=0.25,
+                                  backend="pallas", class_mode="argmax")
+        return yolo_inference(out, pred.num_flats)
+
+    def fwd_nms(params, state, x):
+        return nms_stage(fwd(params, state, x))
+
+    if MODE == "infer":
+        out = fwd_nms(ts.params, ts.state, images)
+        jax.block_until_ready(out.valid)
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            out = fwd_nms(ts.params, ts.state, images)
+        jax.block_until_ready(out.valid)
+        dt = time.perf_counter() - t0
+        img_s = BATCH * STEPS / dt
+        print(json.dumps({
+            "metric": "img/s/chip yolov4-csp-608 infer+nms",
+            "value": round(img_s, 2), "unit": "img/s",
+            "vs_baseline": round(img_s / V100_X2_IMG_S, 3),
+        }))
+        return
+
+    # MODE == "nms": differential measurement — (fwd+NMS) − (fwd) with the
+    # same loop shape cancels the dev-setup's per-dispatch tunnel overhead
+    # and leaves the NMS+class-selection device time
+    @jax.jit
+    def fwd_sum(params, state, x):
+        pred, _ = model.apply(params, state, x, train=False)
+        return pred.obj_logit.sum()
+
+    @jax.jit
+    def nms_stage2(pred):
+        out = non_max_suppression(pred, confidence_threshold=0.25,
+                                  backend="pallas", class_mode="argmax")
+        return yolo_inference(out, pred.num_flats).valid.sum()
+
+    @jax.jit
+    def fwd_pred(params, state, x):
+        pred, _ = model.apply(params, state, x, train=False)
+        return pred
+
+    def fwd_sum2(params, state, x):
+        return fwd_pred(params, state, x).obj_logit.sum()
+
+    def fwd_nms_sum(params, state, x):
+        return nms_stage2(fwd_pred(params, state, x))
+
+    def run(fn, iters):
+        out = fn(ts.params, ts.state, images)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(ts.params, ts.state, images)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters
+
+    iters = max(STEPS, 10)
+    samples = []
+    for _ in range(5):
+        base = run(fwd_sum2, iters)
+        with_nms = run(fwd_nms_sum, iters)
+        samples.append(max(with_nms - base, 0.0) * 1e3 / BATCH)
+    p50 = float(np.percentile(samples, 50))
+    print(json.dumps({
+        "metric": "p50 NMS latency yolov4-csp-608",
+        "value": round(p50, 4), "unit": "ms/img",
+        "vs_baseline": round(1.0 / max(p50, 1e-4), 3),
+    }))
 
 
 if __name__ == "__main__":

@@ -381,3 +381,44 @@ class TestDiouNms:
                                    kind="diou")
         assert int(greedy.num_valid()[0]) == 1
         assert int(diou.num_valid()[0]) == 2
+
+
+class TestNmsFixpointEquivalence:
+    def test_matches_sequential_greedy_reference(self, rng):
+        """The Jacobi-fixpoint suppression must equal scalar greedy NMS."""
+        from yolodl_tpu.loss.nms import _suppress
+
+        for trial in range(10):
+            k = 64
+            r = np.random.default_rng(trial)
+            centers = r.uniform(0.1, 0.9, (k, 2))
+            sizes = r.uniform(0.05, 0.45, (k, 2))
+            tlbr = np.concatenate([centers - sizes / 2, centers + sizes / 2], 1)
+            scores = np.sort(r.uniform(0.1, 1.0, k))[::-1].copy()
+            group = r.integers(0, 3, k)
+            valid = r.uniform(size=k) > 0.2
+
+            got = np.asarray(
+                _suppress(
+                    jnp.asarray(tlbr, jnp.float32), jnp.asarray(scores, jnp.float32),
+                    jnp.asarray(group), jnp.asarray(valid), 0.45,
+                )
+            )
+
+            # scalar greedy reference
+            def iou(a, b):
+                t = max(a[0], b[0]); l = max(a[1], b[1])
+                bb = min(a[2], b[2]); rr = min(a[3], b[3])
+                inter = max(bb - t, 0) * max(rr - l, 0)
+                ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+                return inter / (ua + 1e-16)
+
+            keep = valid.copy()
+            for i in range(k):
+                if not keep[i]:
+                    continue
+                for j in range(i):
+                    if keep[j] and group[j] == group[i] and iou(tlbr[j], tlbr[i]) > 0.45:
+                        keep[i] = False
+                        break
+            np.testing.assert_array_equal(got, keep, err_msg=f"trial {trial}")

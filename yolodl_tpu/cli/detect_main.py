@@ -70,6 +70,7 @@ def main(argv=None):
             iou_threshold=config.nms_iou_thresh,
             confidence_threshold=config.nms_conf_thresh,
             suppress_by_class=False,
+            class_mode="argmax",
         )
         return yolo_inference(nms, pred.num_flats)
 

@@ -92,20 +92,55 @@ def _suppress(tlbr: Array, scores: Array, group: Array, valid: Array,
     elif kind != "greedy":
         raise ValueError(f"unknown nms kind {kind!r}")
     same_group = group[:, None] == group[None, :]
-    conflict = (iou > iou_threshold) & same_group
-    # conflict[i, j]: candidate j conflicts with higher-scored candidate i
+    order = jnp.arange(k)
+    lower = order[:, None] < order[None, :]  # j strictly higher-ranked than i
+    conflict = (iou > iou_threshold) & same_group & lower
+    # conflict[j, i]: candidate i conflicts with higher-scored candidate j
 
-    keep = valid
+    # Greedy NMS solves the triangular recurrence
+    #   keep[i] = valid[i] ∧ ∀ j<i: ¬(keep[j] ∧ conflict[j,i]).
+    # A K-step sequential loop is latency-bound; a global Jacobi fixpoint
+    # does K² work per pass and degenerates on deep suppression chains.
+    # Block-sequential greedy is exact with bounded work: march over blocks
+    # of BLK candidates in rank order; each block is first masked by the
+    # already-decided prefix (one K×BLK reduction), then resolved internally
+    # with a small Jacobi fixpoint over its BLK×BLK conflict submatrix
+    # (converges in ≤ BLK passes, usually ~2-4).
+    blk = min(64, k)
+    num_blocks = (k + blk - 1) // blk
+    pad = num_blocks * blk - k
+    if pad:
+        conflict = jnp.pad(conflict, ((0, pad), (0, pad)))
+        valid = jnp.pad(valid, (0, pad))
+    kp = valid.shape[0]
 
-    def body(i, keep):
-        # if candidate i survives, kill all lower-ranked conflicting candidates
-        row = conflict[i]
-        alive_i = keep[i]
-        later = jnp.arange(k) > i
-        kill = alive_i & row & later
-        return keep & ~kill
+    def outer(b, keep):
+        start = b * blk
+        cols = jax.lax.dynamic_slice(conflict, (0, start), (kp, blk))  # [K, BLK]
+        sub = jax.lax.dynamic_slice(conflict, (start, start), (blk, blk))
+        valid_blk = jax.lax.dynamic_slice(valid, (start,), (blk,))
+        # prefix suppression: decided candidates before this block
+        prefix_mask = jnp.arange(kp) < start
+        sup_prefix = jnp.any(cols & (keep & prefix_mask)[:, None], axis=0)
+        base = valid_blk & ~sup_prefix
 
-    return jax.lax.fori_loop(0, k, body, keep)
+        def cond(state):
+            t, kb, changed = state
+            return changed & (t < blk)
+
+        def body(state):
+            t, kb, _ = state
+            sup = jnp.any(sub & kb[:, None], axis=0)
+            new = base & ~sup
+            return t + 1, new, jnp.any(new != kb)
+
+        _, kb, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), base, jnp.asarray(True))
+        )
+        return jax.lax.dynamic_update_slice(keep, kb, (start,))
+
+    keep = jax.lax.fori_loop(0, num_blocks, outer, valid)
+    return keep[:k]
 
 
 def non_max_suppression(
@@ -116,11 +151,20 @@ def non_max_suppression(
     max_dets: int = 512,
     backend: str = "xla",
     kind: str = "greedy",
+    class_mode: str = "pairs",
 ) -> NmsOutput:
     """Batched NMS on a merged detection tensor.
 
     Candidate gating matches nms.rs:97-103: obj_prob ≥ τ AND confidence ≥ τ,
     per (instance, class) pair.
+
+    ``class_mode``: "pairs" considers every (instance, class) pair as a
+    candidate (exact reference semantics — nms.rs keeps multi-label
+    candidates); "argmax" pre-selects each instance's best class before the
+    top-k.  The argmax path is the production default downstream of
+    ``yolo_inference`` (which keeps only the best class anyway) and sorts an
+    80× smaller tensor — the full N·C top-k hits a pathological slow path in
+    XLA's TPU TopK for near-degenerate confidence distributions.
     """
     b = prediction.batch_size
     n = prediction.num_flats
@@ -131,12 +175,23 @@ def non_max_suppression(
     mask = (obj[..., None] >= confidence_threshold) & (conf >= confidence_threshold)
     masked_conf = jnp.where(mask, conf, 0.0)
 
-    k = min(max_dets, n * c)
-    flat_conf = masked_conf.reshape(b, n * c)
-    top_conf, top_idx = jax.lax.top_k(flat_conf, k)  # sorted descending
-    instances = (top_idx // c).astype(jnp.int32)
-    classes = (top_idx % c).astype(jnp.int32)
-    valid = top_conf > 0.0
+    if class_mode == "argmax":
+        best_class = jnp.argmax(masked_conf, axis=-1).astype(jnp.int32)  # [B, N]
+        best_conf = jnp.max(masked_conf, axis=-1)                        # [B, N]
+        k = min(max_dets, n)
+        top_conf, instances = jax.lax.top_k(best_conf, k)
+        instances = instances.astype(jnp.int32)
+        classes = jnp.take_along_axis(best_class, instances, axis=1)
+        valid = top_conf > 0.0
+    elif class_mode == "pairs":
+        k = min(max_dets, n * c)
+        flat_conf = masked_conf.reshape(b, n * c)
+        top_conf, top_idx = jax.lax.top_k(flat_conf, k)  # sorted descending
+        instances = (top_idx // c).astype(jnp.int32)
+        classes = (top_idx % c).astype(jnp.int32)
+        valid = top_conf > 0.0
+    else:
+        raise ValueError(f"unknown class_mode {class_mode!r}")
 
     boxes = jnp.take_along_axis(prediction.cycxhw, instances[..., None], axis=1)
     tlbr = cycxhw_to_tlbr(boxes)  # [B, K, 4]
