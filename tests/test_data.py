@@ -525,3 +525,26 @@ class TestTfrecordCache:
         outs2 = [cache2.load(r) for r in records]
         for a, b in zip(outs, outs2):
             assert np.abs(a.image - b.image).max() <= 1 / 255 + 1e-6
+
+
+class TestPipelineWorkers:
+    def test_multiworker_deterministic_when_ordered(self, image_dir):
+        tmp, records = image_dir
+        outs = []
+        for workers in (1, 3):
+            cfg2 = TrainingStreamConfig(batch_size=2, max_gt=4, seed=9,
+                                        mosaic_prob=0.5, workers=workers)
+            stream = TrainingStream(records, OnDemandLoader((24, 24)), cfg2)
+            it = iter(stream)
+            outs.append([next(it) for _ in range(3)])
+        for a, b in zip(*outs):
+            np.testing.assert_allclose(a.images, b.images)
+            np.testing.assert_allclose(a.boxes, b.boxes)
+
+    def test_unordered_mode_yields_all(self, image_dir):
+        tmp, records = image_dir
+        cfg2 = TrainingStreamConfig(batch_size=2, max_gt=4, seed=1, workers=3,
+                                    ordered=False)
+        stream = TrainingStream(records, OnDemandLoader((16, 16)), cfg2)
+        rec = next(iter(stream))
+        assert rec.images.shape == (2, 3, 16, 16)

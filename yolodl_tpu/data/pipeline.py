@@ -49,6 +49,9 @@ class TrainingStreamConfig:
     workers: int = 2
     queue_depth: int = 4
     drop_last: bool = True
+    # ordered=True reassembles records in plan order (deterministic batches,
+    # the reference's unordered_records=false); False yields as they finish
+    ordered: bool = True
 
     def __post_init__(self):
         from .mosaic import CutMixMixer, MixUpMixer
@@ -168,31 +171,57 @@ class TrainingStream:
         cfg = self.config
         out_q: "queue.Queue" = queue.Queue(maxsize=cfg.queue_depth * cfg.batch_size)
         stop = threading.Event()
+        workers = max(1, cfg.workers)
 
-        def producer():
+        def producer(worker_id: int):
+            """Each worker handles epoch slots ≡ worker_id (mod workers) —
+            the unordered parallel-stage model of the reference's
+            try_par_then_unordered (training_stream.rs:208-223); per-slot
+            RNG keys keep augmentation deterministic regardless of
+            interleaving."""
             epoch = 0
-            serial = 0
             try:
                 while not stop.is_set():
                     plan = self._epoch_plan(epoch)
-                    for slot, indices in enumerate(plan):
+                    for slot in range(worker_id, len(plan), workers):
                         if stop.is_set():
                             return
                         rng = np.random.default_rng((cfg.seed, epoch, slot))
                         timing = Timing("pipeline")
-                        rec = self._make_record(indices, rng, timing)
-                        out_q.put((epoch, serial, rec, timing))
-                        serial += 1
+                        rec = self._make_record(plan[slot], rng, timing)
+                        out_q.put((epoch, slot, rec, timing))
                     epoch += 1
             except Exception as e:  # surface worker errors to the consumer
                 out_q.put(e)
 
         threads = [
-            threading.Thread(target=producer, daemon=True)
-            for _ in range(1)  # ordered single producer; loader may thread internally
+            threading.Thread(target=producer, args=(i,), daemon=True)
+            for i in range(workers)
         ]
         for t in threads:
             t.start()
+
+        n_slots = len(self.records)
+        pending = {}
+        next_serial = 0
+
+        def get_next():
+            """Next record, in plan order when cfg.ordered."""
+            nonlocal next_serial
+            if not cfg.ordered:
+                item = out_q.get()
+                if isinstance(item, Exception):
+                    raise item
+                return item
+            while next_serial not in pending:
+                item = out_q.get()
+                if isinstance(item, Exception):
+                    raise item
+                epoch_i, slot_i, rec_i, timing_i = item
+                pending[epoch_i * n_slots + slot_i] = item
+            item = pending.pop(next_serial)
+            next_serial += 1
+            return item
 
         step = 0
         try:
@@ -202,9 +231,7 @@ class TrainingStream:
                 timing = Timing("batch")
                 with timing.timed("collect"):
                     while len(batch) < cfg.batch_size:
-                        item = out_q.get()
-                        if isinstance(item, Exception):
-                            raise item
+                        item = get_next()
                         epoch, _serial, rec, rec_timing = item
                         timing.merge(rec_timing)
                         batch.append(rec)
