@@ -229,3 +229,37 @@ class TestDataParallel:
             ts, metrics = dp_fn(ts, *batch)
         assert np.isfinite(float(metrics["total_loss"]))
         assert int(ts.step) == 3
+
+
+class TestCheckpointExtras:
+    def test_ema_roundtrip(self, tmp_path):
+        from yolodl_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+        model = tiny_model()
+        ts, _ = train_init(model, TrainConfig(use_ema=True))
+        path = save_checkpoint(str(tmp_path), 1, 1.0, ts.params, ts.state,
+                               ts.opt_state, ema_params=ts.ema_params)
+        _, _, _, meta = load_checkpoint(path, ts.params, ts.state, ts.opt_state)
+        assert meta["has_ema"]
+        for a, b in zip(jax.tree_util.tree_leaves(ts.ema_params),
+                        jax.tree_util.tree_leaves(meta["ema"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_partial_load_skips_mismatches(self, tmp_path):
+        from yolodl_tpu.train.checkpoint import load_checkpoint_partial, save_checkpoint
+
+        donor = tiny_model(classes=2)
+        ts, _ = train_init(donor, TrainConfig())
+        path = save_checkpoint(str(tmp_path), 1, 1.0, ts.params, ts.state)
+
+        target = tiny_model(classes=1)  # head shape differs
+        ts2, _ = train_init(target, TrainConfig())
+        params, state, meta, skipped = load_checkpoint_partial(
+            path, ts2.params, ts2.state
+        )
+        assert any("head" in k for k in skipped)  # mismatched head kept fresh
+        # backbone convs transferred
+        name = next(n for n in params if n.startswith("node"))
+        donor_leaf = np.asarray(jax.tree_util.tree_leaves(ts.params[name])[0])
+        loaded_leaf = np.asarray(jax.tree_util.tree_leaves(params[name])[0])
+        np.testing.assert_array_equal(donor_leaf, loaded_leaf)

@@ -157,9 +157,11 @@ def main(argv=None):
                     f"{batch_rate.rate():.2f} batches/s  {record_rate.rate():.1f} records/s"
                 )
             if config.checkpoint.save_steps and step % config.checkpoint.save_steps == 0:
-                save_checkpoint(ckpt_dir, step, total, ts.params, ts.state, ts.opt_state)
+                save_checkpoint(ckpt_dir, step, total, ts.params, ts.state,
+                                ts.opt_state, ema_params=ts.ema_params)
             if args.max_steps and step >= args.max_steps:
-                save_checkpoint(ckpt_dir, step, total, ts.params, ts.state, ts.opt_state)
+                save_checkpoint(ckpt_dir, step, total, ts.params, ts.state,
+                                ts.opt_state, ema_params=ts.ema_params)
                 break
     finally:
         logger.close()

@@ -70,6 +70,7 @@ def save_checkpoint(
     state: Any,
     opt_state: Any = None,
     extra: Optional[Dict[str, Any]] = None,
+    ema_params: Any = None,
 ) -> str:
     """Write ``{timestamp}_{step:06}_{loss:08.5f}.ckpt``; returns the path."""
     os.makedirs(checkpoint_dir, exist_ok=True)
@@ -82,7 +83,10 @@ def save_checkpoint(
     payload.update(_flatten(state, "state/"))
     if opt_state is not None:
         payload.update(_flatten(opt_state, "opt/"))
-    meta = {"step": step, "loss": loss, "has_opt": opt_state is not None}
+    if ema_params is not None:
+        payload.update(_flatten(ema_params, "ema/"))
+    meta = {"step": step, "loss": loss, "has_opt": opt_state is not None,
+            "has_ema": ema_params is not None}
     if extra:
         meta["extra"] = extra
     payload["__meta__"] = np.frombuffer(
@@ -103,7 +107,10 @@ def load_checkpoint(
     state_template: Any,
     opt_template: Any = None,
 ) -> Tuple[Any, Any, Any, Dict[str, Any]]:
-    """Load a .ckpt → (params, state, opt_state_or_None, meta)."""
+    """Load a .ckpt → (params, state, opt_state_or_None, meta).
+
+    ``meta["ema"]`` carries EMA parameters when present.
+    """
     with np.load(path) as data:
         flat = {k: data[k] for k in data.files}
     meta = json.loads(bytes(flat.pop("__meta__").tobytes()).decode())
@@ -112,7 +119,41 @@ def load_checkpoint(
     opt_state = None
     if opt_template is not None and meta.get("has_opt"):
         opt_state = _unflatten_into(opt_template, flat, "opt/")
+    if meta.get("has_ema"):
+        meta["ema"] = _unflatten_into(params_template, flat, "ema/")
     return params, state, opt_state, meta
+
+
+def load_checkpoint_partial(
+    path: str,
+    params_template: Any,
+    state_template: Any,
+) -> Tuple[Any, Any, Dict[str, Any], list]:
+    """Non-strict load (VarStore::load_partial parity, checkpoint.rs:24-81):
+    tensors present in the checkpoint with matching shapes overlay the
+    templates; everything else keeps the template value.  Returns
+    (params, state, meta, skipped_keys)."""
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
+    meta = json.loads(bytes(flat.pop("__meta__").tobytes()).decode())
+    skipped = []
+
+    def overlay(template, prefix):
+        paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+        leaves = []
+        for pth, leaf in paths_leaves:
+            key = prefix + "/".join(_path_str(p) for p in pth)
+            arr = flat.get(key)
+            if arr is None or tuple(arr.shape) != tuple(np.shape(leaf)):
+                skipped.append(key)
+                leaves.append(leaf)
+            else:
+                leaves.append(arr)
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    params = overlay(params_template, "params/")
+    state = overlay(state_template, "state/")
+    return params, state, meta, skipped
 
 
 def find_recent_checkpoint(checkpoint_dir: str) -> Optional[str]:
