@@ -210,3 +210,51 @@ def test_yolov2_reorg_region_parity(tmp_path):
         assert mse < 1e-5, f"layer {i} ({oracle.layer_type(i)}): {mse:.3e}"
         checked += 1
     assert checked > 20
+
+
+def test_yolov4_spp_parity(tmp_path):
+    """Original YOLOv4 (SPP via maxpool routes, PAN neck, scale_x_y decode):
+    per-layer parity at 320px."""
+    import jax
+    import jax.numpy as jnp
+
+    from oracle import DarknetOracle
+    from yolodl_tpu.config import darknet_cfg as dk
+    from yolodl_tpu.graph.from_darknet import graph_from_darknet
+    from yolodl_tpu.models import YoloModel
+    from yolodl_tpu.models.weights import save_darknet_weights
+
+    cfg_path = os.path.join(REPO, "cfg/darknet/yolov4.cfg")
+    text = open(cfg_path).read().replace("width=608", "width=320").replace(
+        "height=608", "height=320"
+    )
+    small = tmp_path / "v4.cfg"
+    small.write_text(text)
+
+    darknet = dk.Darknet.load(str(small))
+    model = YoloModel(graph_from_darknet(darknet))
+    params, state = model.init(jax.random.PRNGKey(3))
+    wpath = str(tmp_path / "v4.weights")
+    save_darknet_weights(darknet, params, state, wpath)
+
+    oracle = DarknetOracle(str(small), wpath)
+    rng = np.random.default_rng(9)
+    image = rng.uniform(0.0, 1.0, (3, 320, 320)).astype(np.float32)
+    oracle.forward(image)
+    _, _, ours = model.apply(
+        params, state, jnp.asarray(image[None]), train=False,
+        return_intermediates=True,
+    )
+
+    checked = 0
+    for i in range(oracle.num_layers):
+        if oracle.layer_type(i) not in COMPARABLE:
+            continue
+        ref = oracle.layer_output(i)
+        mine = np.transpose(np.asarray(ours[f"layer{i}"][0]), (2, 0, 1))
+        assert mine.shape == ref.shape, (i, oracle.layer_type(i))
+        denom = np.mean(ref**2) + 1e-12
+        mse = float(np.mean((mine - ref) ** 2) / denom)
+        assert mse < 1e-5, f"layer {i} ({oracle.layer_type(i)}): {mse:.3e}"
+        checked += 1
+    assert checked > 100
