@@ -203,3 +203,32 @@ class TestEvalCli:
         assert result["images"] == 4
         assert 0.0 <= result["mAP@0.5"] <= 1.0
         assert "mAP@0.5:0.95" in result
+
+
+class TestReferenceConfigParity:
+    def test_reference_train_json5_parses(self):
+        from yolodl_tpu.config.app_config import TrainAppConfig
+
+        cfg = TrainAppConfig.load(os.path.join(REPO, "cfg/train.json5"))
+        # values straight from the reference file
+        assert cfg.batch_size == 96
+        assert cfg.n_devices == 1
+        assert cfg.model_kind == "newslab_v1"
+        assert cfg.dataset.kind == "iii"
+        assert cfg.loss.box_metric == "hausdorff"
+        assert cfg.loss.iou_loss_weight == 55.0
+        assert cfg.lr.kind == "stepwise"
+        assert cfg.lr.steps[0] == (0, 0.01)
+        assert cfg.checkpoint.mode == "from_file"
+        assert cfg.preprocessor.cache_method == "file"
+        assert cfg.preprocessor.color_jitter is not None
+        assert cfg.preprocessor.affine is not None
+
+    def test_reference_detect_json5_parses(self):
+        from yolodl_tpu.config.app_config import DetectAppConfig
+
+        cfg = DetectAppConfig.load(os.path.join(REPO, "cfg/detect.json5"))
+        assert cfg.minibatch_size == 4
+        assert cfg.dataset.kind == "iii"
+        assert cfg.nms_iou_thresh == 0.5
+        assert cfg.nms_conf_thresh == 0.4
