@@ -422,3 +422,34 @@ class TestNmsFixpointEquivalence:
                         keep[i] = False
                         break
             np.testing.assert_array_equal(got, keep, err_msg=f"trial {trial}")
+
+
+class TestIgnoreThresh:
+    def test_high_iou_unmatched_cells_ignored(self, rng):
+        from tests.test_loss import make_merged, pad_targets
+
+        pred = make_merged(rng, batch=1, layers=((4, 4, 1),))
+        gt = [[(0.4, 0.4, 0.3, 0.3, 0)]]
+        boxes, classes, mask = pad_targets(gt)
+        # craft: every predicted box equals the GT box → all unmatched cells
+        # have IoU 1 with the GT and must drop out of the objectness loss
+        n = pred.num_flats
+        same = jnp.tile(jnp.asarray([[0.4, 0.4, 0.3, 0.3]], jnp.float32), (n, 1))[None]
+        pred2 = MergedDetection(same, pred.obj_logit, pred.class_logit, pred.infos)
+
+        base, _ = yolo_loss(pred2, boxes, classes, mask, LossConfig())
+        ignored, _ = yolo_loss(
+            pred2, boxes, classes, mask, LossConfig(ignore_thresh=0.7)
+        )
+        # with ignore_thresh, only matched cells contribute → different,
+        # and strictly smaller magnitude of penalty on unmatched negatives
+        assert float(ignored.objectness_loss) < float(base.objectness_loss)
+
+    def test_none_reproduces_reference_behavior(self, rng):
+        from tests.test_loss import make_merged, pad_targets
+
+        pred = make_merged(rng)
+        boxes, classes, mask = pad_targets([[(0.5, 0.5, 0.2, 0.2, 1)], []])
+        a, _ = yolo_loss(pred, boxes, classes, mask, LossConfig())
+        b, _ = yolo_loss(pred, boxes, classes, mask, LossConfig(ignore_thresh=None))
+        assert float(a.total_loss) == float(b.total_loss)

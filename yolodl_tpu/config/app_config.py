@@ -211,6 +211,7 @@ def parse_loss_config(raw: dict) -> LossConfig:
         classification_loss_weight=float(raw.get("classification_loss_weight", 0.58)),
         smooth_classification_coef=float(raw.get("smooth_classification_coef", 0.01)),
         smooth_objectness_coef=float(raw.get("smooth_objectness_coef", 0.0)),
+        ignore_thresh=raw.get("ignore_thresh"),
         matcher=matcher,
     )
 

@@ -89,6 +89,11 @@ class LossConfig:
     focal_gamma: float = 1.5
     focal_alpha: float = 0.25
     objectness_pos_weight: Optional[float] = None
+    # darknet's ignore_thresh: unmatched cells whose predicted box overlaps
+    # any GT above this IoU contribute no objectness loss (yolo_layer.c
+    # semantics; the reference never implemented it — None reproduces the
+    # reference's behavior of penalizing all unmatched cells)
+    ignore_thresh: Optional[float] = None
     matcher: MatcherConfig = MatcherConfig()
 
 
@@ -139,6 +144,10 @@ def yolo_loss(
             obj_logit=prediction.obj_logit.astype(jnp.float32),
             class_logit=prediction.class_logit.astype(jnp.float32),
             infos=prediction.infos,
+            uncertainty=(
+                prediction.uncertainty.astype(jnp.float32)
+                if prediction.uncertainty is not None else None
+            ),
         )
     gt_cycxhw = gt_cycxhw.astype(jnp.float32)
 
@@ -214,6 +223,17 @@ def yolo_loss(
         obj_elem = l2(prediction.obj_logit, target_obj)
     else:
         raise ValueError(f"unknown objectness loss {okind!r}")
+
+    if config.ignore_thresh is not None:
+        # best IoU of every predicted box vs every (valid) GT: [B, N]
+        pred_all = prediction.cycxhw[:, :, None, :]       # [B, N, 1, 4]
+        gt_all = gt_cycxhw[:, None, :, :]                 # [B, 1, M, 4]
+        ious = geom.iou(pred_all, gt_all)                 # [B, N, M]
+        ious = jnp.where(gt_mask[:, None, :], ious, 0.0)
+        best_iou = jnp.max(ious, axis=-1)
+        matched_cells = target_obj > 0.0
+        ignored = (best_iou > config.ignore_thresh) & ~matched_cells
+        obj_elem = jnp.where(ignored, 0.0, obj_elem)
     obj_loss = jnp.mean(obj_elem)
 
     total = (
