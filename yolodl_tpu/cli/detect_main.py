@@ -62,9 +62,15 @@ def main(argv=None):
     loader = OnDemandLoader((size, size))
     os.makedirs(config.output_dir, exist_ok=True)
 
+    # two-stage jit: NMS fused into the conv program inherits layouts that
+    # send XLA's TopK down a slow path on TPU (see CLAUDE.md perf ledger)
     @jax.jit
-    def infer(params, state, images):
+    def forward(params, state, images):
         pred, _ = model.apply(params, state, images, train=False)
+        return pred
+
+    @jax.jit
+    def postprocess(pred):
         nms = non_max_suppression(
             pred,
             iou_threshold=config.nms_iou_thresh,
@@ -73,6 +79,9 @@ def main(argv=None):
             class_mode="argmax",
         )
         return yolo_inference(nms, pred.num_flats)
+
+    def infer(params, state, images):
+        return postprocess(forward(params, state, images))
 
     # multi-device: replicate params, shard the batch axis — the reference
     # replicates the model per device and fans a shared stream out

@@ -64,9 +64,14 @@ def main(argv=None):
     size = config.dataset.image_size
     loader = OnDemandLoader((size, size))
 
+    # two-stage jit (see detect_main: fused-TopK layout pathology on TPU)
     @jax.jit
-    def infer(params, state, images):
+    def forward(params, state, images):
         pred, _ = model.apply(params, state, images, train=False)
+        return pred
+
+    @jax.jit
+    def postprocess(pred):
         nms = non_max_suppression(
             pred,
             iou_threshold=config.nms_iou_thresh,
@@ -74,6 +79,9 @@ def main(argv=None):
             suppress_by_class=True,
         )
         return yolo_inference(nms, pred.num_flats)
+
+    def infer(params, state, images):
+        return postprocess(forward(params, state, images))
 
     records = dataset.records()
     if args.limit:
