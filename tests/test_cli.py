@@ -232,3 +232,17 @@ class TestReferenceConfigParity:
         assert cfg.dataset.kind == "iii"
         assert cfg.nms_iou_thresh == 0.5
         assert cfg.nms_conf_thresh == 0.4
+
+
+class TestMultiScale:
+    def test_train_with_multi_scale(self, workspace):
+        import json5 as _json5
+        cfg = _json5.loads((workspace / "train.json5").read_text())
+        cfg["training"]["multi_scale"] = {"sizes": [32, 64], "interval": 2}
+        (workspace / "train_ms.json5").write_text(json.dumps(cfg))
+        out = run_cli(
+            "yolodl_tpu.cli.train_main",
+            "--config-file", str(workspace / "train_ms.json5"),
+            "--max-steps", "4",
+        )
+        assert out.returncode == 0, out.stderr[-3000:]

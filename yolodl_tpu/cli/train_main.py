@@ -136,9 +136,31 @@ def main(argv=None):
     batch_rate = RateCounter()
     record_rate = RateCounter()
 
+    # multi-scale training (darknet random=1; the reference parses but never
+    # implements it): boxes are ratio units, so rescaling is image-only.
+    # Each size compiles its own step once and is cached thereafter.
+    ms_sizes = list(config.multi_scale_sizes)
+    resize_cache = {}
+
+    def maybe_rescale(images, step):
+        if not ms_sizes:
+            return images
+        target = ms_sizes[(step // config.multi_scale_interval) % len(ms_sizes)]
+        if images.shape[-1] == target:
+            return images
+        if target not in resize_cache:
+            resize_cache[target] = jax.jit(
+                lambda im, t=target: jax.image.resize(
+                    im, (im.shape[0], im.shape[1], t, t), "bilinear"
+                )
+            )
+        return resize_cache[target](images)
+
     try:
         for record, arrays in device_prefetch(iter(stream)):
-            batch = place(arrays)
+            images, gt_boxes, gt_classes, gt_mask = arrays
+            images = maybe_rescale(images, int(ts.step))
+            batch = place((images, gt_boxes, gt_classes, gt_mask))
             ts, metrics = step_fn(ts, *batch)
             total = float(metrics["total_loss"])
             if not np.isfinite(total):

@@ -248,6 +248,8 @@ class TrainAppConfig:
     override_initial_step: Optional[int]
     nms_iou_thresh: float
     nms_conf_thresh: float
+    multi_scale_sizes: Tuple[int, ...] = ()
+    multi_scale_interval: int = 10
 
     @staticmethod
     def load(path) -> "TrainAppConfig":
@@ -274,6 +276,7 @@ class TrainAppConfig:
 
         opt = training.get("optimizer", {})
         benchmark = raw.get("benchmark", {})
+        ms = training.get("multi_scale", {})
         return TrainAppConfig(
             model_kind=kind,
             model_file=model["cfg_file"],
@@ -294,6 +297,8 @@ class TrainAppConfig:
             override_initial_step=training.get("override_initial_step"),
             nms_iou_thresh=float(benchmark.get("nms_iou_thresh", 0.6)),
             nms_conf_thresh=float(benchmark.get("nms_conf_thresh", 0.1)),
+            multi_scale_sizes=tuple(int(x) for x in ms.get("sizes", ())),
+            multi_scale_interval=int(ms.get("interval", 10)),
         )
 
 
