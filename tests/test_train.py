@@ -263,3 +263,25 @@ class TestCheckpointExtras:
         donor_leaf = np.asarray(jax.tree_util.tree_leaves(ts.params[name])[0])
         loaded_leaf = np.asarray(jax.tree_util.tree_leaves(params[name])[0])
         np.testing.assert_array_equal(donor_leaf, loaded_leaf)
+
+
+class TestSgdOptimizer:
+    def test_sgd_trains(self, rng):
+        model = tiny_model()
+        config = TrainConfig(optimizer="sgd", momentum=0.9,
+                             lr=LrScheduleConfig(kind="constant", lr=1e-2))
+        ts, opt = train_init(model, config)
+        step_fn = make_train_step(model, opt, config)
+        batch = fake_batch(rng)
+        first = None
+        for _ in range(10):
+            ts, metrics = step_fn(ts, *batch)
+            if first is None:
+                first = float(metrics["total_loss"])
+        assert float(metrics["total_loss"]) < first
+
+    def test_unknown_optimizer_rejected(self):
+        from yolodl_tpu.train.loop import make_optimizer
+
+        with pytest.raises(ValueError, match="unknown optimizer"):
+            make_optimizer(TrainConfig(optimizer="nope"))

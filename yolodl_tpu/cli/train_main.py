@@ -95,7 +95,8 @@ def main(argv=None):
 
     # trainer
     train_cfg = TrainConfig(
-        lr=config.lr, momentum=config.momentum, weight_decay=config.weight_decay,
+        lr=config.lr, optimizer=config.optimizer,
+        momentum=config.momentum, weight_decay=config.weight_decay,
         loss=config.loss,
         benchmark_confidence=(
             config.nms_conf_thresh if config.logging.enable_benchmark else None

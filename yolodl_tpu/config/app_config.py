@@ -241,6 +241,7 @@ class TrainAppConfig:
     batch_size: int
     n_devices: int
     lr: LrScheduleConfig
+    optimizer: str
     momentum: float
     weight_decay: float
     loss: LossConfig
@@ -287,6 +288,7 @@ class TrainAppConfig:
             batch_size=int(training["batch_size"]),
             n_devices=n_devices,
             lr=LrScheduleConfig.parse(opt.get("lr_schedule", opt.get("lr"))),
+            optimizer=str(opt.get("type", "adam")).lower(),
             momentum=float(opt.get("momentum", 0.937)),
             weight_decay=float(opt.get("weight_decay", 0.0)),
             loss=parse_loss_config(training.get("loss", {})),

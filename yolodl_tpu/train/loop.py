@@ -32,7 +32,8 @@ Array = jax.Array
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     lr: LrScheduleConfig = LrScheduleConfig(kind="constant", lr=1e-3)
-    momentum: float = 0.937       # Adam beta1 (multi_gpu.rs:425-434)
+    optimizer: str = "adam"       # "adam" (reference) | "sgd" (darknet native)
+    momentum: float = 0.937       # Adam beta1 (multi_gpu.rs:425-434) / SGD momentum
     beta2: float = 0.999
     eps: float = 1e-8
     weight_decay: float = 0.0
@@ -70,22 +71,32 @@ def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
         chain.append(optax.clip(config.clip_grad_value))
     if config.clip_grad_norm is not None:
         chain.append(optax.clip_by_global_norm(config.clip_grad_norm))
-    chain.append(
-        optax.adamw(
-            learning_rate=schedule,
-            b1=config.momentum,
-            b2=config.beta2,
-            eps=config.eps,
-            weight_decay=config.weight_decay,
+    if config.optimizer == "sgd":
+        # darknet's native optimizer (the reference only offers Adam)
+        if config.weight_decay:
+            chain.append(optax.add_decayed_weights(config.weight_decay))
+        chain.append(
+            optax.sgd(learning_rate=schedule, momentum=config.momentum)
         )
-        if config.weight_decay
-        else optax.adam(
-            learning_rate=schedule,
-            b1=config.momentum,
-            b2=config.beta2,
-            eps=config.eps,
+    elif config.optimizer == "adam":
+        chain.append(
+            optax.adamw(
+                learning_rate=schedule,
+                b1=config.momentum,
+                b2=config.beta2,
+                eps=config.eps,
+                weight_decay=config.weight_decay,
+            )
+            if config.weight_decay
+            else optax.adam(
+                learning_rate=schedule,
+                b1=config.momentum,
+                b2=config.beta2,
+                eps=config.eps,
+            )
         )
-    )
+    else:
+        raise ValueError(f"unknown optimizer {config.optimizer!r}")
     return optax.chain(*chain)
 
 
