@@ -246,3 +246,21 @@ class TestMultiScale:
             "--max-steps", "4",
         )
         assert out.returncode == 0, out.stderr[-3000:]
+
+
+class TestDetectJsonOutput:
+    def test_coco_json_written(self, workspace):
+        out = run_cli(
+            "yolodl_tpu.cli.detect_main",
+            "--config-file", str(workspace / "detect.json5"),
+            "--limit", "2",
+            "--save-json", str(workspace / "dets.json"),
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        import json5 as _json5
+        dets = json.loads((workspace / "dets.json").read_text())
+        assert isinstance(dets, list)
+        for d in dets:
+            assert set(d) == {"image_id", "file_name", "category_id", "bbox", "score"}
+            x, y, w, h = d["bbox"]
+            assert w >= 0 and h >= 0

@@ -21,6 +21,9 @@ def main(argv=None):
     parser.add_argument("--limit", type=int, default=0, help="max images (0 = all)")
     parser.add_argument("--devices", type=int, default=0,
                         help="shard inference batches over N devices (0 = single)")
+    parser.add_argument("--save-json", default="",
+                        help="also write COCO-format detections (original "
+                             "pixel coordinates) to this file")
     args = parser.parse_args(argv)
 
     import jax
@@ -30,6 +33,7 @@ def main(argv=None):
 
     from ..config.app_config import DetectAppConfig
     from ..data import OnDemandLoader, SanitizedDataset
+    from ..data.letterbox import letterbox_unit_transform
     from ..graph import Graph
     from ..graph.from_darknet import load_darknet_graph
     from ..loss import non_max_suppression, yolo_inference
@@ -111,6 +115,7 @@ def main(argv=None):
     if args.limit:
         records = records[: args.limit]
     count = 0
+    json_results = []
     for start in range(0, len(records), batch_size):
         chunk = records[start : start + batch_size]
         decoded = [loader.load(r) for r in chunk]
@@ -136,7 +141,36 @@ def main(argv=None):
             Image.fromarray(
                 (np.clip(np.transpose(canvas, (1, 2, 0)), 0, 1) * 255).astype(np.uint8)
             ).save(out_path, quality=92)
+            if args.save_json:
+                # map letterbox-frame ratio boxes back to original pixel
+                # coords (the reference's inverse transform, detect main:169)
+                inv = letterbox_unit_transform(
+                    (rec.height, rec.width), (size, size)
+                ).inverse()
+                for det in dets[i]:
+                    t, l, b, r = det["tlbr"]
+                    (ot, ol), (ob, orr) = inv.apply_points(
+                        np.asarray([[t, l], [b, r]])
+                    )
+                    x_px = float(ol * rec.width)
+                    y_px = float(ot * rec.height)
+                    w_px = float((orr - ol) * rec.width)
+                    h_px = float((ob - ot) * rec.height)
+                    json_results.append({
+                        "image_id": start + i,
+                        "file_name": os.path.basename(rec.path),
+                        "category_id": det["class"],
+                        "bbox": [round(x_px, 2), round(y_px, 2),
+                                 round(w_px, 2), round(h_px, 2)],
+                        "score": round(det["confidence"], 5),
+                    })
             count += 1
+    if args.save_json:
+        import json as json_mod
+
+        with open(args.save_json, "w") as f:
+            json_mod.dump(json_results, f)
+        print(f"wrote {len(json_results)} detections to {args.save_json}")
     print(f"wrote {count} images to {config.output_dir}")
 
 
