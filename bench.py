@@ -14,7 +14,6 @@ a V100 sustains ≈25 img/s, so vs_baseline is value / 50.0.
 
 import json
 import os
-import sys
 import time
 
 V100_X2_IMG_S = 50.0

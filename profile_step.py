@@ -18,7 +18,7 @@ import numpy as np
 from yolodl_tpu.config import darknet_cfg as dk
 from yolodl_tpu.graph.from_darknet import graph_from_darknet
 from yolodl_tpu.models import YoloModel
-from yolodl_tpu.loss import LossConfig, yolo_loss
+from yolodl_tpu.loss import yolo_loss
 from yolodl_tpu.train import TrainConfig, make_train_step, train_init
 
 BATCH = int(os.environ.get("BENCH_BATCH", "16"))

@@ -34,7 +34,6 @@ def main(argv=None):
     from ..data.pipeline import device_prefetch
     from ..graph import Graph
     from ..graph.from_darknet import load_darknet_graph
-    from ..loss.benchmark import yolo_benchmark
     from ..models import YoloModel
     from ..parallel import make_dp_train_step, make_mesh, shard_batch
     from ..parallel.dp import replicate_state

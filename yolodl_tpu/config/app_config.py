@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import pathlib
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple
 
 import json5
 
@@ -25,9 +25,7 @@ from ..data import (
     ColorJitter,
     CsvDataset,
     IiiDataset,
-    MosaicMixer,
     RandomAffine,
-    SanitizedDataset,
     VocDataset,
 )
 from ..loss import LossConfig, MatcherConfig

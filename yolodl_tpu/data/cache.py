@@ -20,7 +20,7 @@ from __future__ import annotations
 import os
 import threading
 import urllib.parse
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 from PIL import Image

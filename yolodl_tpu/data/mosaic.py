@@ -9,7 +9,7 @@ min-cropping-ratio filters (:59-152, crop at 300-350).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

@@ -17,7 +17,7 @@ import json
 import os
 import struct
 import threading
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import google_crc32c
 import numpy as np

@@ -24,8 +24,6 @@ tests assert exact agreement with the composed ops.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -23,12 +23,11 @@ Everything is jit/vmap/grad-compatible; no dynamic shapes.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from ..ops.detect import DetectionInfo, MergedDetection
+from ..ops.detect import MergedDetection
 
 Array = jax.Array
 

@@ -21,8 +21,6 @@ Suppression is per group: same batch (and same class when
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -21,7 +21,7 @@ and darknet-C parity harnesses.
 from __future__ import annotations
 
 import struct
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
 

@@ -8,7 +8,7 @@ from scratch start from the same distribution family.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

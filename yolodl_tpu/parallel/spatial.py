@@ -14,12 +14,11 @@ building block, :func:`make_spatial_forward` wraps a whole conv stack.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding
+from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
 Array = jax.Array

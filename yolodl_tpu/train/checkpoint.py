@@ -15,7 +15,6 @@ of our pytrees.
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import re
