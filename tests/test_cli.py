@@ -264,3 +264,17 @@ class TestDetectJsonOutput:
             assert set(d) == {"image_id", "file_name", "category_id", "bbox", "score"}
             x, y, w, h = d["bbox"]
             assert w >= 0 and h >= 0
+
+
+class TestPipelineDebugImages:
+    def test_enable_images_writes_pipeline_images(self, workspace):
+        import json5 as _json5
+        cfg = _json5.loads((workspace / "train.json5").read_text())
+        cfg["logging"]["enable_images"] = True
+        (workspace / "train_img.json5").write_text(json.dumps(cfg))
+        out = run_cli(
+            "yolodl_tpu.cli.train_main",
+            "--config-file", str(workspace / "train_img.json5"),
+            "--max-steps", "3",
+        )
+        assert out.returncode == 0, out.stderr[-3000:]

@@ -92,6 +92,30 @@ def main(argv=None):
     )
     stream = TrainingStream(dataset.records(), loader, stream_cfg)
 
+    logger_holder = {}
+    if config.logging.enable_images:
+        # per-stage debug images with boxes (logging.rs:428-500 taxonomy)
+        from ..train.logging import draw_boxes_on_image
+
+        debug_counter = {"n": 0}
+
+        def debug_hook(stage, rec):
+            lg = logger_holder.get("logger")
+            if lg is None or debug_counter["n"] % 50 != 0:
+                debug_counter["n"] += 1
+                return
+            debug_counter["n"] += 1
+            boxes = rec.boxes
+            if len(boxes):
+                cy, cx, h, w = (boxes[:, k] for k in range(4))
+                tlbr = np.stack([cy - h / 2, cx - w / 2, cy + h / 2, cx + w / 2], -1)
+                canvas = draw_boxes_on_image(rec.image, tlbr)
+            else:
+                canvas = rec.image
+            lg.log_image(debug_counter["n"], f"pipeline/{stage}", canvas)
+
+        stream_cfg.debug_hook = debug_hook
+
     # trainer
     train_cfg = TrainConfig(
         lr=config.lr, optimizer=config.optimizer,
@@ -133,6 +157,7 @@ def main(argv=None):
         place = lambda batch: batch
 
     logger = LoggingWorker(run_dir).start()
+    logger_holder["logger"] = logger if config.logging.enable_images else None
     batch_rate = RateCounter()
     record_rate = RateCounter()
 

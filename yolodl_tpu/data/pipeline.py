@@ -52,6 +52,10 @@ class TrainingStreamConfig:
     # ordered=True reassembles records in plan order (deterministic batches,
     # the reference's unordered_records=false); False yields as they finish
     ordered: bool = True
+    # optional per-stage debug hook: called as hook(stage_name, DataRecord)
+    # after each augmentation stage (the reference broadcasts per-stage debug
+    # images to its logger, training_stream.rs:340-577)
+    debug_hook: Optional[object] = None
 
     def __post_init__(self):
         from .mosaic import CutMixMixer, MixUpMixer
@@ -132,10 +136,15 @@ class TrainingStream:
                     rec.boxes[:, 2:] *= cfg.bbox_scaling
                 loaded.append(rec)
 
+        if cfg.debug_hook is not None:
+            cfg.debug_hook("load", loaded[0])
+
         if cfg.color_jitter is not None:
             with timing.timed("color_jitter"):
                 for rec in loaded:
                     rec.image = cfg.color_jitter(rec.image, rng)
+            if cfg.debug_hook is not None:
+                cfg.debug_hook("color_jitter", loaded[0])
 
         if cfg.random_affine is not None:
             with timing.timed("random_affine"):
@@ -144,17 +153,24 @@ class TrainingStream:
                         rec.image, rec.boxes, rec.classes, rng
                     )
                     loaded[i] = DataRecord(img, boxes, classes)
+            if cfg.debug_hook is not None:
+                cfg.debug_hook("random_affine", loaded[0])
 
+        result = None
         if mix_kind == "mosaic":
             with timing.timed("mosaic"):
-                return cfg.mosaic(loaded, rng)
-        if mix_kind == "mixup":
+                result = cfg.mosaic(loaded, rng)
+        elif mix_kind == "mixup":
             with timing.timed("mixup"):
-                return cfg.mixup(loaded[0], loaded[1], rng)
-        if mix_kind == "cutmix":
+                result = cfg.mixup(loaded[0], loaded[1], rng)
+        elif mix_kind == "cutmix":
             with timing.timed("cutmix"):
-                return cfg.cutmix(loaded[0], loaded[1], rng)
-        return loaded[0]
+                result = cfg.cutmix(loaded[0], loaded[1], rng)
+        else:
+            result = loaded[0]
+        if cfg.debug_hook is not None and mix_kind != "none":
+            cfg.debug_hook(mix_kind, result)
+        return result
 
     # -- epoch/step index plan -------------------------------------------
 
