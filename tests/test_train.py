@@ -285,3 +285,47 @@ class TestSgdOptimizer:
 
         with pytest.raises(ValueError, match="unknown optimizer"):
             make_optimizer(TrainConfig(optimizer="nope"))
+
+
+class TestDataParallelRealModel:
+    @pytest.mark.slow
+    def test_yolov4_tiny_dp_step_on_mesh(self, rng, devices8):
+        """Full darknet yolov4-tiny graph (routes, groups, maxpools, two
+        heads) trains one DP step over 8 virtual devices at 128px."""
+        import os as _os
+
+        from yolodl_tpu.config import darknet_cfg as dk
+        from yolodl_tpu.graph.from_darknet import graph_from_darknet
+
+        repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        cfg_path = _os.path.join(repo, "cfg/darknet/yolov4-tiny.cfg")
+        text = open(cfg_path).read().replace("width=416", "width=128").replace(
+            "height=416", "height=128"
+        )
+        small = _os.path.join(str(devices8 and "/tmp"), "tiny128_dp.cfg")
+        with open(small, "w") as f:
+            f.write(text)
+
+        model = YoloModel(graph_from_darknet(dk.Darknet.load(small)))
+        config = TrainConfig()
+        ts, opt = train_init(model, config, seed=0)
+        mesh = make_mesh(8)
+        dp_fn = make_dp_train_step(model, opt, config, mesh)
+        ts = replicate_state(mesh, ts)
+
+        batch = 8
+        images = jnp.asarray(rng.normal(size=(batch, 3, 128, 128)), jnp.float32)
+        boxes = np.zeros((batch, 4, 4), np.float32)
+        boxes[:, 0] = (0.5, 0.5, 0.4, 0.4)
+        classes = np.zeros((batch, 4), np.int32)
+        mask = np.zeros((batch, 4), bool)
+        mask[:, 0] = True
+        sharded = shard_batch(mesh, (images, jnp.asarray(boxes),
+                                     jnp.asarray(classes), jnp.asarray(mask)))
+        for _ in range(2):
+            ts, metrics = dp_fn(ts, *sharded)
+        assert np.isfinite(float(metrics["total_loss"]))
+        assert int(ts.step) == 2
+        # params remain replicated and identical across devices
+        leaf = jax.tree_util.tree_leaves(ts.params)[0]
+        assert leaf.sharding.is_fully_replicated
