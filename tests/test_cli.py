@@ -278,3 +278,15 @@ class TestPipelineDebugImages:
             "--max-steps", "3",
         )
         assert out.returncode == 0, out.stderr[-3000:]
+
+
+class TestAnchorsTool:
+    def test_kmeans_anchors(self, workspace):
+        out = run_cli(
+            "yolodl_tpu.cli.tool_main", "anchors",
+            "--config-file", str(workspace / "train.json5"),
+            "--num", "2",
+        )
+        assert out.returncode == 0, out.stderr
+        assert "anchors (h, w)" in out.stdout
+        assert "fitness" in out.stdout

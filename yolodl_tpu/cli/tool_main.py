@@ -29,7 +29,20 @@ def main(argv=None):
     dot.add_argument("model_file")
     dot.add_argument("output_file")
 
+    anchors = sub.add_parser(
+        "anchors", help="k-means anchors over a dataset (darknet calc_anchors)"
+    )
+    anchors.add_argument("--config-file", required=True,
+                         help="train/detect JSON5 (dataset block is used)")
+    anchors.add_argument("--num", type=int, default=9)
+    anchors.add_argument("--iters", type=int, default=100)
+
     args = parser.parse_args(argv)
+
+    if args.command == "anchors":
+        _calc_anchors(args)
+        return
+
     graph = _load_graph(args.model_file)
 
     if args.command == "info":
@@ -38,6 +51,62 @@ def main(argv=None):
         with open(args.output_file, "w") as f:
             f.write(graph.to_dot())
         print(f"wrote {args.output_file}")
+
+
+def _calc_anchors(args):
+    """IoU-distance k-means over dataset box sizes (darknet calc_anchors
+    equivalent; the reference has no anchor tool).  Prints (h, w) ratio
+    anchors sorted by area, plus the mean best-IoU fitness."""
+    import os
+
+    import json5
+    import numpy as np
+
+    from ..config.app_config import DatasetConfig
+
+    with open(args.config_file) as f:
+        raw = json5.load(f)
+    ds_raw = raw.get("dataset") or raw.get("input")
+    config = DatasetConfig.parse(ds_raw, ds_raw.get("class_whitelist", ()))
+    dataset = config.open(os.path.dirname(os.path.abspath(args.config_file)))
+
+    sizes = []
+    for rec in dataset.records():
+        if len(rec.boxes_pixel):
+            hw = rec.boxes_pixel[:, 2:4] / np.asarray(
+                [rec.height, rec.width], np.float64
+            )
+            sizes.append(hw)
+    sizes = np.concatenate(sizes, axis=0)
+    sizes = sizes[(sizes > 0).all(axis=1)]
+    k = min(args.num, len(sizes))
+
+    def iou_dist(wh, centers):
+        inter = np.minimum(wh[:, None, 0], centers[None, :, 0]) * np.minimum(
+            wh[:, None, 1], centers[None, :, 1]
+        )
+        union = wh[:, 0:1] * wh[:, 1:2] + (centers[:, 0] * centers[:, 1])[None] - inter
+        return 1.0 - inter / np.maximum(union, 1e-12)
+
+    rng = np.random.default_rng(0)
+    centers = sizes[rng.choice(len(sizes), k, replace=False)]
+    for _ in range(args.iters):
+        assign = np.argmin(iou_dist(sizes, centers), axis=1)
+        new = np.stack([
+            sizes[assign == i].mean(axis=0) if np.any(assign == i) else centers[i]
+            for i in range(k)
+        ])
+        if np.allclose(new, centers, atol=1e-7):
+            break
+        centers = new
+
+    order = np.argsort(centers[:, 0] * centers[:, 1])
+    centers = centers[order]
+    fitness = float(1.0 - iou_dist(sizes, centers).min(axis=1).mean())
+    print("anchors (h, w) in image-ratio units:")
+    for h, w in centers:
+        print(f"  [{h:.4f}, {w:.4f}]")
+    print(f"mean best-IoU fitness: {fitness:.4f} over {len(sizes)} boxes")
 
 
 if __name__ == "__main__":
