@@ -290,3 +290,35 @@ class TestAnchorsTool:
         assert out.returncode == 0, out.stderr
         assert "anchors (h, w)" in out.stdout
         assert "fitness" in out.stdout
+
+
+class TestEvalEma:
+    def test_eval_with_ema_checkpoint(self, workspace, tmp_path):
+        # create an EMA checkpoint from the workspace model
+        env_script = f"""
+import os
+os.environ['JAX_PLATFORMS']='cpu'
+os.environ['PALLAS_AXON_POOL_IPS']=''
+import jax
+jax.config.update('jax_platforms','cpu')
+from yolodl_tpu.models.zoo import load_newslab_model
+from yolodl_tpu.train import TrainConfig, train_init, save_checkpoint
+from yolodl_tpu.models import YoloModel
+from yolodl_tpu.graph import Graph
+model = YoloModel(Graph.load_newslab_v1_json(r'{workspace}/model.json5'))
+ts, _ = train_init(model, TrainConfig(use_ema=True))
+save_checkpoint(r'{tmp_path}', 1, 1.0, ts.params, ts.state, ema_params=ts.ema_params)
+"""
+        import subprocess, sys
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO
+        r = subprocess.run([sys.executable, "-c", env_script], env=env,
+                           capture_output=True, text=True, cwd=REPO, timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        ckpt = os.path.join(tmp_path, os.listdir(tmp_path)[0])
+        out = run_cli(
+            "yolodl_tpu.cli.eval_main",
+            "--config-file", str(workspace / "detect.json5"),
+            "--checkpoint", ckpt, "--ema", "--limit", "2",
+        )
+        assert out.returncode == 0, out.stderr[-3000:]

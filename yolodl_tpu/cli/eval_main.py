@@ -25,6 +25,8 @@ def main(argv=None):
     parser.add_argument("--limit", type=int, default=0)
     parser.add_argument("--conf-thresh", type=float, default=0.005,
                         help="confidence floor for candidate detections")
+    parser.add_argument("--ema", action="store_true",
+                        help="evaluate the EMA parameters from the checkpoint")
     args = parser.parse_args(argv)
 
     import jax
@@ -58,7 +60,11 @@ def main(argv=None):
         model = YoloModel(Graph.load_newslab_v1_json(model_path))
         params, state = model.init(jax.random.PRNGKey(0))
     if args.checkpoint:
-        params, state, _, _ = load_checkpoint(args.checkpoint, params, state)
+        params, state, _, meta = load_checkpoint(args.checkpoint, params, state)
+        if args.ema:
+            if "ema" not in meta:
+                raise SystemExit("checkpoint has no EMA parameters")
+            params = meta["ema"]
 
     dataset = SanitizedDataset(config.dataset.open(base_dir))
     size = config.dataset.image_size
