@@ -307,7 +307,7 @@ from yolodl_tpu.models import YoloModel
 from yolodl_tpu.graph import Graph
 model = YoloModel(Graph.load_newslab_v1_json(r'{workspace}/model.json5'))
 ts, _ = train_init(model, TrainConfig(use_ema=True))
-save_checkpoint(r'{tmp_path}', 1, 1.0, ts.params, ts.state, ema_params=ts.ema_params)
+save_checkpoint(r'{tmp_path}/ckpts', 1, 1.0, ts.params, ts.state, ema_params=ts.ema_params)
 """
         import subprocess, sys
         env = dict(os.environ)
@@ -315,7 +315,8 @@ save_checkpoint(r'{tmp_path}', 1, 1.0, ts.params, ts.state, ema_params=ts.ema_pa
         r = subprocess.run([sys.executable, "-c", env_script], env=env,
                            capture_output=True, text=True, cwd=REPO, timeout=300)
         assert r.returncode == 0, r.stderr[-2000:]
-        ckpt = os.path.join(tmp_path, os.listdir(tmp_path)[0])
+        ckpt_dir = os.path.join(tmp_path, "ckpts")
+        ckpt = os.path.join(ckpt_dir, os.listdir(ckpt_dir)[0])
         out = run_cli(
             "yolodl_tpu.cli.eval_main",
             "--config-file", str(workspace / "detect.json5"),
