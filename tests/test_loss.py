@@ -453,3 +453,27 @@ class TestIgnoreThresh:
         a, _ = yolo_loss(pred, boxes, classes, mask, LossConfig())
         b, _ = yolo_loss(pred, boxes, classes, mask, LossConfig(ignore_thresh=None))
         assert float(a.total_loss) == float(b.total_loss)
+
+
+class TestClassModeAgreement:
+    def test_argmax_matches_pairs_for_unambiguous_classes(self):
+        """When each instance has one dominant class, the production argmax
+        path and the reference pairs path keep the same detections."""
+        helper = TestNms()
+        pred = helper._pred_with_boxes([
+            (0.2, 0.2, 0.15, 0.15, 0, 7.0),
+            (0.6, 0.6, 0.2, 0.2, 1, 6.0),
+            (0.85, 0.3, 0.1, 0.1, 0, 5.0),
+        ])
+        a = non_max_suppression(pred, iou_threshold=0.5, confidence_threshold=0.3,
+                                max_dets=16, class_mode="pairs")
+        b = non_max_suppression(pred, iou_threshold=0.5, confidence_threshold=0.3,
+                                max_dets=16, class_mode="argmax")
+
+        def kept(out):
+            inst = np.asarray(out.instances[0])
+            cls = np.asarray(out.classes[0])
+            valid = np.asarray(out.valid[0])
+            return {(int(inst[k]), int(cls[k])) for k in np.nonzero(valid)[0]}
+
+        assert kept(a) == kept(b) == {(0, 0), (1, 1), (2, 0)}

@@ -20,6 +20,9 @@ def main(argv=None):
     parser.add_argument("--config-file", required=True)
     parser.add_argument("--max-steps", type=int, default=0,
                         help="stop after N steps (0 = run forever)")
+    parser.add_argument("--profile-dir", default="",
+                        help="capture a jax.profiler device trace of steps "
+                             "5-10 into this directory")
     args = parser.parse_args(argv)
 
     import jax
@@ -181,8 +184,19 @@ def main(argv=None):
             )
         return resize_cache[target](images)
 
+    profiling = False
     try:
         for record, arrays in device_prefetch(iter(stream)):
+            if args.profile_dir:
+                # device-side timing via jax.profiler (SURVEY §5.1): trace a
+                # steady-state window after warmup/compile
+                if int(ts.step) == 5 and not profiling:
+                    jax.profiler.start_trace(args.profile_dir)
+                    profiling = True
+                elif int(ts.step) == 10 and profiling:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    print(f"wrote device trace to {args.profile_dir}")
             images, gt_boxes, gt_classes, gt_mask = arrays
             images = maybe_rescale(images, int(ts.step))
             batch = place((images, gt_boxes, gt_classes, gt_mask))
@@ -211,6 +225,8 @@ def main(argv=None):
                                 ts.opt_state, ema_params=ts.ema_params)
                 break
     finally:
+        if profiling:
+            jax.profiler.stop_trace()
         logger.close()
 
 
