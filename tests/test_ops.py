@@ -146,6 +146,35 @@ class TestSimpleOps:
         assert out.shape == x.shape
         assert float(out.min()) >= float(x.min())
 
+    @pytest.mark.parametrize("k", [5, 9, 13])
+    def test_spp_pool_composition_exact(self, k):
+        """The chained-3×3 rewrite of stride-1 SPP pools matches a direct
+        k×k reduce_window exactly, forward and gradient."""
+        x = jnp.asarray(
+            np.random.default_rng(k).normal(size=(2, 19, 19, 8)), jnp.float32
+        )
+
+        def direct(v):
+            return jax.lax.reduce_window(
+                v, -jnp.inf, jax.lax.max,
+                window_dimensions=(1, k, k, 1), window_strides=(1, 1, 1, 1),
+                padding=((0, 0), (k // 2, k // 2), (k // 2, k // 2), (0, 0)),
+            )
+
+        composed = max_pool2d(x, size=k, stride_y=1, stride_x=1, padding=k // 2)
+        np.testing.assert_array_equal(np.asarray(composed), np.asarray(direct(x)))
+
+        # random continuous input → no ties → unique subgradient
+        w = jnp.asarray(np.random.default_rng(k + 1).normal(size=x.shape), jnp.float32)
+        g_direct = jax.grad(lambda v: jnp.sum(direct(v) * w))(x)
+        g_composed = jax.grad(
+            lambda v: jnp.sum(max_pool2d(v, k, 1, 1, padding=k // 2) * w)
+        )(x)
+        # same scatter destinations; accumulation order may differ → rtol
+        np.testing.assert_allclose(
+            np.asarray(g_composed), np.asarray(g_direct), rtol=1e-5, atol=1e-6
+        )
+
     def test_sum_concat(self):
         a = jnp.ones((1, 2, 2, 3))
         b = 2 * jnp.ones((1, 2, 2, 3))

@@ -60,6 +60,32 @@ def max_pool2d(
             padding=((0, 0), (lo, hi), (lo, hi), (0, 0)),
         )
         return summed / (size * size)
+    # Large-window stride-1 max-pools (the SPP block: k=5/9/13 over the same
+    # map, yolov4 [maxpool] / SppCsp2D) compose exactly from chained 3×3
+    # stride-1 pools with -inf padding: max over [i-m, i+m] = m-fold max over
+    # [i-1, i+1].  The win is the backward pass: XLA lowers maxpool VJP to
+    # select-and-scatter, whose cost scales with the window area (k² = 169
+    # probes at k=13); the chain replaces it with k//2 cheap 3×3
+    # select-and-scatters (measured ~29 ms/step → ~3 ms on yolov4-csp-608).
+    if (
+        pool_kind == "max"
+        and stride_y == 1
+        and stride_x == 1
+        and size > 3
+        and size % 2 == 1
+        and lo == hi == size // 2
+    ):
+        out = x
+        for _ in range(size // 2):
+            out = jax.lax.reduce_window(
+                out,
+                -jnp.inf,
+                jax.lax.max,
+                window_dimensions=(1, 3, 3, 1),
+                window_strides=(1, 1, 1, 1),
+                padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+            )
+        return out
     # -inf identity keeps reduce_window differentiable (select-and-scatter VJP)
     return jax.lax.reduce_window(
         x,
