@@ -65,8 +65,9 @@ class DarknetOracle:
         self.input_c = self.lib.dk_input_c(self.net)
 
     def forward(self, image_chw: np.ndarray) -> None:
-        c, h, w = image_chw.shape
-        assert (h, w) == self.input_hw and c == self.input_c
+        if image_chw.ndim == 3:
+            c, h, w = image_chw.shape
+            assert (h, w) == self.input_hw and c == self.input_c
         buf = np.ascontiguousarray(image_chw, np.float32)
         self.lib.dk_forward(
             self.net, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
@@ -87,7 +88,9 @@ class DarknetOracle:
         c = self.lib.dk_layer_out_c(self.net, i)
         h = self.lib.dk_layer_out_h(self.net, i)
         w = self.lib.dk_layer_out_w(self.net, i)
-        return out.reshape(c, h, w)
+        if c * h * w == n:
+            return out.reshape(c, h, w)
+        return out  # 1-D layers (connected/rnn/softmax) leave out_* at 0
 
     def detections(self, img_w: int, img_h: int, thresh: float = 0.25,
                    capacity: int = 4096) -> np.ndarray:

@@ -299,21 +299,21 @@ class TestClassifierModels:
         assert set(np.round(vals, 4)).issubset({0.0, 2.0})  # dropped or scaled
 
 
-# sections with no graph mapping (sequence models, yolov1 detection, trident,
-# contrastive) — everything else in the 74-cfg corpus must build
+# sections with no graph mapping (yolov1 detection head, contrastive loss,
+# trident multi-branch) — everything else in the 74-cfg corpus must build,
+# including the sequence models ([rnn]/[gru]/[lstm]/[crnn], test_recurrent.py)
 UNBUILDABLE = {
-    "rnn.cfg", "rnn.train.cfg", "gru.cfg", "lstm.train.cfg", "crnn.train.cfg",
-    "cifar.cfg", "cifar.test.cfg",  # [crop]-leading classifiers (train-time crop)
-    "t1.test.cfg", "yolov1.cfg",    # yolov1 [detection] head
-    "yolov3-tiny_occlusion_track.cfg",  # [crnn]
-    "yolov4-tiny_contrastive.cfg",      # [contrastive]
-    "resnet152_trident.cfg",            # multi-branch trident
-    "darknet.cfg", "extraction.cfg",    # legacy nets with quirky shapes
+    "t1.test.cfg",                      # yolov1 [detection] head
+    "yolov4-tiny_contrastive.cfg",      # [contrastive] training loss
+    # trident: routes layers of different spatial sizes; darknet itself
+    # degenerates these to 0-size outputs (parse_route warning), so the cfg
+    # is broken upstream — we fail fast instead
+    "resnet152_trident.cfg",
 }
 
 
 def test_corpus_build_coverage():
-    """At least 65 of the 74 corpus cfgs build into runnable graphs."""
+    """At least 71 of the 74 corpus cfgs build into runnable graphs."""
     built, failed = [], []
     for path in ALL_CFGS:
         name = os.path.basename(path)
@@ -324,4 +324,4 @@ def test_corpus_build_coverage():
             failed.append(name)
     unexpected = [n for n in failed if n not in UNBUILDABLE]
     assert not unexpected, f"cfgs newly failing to build: {unexpected}"
-    assert len(built) >= 65, (len(built), failed)
+    assert len(built) >= 71, (len(built), failed)

@@ -258,3 +258,48 @@ def test_yolov4_spp_parity(tmp_path):
         assert mse < 1e-5, f"layer {i} ({oracle.layer_type(i)}): {mse:.3e}"
         checked += 1
     assert checked > 100
+
+
+@pytest.mark.parametrize("cfg_name", ["rnn.cfg", "gru.cfg"])
+def test_recurrent_parity(tmp_path, cfg_name):
+    """[rnn]/[gru] sequence models vs darknet-C (T=1 at inference): the
+    recurrent sub-layer algebra, connected-BN order, and the recurrent
+    .weights block layout must all line up for the outputs to match."""
+    import jax
+    import jax.numpy as jnp
+
+    from oracle import DarknetOracle
+    from yolodl_tpu.config import darknet_cfg as dk
+    from yolodl_tpu.graph.from_darknet import graph_from_darknet
+    from yolodl_tpu.models.builder import GraphModel
+    from yolodl_tpu.models.weights import save_darknet_weights
+
+    cfg_path = os.path.join(REPO, "cfg/darknet", cfg_name)
+    darknet = dk.Darknet.load(cfg_path)
+    model = GraphModel(graph_from_darknet(darknet))
+    params, state = model.init(jax.random.PRNGKey(13))
+    wpath = str(tmp_path / "seq.weights")
+    save_darknet_weights(darknet, params, state, wpath)
+
+    oracle = DarknetOracle(cfg_path, wpath)
+    rng = np.random.default_rng(17)
+    x = rng.uniform(0.0, 1.0, (darknet.net.inputs,)).astype(np.float32)
+    oracle.forward(x)
+    _, _, ours = model.apply(
+        params, state, jnp.asarray(x[None, :, None, None]), train=False,
+        return_intermediates=True,
+    )
+
+    checked = 0
+    for i in range(oracle.num_layers):
+        kind = oracle.layer_type(i)
+        if kind not in {"rnn", "gru", "connected", "softmax"}:
+            continue
+        ref = oracle.layer_output(i).reshape(-1)
+        mine = np.asarray(ours[f"layer{i}"]).reshape(-1)
+        assert mine.shape == ref.shape, (i, kind, mine.shape, ref.shape)
+        denom = np.mean(ref**2) + 1e-12
+        mse = float(np.mean((mine - ref) ** 2) / denom)
+        assert mse < 1e-4, f"layer {i} ({kind}): relative MSE {mse:.3e}"
+        checked += 1
+    assert checked >= 4

@@ -1,0 +1,291 @@
+"""darknet recurrent layers: [rnn]/[gru]/[lstm]/[crnn].
+
+The reference parses these sections but cannot build them (darknet-config
+maps them to Unimplemented; model-graph's darknet path is todo!()), so the
+semantic spec is the darknet C code: rnn_layer.c / gru_layer.c /
+lstm_layer.c / crnn_layer.c forward loops.  Tests check the lax.scan
+implementations against direct numpy recurrences, the .weights round-trip,
+and the full corpus sequence cfgs building and running.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolodl_tpu.config import darknet_cfg as dk
+from yolodl_tpu.graph.from_darknet import graph_from_darknet
+from yolodl_tpu.models.builder import GraphModel
+from yolodl_tpu.models.weights import (
+    load_darknet_weights,
+    merge_into_model_tree,
+    save_darknet_weights,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _build(cfg_text: str):
+    d = dk.Darknet.from_str(cfg_text)
+    gm = GraphModel(graph_from_darknet(d))
+    params, state = gm.init(jax.random.PRNGKey(0))
+    return d, gm, params, state
+
+
+def _sigmoid(v):
+    return 1.0 / (1.0 + np.exp(-v))
+
+
+class TestRnnSemantics:
+    CFG = """
+[net]
+inputs=8
+time_steps=3
+batch=6
+
+[rnn]
+output=5
+hidden=4
+activation=tanh
+"""
+
+    def test_matches_numpy_recurrence(self):
+        """h_t = act(W_i x_t + b_i) + act(W_s h_{t-1} + b_s); y = act(W_o h + b_o)
+        — activations per sub-layer *before* the sum (rnn_layer.c:100-130)."""
+        d, gm, params, state = _build(self.CFG)
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(6, 8, 1, 1)).astype(np.float32)
+        out, _ = gm.apply(params, state, jnp.asarray(x), train=False)
+
+        p = {k: np.asarray(v) for k, v in params["layer0"]["input"].items()}
+        s = {k: np.asarray(v) for k, v in params["layer0"]["self"].items()}
+        o = {k: np.asarray(v) for k, v in params["layer0"]["output"].items()}
+        xt = x.reshape(3, 2, 8)  # time-major [T, B, F]
+        h = np.zeros((2, 4), np.float32)
+        ys = []
+        for t in range(3):
+            h = np.tanh(xt[t] @ p["w"] + p["b"]) + np.tanh(h @ s["w"] + s["b"])
+            ys.append(np.tanh(h @ o["w"] + o["b"]))
+        expect = np.concatenate(ys, axis=0)
+        np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-6)
+
+    def test_logistic_flag_changes_self_activation(self):
+        cfg = self.CFG.replace("activation=tanh", "activation=tanh\nlogistic=1")
+        d, gm, params, state = _build(cfg)
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(6, 8, 1, 1)).astype(np.float32)
+        out, _ = gm.apply(params, state, jnp.asarray(x), train=False)
+
+        p = {k: np.asarray(v) for k, v in params["layer0"]["input"].items()}
+        s = {k: np.asarray(v) for k, v in params["layer0"]["self"].items()}
+        o = {k: np.asarray(v) for k, v in params["layer0"]["output"].items()}
+        xt = x.reshape(3, 2, 8)
+        h = np.zeros((2, 4), np.float32)
+        ys = []
+        for t in range(3):
+            h = np.tanh(xt[t] @ p["w"] + p["b"]) + _sigmoid(h @ s["w"] + s["b"])
+            ys.append(np.tanh(h @ o["w"] + o["b"]))
+        np.testing.assert_allclose(
+            np.asarray(out), np.concatenate(ys, 0), rtol=1e-5, atol=1e-6)
+
+
+class TestGruSemantics:
+    CFG = """
+[net]
+inputs=6
+time_steps=4
+batch=4
+
+[gru]
+output=5
+"""
+
+    def test_matches_numpy_recurrence(self):
+        """z/r = σ(i*(x)+s*(h)), h̃ = σ(ih(x)+sh(r·h)), y = z·h + (1−z)·h̃
+        (gru_layer.c forward; darknet's candidate is logistic, not tanh)."""
+        d, gm, params, state = _build(self.CFG)
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(4, 6, 1, 1)).astype(np.float32)
+        out, _ = gm.apply(params, state, jnp.asarray(x), train=False)
+
+        sub = {k: {kk: np.asarray(vv) for kk, vv in v.items()}
+               for k, v in params["layer0"].items()}
+
+        def dense(name, v):
+            return v @ sub[name]["w"] + sub[name]["b"]
+
+        xt = x.reshape(4, 1, 6)
+        h = np.zeros((1, 5), np.float32)
+        ys = []
+        for t in range(4):
+            z = _sigmoid(dense("iz", xt[t]) + dense("sz", h))
+            r = _sigmoid(dense("ir", xt[t]) + dense("sr", h))
+            cand = _sigmoid(dense("ih", xt[t]) + dense("sh", r * h))
+            h = z * h + (1 - z) * cand
+            ys.append(h)
+        np.testing.assert_allclose(
+            np.asarray(out), np.concatenate(ys, 0), rtol=1e-5, atol=1e-6)
+
+
+class TestLstmSemantics:
+    CFG = """
+[net]
+inputs=6
+time_steps=3
+batch=3
+
+[lstm]
+output=4
+"""
+
+    def test_matches_numpy_recurrence(self):
+        d, gm, params, state = _build(self.CFG)
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(3, 6, 1, 1)).astype(np.float32)
+        out, _ = gm.apply(params, state, jnp.asarray(x), train=False)
+
+        sub = {k: {kk: np.asarray(vv) for kk, vv in v.items()}
+               for k, v in params["layer0"].items()}
+
+        def dense(name, v):
+            return v @ sub[name]["w"] + sub[name]["b"]
+
+        xt = x.reshape(3, 1, 6)
+        h = np.zeros((1, 4), np.float32)
+        c = np.zeros((1, 4), np.float32)
+        ys = []
+        for t in range(3):
+            f = _sigmoid(dense("wf", h) + dense("uf", xt[t]))
+            i = _sigmoid(dense("wi", h) + dense("ui", xt[t]))
+            g = np.tanh(dense("wg", h) + dense("ug", xt[t]))
+            o = _sigmoid(dense("wo", h) + dense("uo", xt[t]))
+            c = f * c + i * g
+            h = o * np.tanh(c)
+            ys.append(h)
+        np.testing.assert_allclose(
+            np.asarray(out), np.concatenate(ys, 0), rtol=1e-5, atol=1e-6)
+
+
+class TestCrnn:
+    CFG = """
+[net]
+width=6
+height=6
+channels=3
+time_steps=2
+batch=4
+
+[crnn]
+output=5
+hidden=4
+size=3
+pad=1
+activation=leaky
+"""
+
+    def test_shapes_and_state_recurrence(self):
+        """Output spatial dims preserved; a second step sees the first's
+        hidden state (time-major scan, crnn_layer.c forward)."""
+        d, gm, params, state = _build(self.CFG)
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=(4, 3, 6, 6)).astype(np.float32)
+        out, _ = gm.apply(params, state, jnp.asarray(x), train=False)
+        assert out.shape == (4, 6, 6, 5)  # NHWC internal layout
+
+        # recurrence check: replicate the same frame at t=0 and t=1; if the
+        # state feeds forward, the two steps' outputs must differ
+        x_rep = np.broadcast_to(x[:2], (2, 3, 6, 6)).reshape(2, 3, 6, 6)
+        x_two = np.concatenate([x_rep[:1], x_rep[:1]], axis=0)  # T=2, B=1
+        out2, _ = gm.apply(params, state, jnp.asarray(x_two), train=False)
+        step0, step1 = np.asarray(out2[0]), np.asarray(out2[1])
+        assert not np.allclose(step0, step1)
+
+
+class TestWeightsRoundTrip:
+    CFG = """
+[net]
+inputs=8
+time_steps=2
+batch=4
+
+[rnn]
+batch_normalize=1
+output=6
+hidden=5
+activation=leaky
+
+[gru]
+batch_normalize=1
+output=6
+
+[lstm]
+output=4
+
+[connected]
+batch_normalize=1
+output=7
+activation=linear
+
+[softmax]
+"""
+
+    def test_save_load_identity(self, tmp_path):
+        d, gm, params, state = _build(self.CFG)
+        path = str(tmp_path / "seq.weights")
+        save_darknet_weights(d, params, state, path)
+        loaded_p, loaded_s, _ = load_darknet_weights(d, path)
+        merged_p, merged_s = merge_into_model_tree(
+            loaded_p, loaded_s, params, state)
+
+        flat_a = jax.tree_util.tree_leaves(params)
+        flat_b = jax.tree_util.tree_leaves(merged_p)
+        assert len(flat_a) == len(flat_b)
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(state),
+                        jax.tree_util.tree_leaves(merged_s)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    def test_model_runs_with_loaded_weights(self, tmp_path):
+        d, gm, params, state = _build(self.CFG)
+        path = str(tmp_path / "seq.weights")
+        save_darknet_weights(d, params, state, path)
+        loaded_p, loaded_s, _ = load_darknet_weights(d, path)
+        merged_p, merged_s = merge_into_model_tree(
+            loaded_p, loaded_s, params, state)
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(4, 8, 1, 1)), jnp.float32)
+        a, _ = gm.apply(params, state, x, train=False)
+        b, _ = gm.apply(merged_p, merged_s, x, train=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+class TestSequenceCorpus:
+    @pytest.mark.parametrize(
+        "name", ["rnn.cfg", "gru.cfg", "lstm.train.cfg", "crnn.train.cfg"]
+    )
+    def test_builds_and_runs(self, name):
+        d = dk.Darknet.load(os.path.join(REPO, "cfg/darknet", name))
+        gm = GraphModel(graph_from_darknet(d))
+        params, state = gm.init(jax.random.PRNGKey(0))
+        t = d.net.time_steps
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(t, d.net.inputs, 1, 1)),
+            jnp.float32)
+        out, _ = gm.apply(params, state, x, train=False)
+        assert out.shape[0] == t
+        assert bool(jnp.isfinite(out).all())
+
+    def test_train_mode_updates_bn_state(self):
+        d = dk.Darknet.load(os.path.join(REPO, "cfg/darknet/rnn.cfg"))
+        gm = GraphModel(graph_from_darknet(d))
+        params, state = gm.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(2, 256, 1, 1)), jnp.float32)
+        _, new_state = gm.apply(params, state, x, train=True,
+                                rng=jax.random.PRNGKey(1))
+        before = np.asarray(state["layer0"]["input"]["bn"]["mean"])
+        after = np.asarray(new_state["layer0"]["input"]["bn"]["mean"])
+        assert not np.allclose(before, after)

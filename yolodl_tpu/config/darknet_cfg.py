@@ -109,10 +109,18 @@ class Net:
     saturation: float = 1.0
     exposure: float = 1.0
     hue: float = 0.0
+    # sequence models ([rnn]/[gru]/[lstm]/[crnn] cfgs): flat input width and
+    # time-major step count; batch = net.batch/time_steps (rnn_layer.c:31)
+    inputs: int = 0
+    time_steps: int = 1
     raw: Dict[str, str] = dataclasses.field(default_factory=dict, hash=False, compare=False)
 
     @property
     def input_shape_hwc(self) -> ShapeHWC:
+        if not self.height and not self.width and self.inputs:
+            # 1-D input (parser.c: params.inputs when h/w/c unset): model it
+            # as a 1×1×inputs map so connected/conv layers compose
+            return (1, 1, self.inputs)
         return (self.height, self.width, self.channels)
 
 
@@ -314,6 +322,75 @@ class Softmax:
 
 
 @dataclasses.dataclass(frozen=True)
+class Rnn:
+    """darknet [rnn] (parser.c parse_rnn, rnn_layer.c): three connected
+    sub-layers; self activation is logistic/loggy when ``logistic``=1/2."""
+
+    output: int
+    hidden: int
+    activation: str = "logistic"
+    batch_normalize: bool = False
+    logistic: int = 0
+    shortcut: bool = False
+
+    @property
+    def self_activation(self) -> str:
+        if self.logistic == 2:
+            return "loggy"
+        if self.logistic == 1:
+            return "logistic"
+        return self.activation
+
+    def output_shape(self, in_hwc: ShapeHWC) -> ShapeHWC:
+        return (1, 1, self.output)
+
+
+@dataclasses.dataclass(frozen=True)
+class Gru:
+    """darknet [gru] (parser.c parse_gru, gru_layer.c)."""
+
+    output: int
+    batch_normalize: bool = False
+
+    def output_shape(self, in_hwc: ShapeHWC) -> ShapeHWC:
+        return (1, 1, self.output)
+
+
+@dataclasses.dataclass(frozen=True)
+class Lstm:
+    """darknet [lstm] (parser.c parse_lstm, lstm_layer.c)."""
+
+    output: int
+    batch_normalize: bool = False
+
+    def output_shape(self, in_hwc: ShapeHWC) -> ShapeHWC:
+        return (1, 1, self.output)
+
+
+@dataclasses.dataclass(frozen=True)
+class Crnn:
+    """darknet [crnn] (parser.c parse_crnn, crnn_layer.c): the rnn
+    recurrence with three convolutional sub-layers of this geometry."""
+
+    output: int
+    hidden: int
+    size: int = 3
+    stride: int = 1
+    dilation: int = 1
+    padding: int = 0
+    groups: int = 1
+    activation: str = "logistic"
+    batch_normalize: bool = False
+    shortcut: bool = False
+
+    def output_shape(self, in_hwc: ShapeHWC) -> ShapeHWC:
+        h, w, _ = in_hwc
+        out_h = (h + 2 * self.padding - self.size) // self.stride + 1
+        out_w = (w + 2 * self.padding - self.size) // self.stride + 1
+        return (out_h, out_w, self.output)
+
+
+@dataclasses.dataclass(frozen=True)
 class Unimplemented:
     """Parsed-but-not-buildable section (parity with darknet-config's
     Connected/Softmax/Cost/Crop/AvgPool/Dropout/Unimplemented handling)."""
@@ -324,7 +401,7 @@ class Unimplemented:
 
 Layer = Union[Convolutional, Route, Shortcut, MaxPool, UpSample, Yolo,
               Connected, AvgPool, Dropout, Softmax, Reorg, Sam,
-              ScaleChannels, Region, Unimplemented]
+              ScaleChannels, Region, Rnn, Gru, Lstm, Crnn, Unimplemented]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -348,7 +425,7 @@ class Darknet:
             if isinstance(
                 layer,
                 (Convolutional, MaxPool, UpSample, Yolo, Connected, AvgPool,
-                 Dropout, Softmax, Reorg, Sam, Region),
+                 Dropout, Softmax, Reorg, Sam, Region, Rnn, Gru, Lstm, Crnn),
             ):
                 src = self.net.input_shape_hwc if i == 0 else shapes[i - 1]
                 shapes.append(layer.output_shape(src))
@@ -417,6 +494,8 @@ def _parse_net(d: Dict[str, str]) -> Net:
         saturation=_get_float(d, "saturation", 1.0),
         exposure=_get_float(d, "exposure", 1.0),
         hue=_get_float(d, "hue", 0.0),
+        inputs=_get_int(d, "inputs", 0),
+        time_steps=_get_int(d, "time_steps", 1),
         raw=dict(d),
     )
 
@@ -518,6 +597,41 @@ def _parse_layer(name: str, d: Dict[str, str]) -> Layer:
             activation=_get_str(d, "activation", "linear"),
             batch_normalize=_get_bool(d, "batch_normalize", False),
         )
+    if name == "rnn":
+        return Rnn(
+            output=int(d["output"]),
+            hidden=_get_int(d, "hidden", int(d["output"])),
+            activation=_get_str(d, "activation", "logistic"),
+            batch_normalize=_get_bool(d, "batch_normalize", False),
+            logistic=_get_int(d, "logistic", 0),
+            shortcut=_get_bool(d, "shortcut", False),
+        )
+    if name == "gru":
+        return Gru(
+            output=int(d["output"]),
+            batch_normalize=_get_bool(d, "batch_normalize", False),
+        )
+    if name == "lstm":
+        return Lstm(
+            output=int(d["output"]),
+            batch_normalize=_get_bool(d, "batch_normalize", False),
+        )
+    if name == "crnn":
+        size = _get_int(d, "size", 3)
+        pad_flag = _get_bool(d, "pad", False)
+        padding = size // 2 if pad_flag else _get_int(d, "padding", 0)
+        return Crnn(
+            output=int(d["output"]),
+            hidden=_get_int(d, "hidden", 1),
+            size=size,
+            stride=_get_int(d, "stride", 1),
+            dilation=_get_int(d, "dilation", 1),
+            padding=padding,
+            groups=_get_int(d, "groups", 1),
+            activation=_get_str(d, "activation", "logistic"),
+            batch_normalize=_get_bool(d, "batch_normalize", False),
+            shortcut=_get_bool(d, "shortcut", False),
+        )
     if name == "avgpool":
         return AvgPool()
     if name == "dropout":
@@ -561,6 +675,10 @@ def to_cfg_string(darknet: Darknet) -> str:
     for flag in ("mosaic", "letter_box", "adam"):
         if getattr(net, flag):
             out.append(f"{flag}=1")
+    if net.inputs:
+        out.append(f"inputs={net.inputs}")
+    if net.time_steps != 1:
+        out.append(f"time_steps={net.time_steps}")
 
     for layer in darknet.layers:
         out.append("")
@@ -623,6 +741,34 @@ def to_cfg_string(darknet: Darknet) -> str:
             out.append(f"truth_thresh={_fmt(layer.truth_thresh)}")
             out.append(f"max={layer.max_boxes}")
             out.append(f"nms_kind={layer.nms_kind}")
+        elif isinstance(layer, Rnn):
+            out.append("[rnn]")
+            if layer.batch_normalize:
+                out.append("batch_normalize=1")
+            out.append(f"output={layer.output}")
+            out.append(f"hidden={layer.hidden}")
+            out.append(f"activation={layer.activation}")
+            if layer.logistic:
+                out.append(f"logistic={layer.logistic}")
+            if layer.shortcut:
+                out.append("shortcut=1")
+        elif isinstance(layer, (Gru, Lstm)):
+            out.append("[gru]" if isinstance(layer, Gru) else "[lstm]")
+            if layer.batch_normalize:
+                out.append("batch_normalize=1")
+            out.append(f"output={layer.output}")
+        elif isinstance(layer, Crnn):
+            out.append("[crnn]")
+            if layer.batch_normalize:
+                out.append("batch_normalize=1")
+            out.append(f"size={layer.size}")
+            out.append(f"stride={layer.stride}")
+            out.append(f"padding={layer.padding}")
+            out.append(f"output={layer.output}")
+            out.append(f"hidden={layer.hidden}")
+            out.append(f"activation={layer.activation}")
+            if layer.shortcut:
+                out.append("shortcut=1")
         else:
             out.append(f"[{layer.section}]")
             for key, value in layer.raw.items():

@@ -284,6 +284,60 @@ class DarknetScaleChannels(ModuleCfg):
 
 
 @dataclasses.dataclass(frozen=True)
+class DarknetRnn(ModuleCfg):
+    """darknet [rnn] (rnn_layer.c): 3 connected sub-layers, time-major scan.
+    ``time_steps`` comes from the cfg's [net] section."""
+
+    from_: Optional[str] = None
+    out: int = 0
+    hidden: int = 0
+    act: str = "logistic"
+    self_act: str = "logistic"
+    bn: bool = False
+    shortcut: bool = False
+    time_steps: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class DarknetGru(ModuleCfg):
+    """darknet [gru] (gru_layer.c): 6 linear connected sub-layers."""
+
+    from_: Optional[str] = None
+    out: int = 0
+    bn: bool = False
+    time_steps: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class DarknetLstm(ModuleCfg):
+    """darknet [lstm] (lstm_layer.c): 8 linear connected sub-layers."""
+
+    from_: Optional[str] = None
+    out: int = 0
+    bn: bool = False
+    time_steps: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class DarknetCrnn(ModuleCfg):
+    """darknet [crnn] (crnn_layer.c): the rnn recurrence with conv
+    sub-layers of this geometry (requires stride 1 so the hidden state's
+    spatial size is invariant across steps)."""
+
+    from_: Optional[str] = None
+    out: int = 0
+    hidden: int = 0
+    k: int = 3
+    p: int = 0
+    d: int = 1
+    g: int = 1
+    act: str = "logistic"
+    bn: bool = False
+    shortcut: bool = False
+    time_steps: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
 class Dropout(ModuleCfg):
     """darknet [dropout]; identity at inference."""
 

@@ -26,8 +26,14 @@ from .ir import Graph, _flatten  # shared flatten/toposort/shape-inference
 
 def graph_from_darknet(darknet: dk.Darknet) -> Graph:
     net = darknet.net
+    if not net.height and not net.width and net.inputs:
+        # 1-D sequence cfgs ([net] inputs=N): a 1×1×N map (parser.c
+        # params.inputs) so connected/recurrent/conv layers compose
+        input_shape = Shape(["_", net.inputs, 1, 1])
+    else:
+        input_shape = Shape(["_", net.channels, net.height, net.width])
     layers: List[cfg.ModuleCfg] = [
-        cfg.Input(name="input", shape=Shape(["_", net.channels, net.height, net.width]))
+        cfg.Input(name="input", shape=input_shape)
     ]
     yolo_names: List[str] = []
 
@@ -158,7 +164,45 @@ def graph_from_darknet(darknet: dk.Darknet) -> Graph:
         elif isinstance(layer, dk.Connected):
             layers.append(
                 cfg.Linear(name=name, from_=prev, out=layer.output,
-                           act=layer.activation)
+                           act=layer.activation,
+                           bn=cfg.BatchNormConfig(enabled=layer.batch_normalize))
+            )
+        elif isinstance(layer, dk.Rnn):
+            layers.append(
+                cfg.DarknetRnn(
+                    name=name, from_=prev, out=layer.output,
+                    hidden=layer.hidden, act=layer.activation,
+                    self_act=layer.self_activation,
+                    bn=layer.batch_normalize, shortcut=layer.shortcut,
+                    time_steps=net.time_steps,
+                )
+            )
+        elif isinstance(layer, dk.Gru):
+            layers.append(
+                cfg.DarknetGru(name=name, from_=prev, out=layer.output,
+                               bn=layer.batch_normalize,
+                               time_steps=net.time_steps)
+            )
+        elif isinstance(layer, dk.Lstm):
+            layers.append(
+                cfg.DarknetLstm(name=name, from_=prev, out=layer.output,
+                                bn=layer.batch_normalize,
+                                time_steps=net.time_steps)
+            )
+        elif isinstance(layer, dk.Crnn):
+            if layer.stride != 1:
+                raise ValueError(
+                    f"{name}: [crnn] with stride != 1 is not supported (the "
+                    "hidden state's spatial size must be step-invariant)"
+                )
+            layers.append(
+                cfg.DarknetCrnn(
+                    name=name, from_=prev, out=layer.output,
+                    hidden=layer.hidden, k=layer.size, p=layer.padding,
+                    d=layer.dilation, g=layer.groups, act=layer.activation,
+                    bn=layer.batch_normalize, shortcut=layer.shortcut,
+                    time_steps=net.time_steps,
+                )
             )
         elif isinstance(layer, dk.AvgPool):
             layers.append(cfg.GlobalAvgPool2D(name=name, from_=prev))

@@ -455,6 +455,24 @@ def _infer_shape(
         shape = _single_tensor(ik, shapes)
         return ShapeOut.tensor(Shape([shape[0], layer.out]))
 
+    if isinstance(layer, (cfg.DarknetRnn, cfg.DarknetGru, cfg.DarknetLstm)):
+        shape = _single_tensor(ik, shapes)
+        return ShapeOut.tensor(Shape([shape[0], layer.out]))
+
+    if isinstance(layer, cfg.DarknetCrnn):
+        shape = _single_tensor(ik, shapes)
+        if len(shape) == 2:  # after a connected layer: 1×1 spatial
+            b = shape[0]
+            h = w = Dim(1)
+        else:
+            b, _, h, w = shape
+        k, p = layer.k, layer.p
+        return ShapeOut.tensor(
+            Shape([b, layer.out,
+                   h.map(lambda v: v + 2 * p - k + 1),
+                   w.map(lambda v: v + 2 * p - k + 1)])
+        )
+
     if isinstance(layer, cfg.GlobalAvgPool2D):
         b, c, _, _ = _single_tensor(ik, shapes)
         return ShapeOut.tensor(Shape([b, c, 1, 1]))

@@ -100,7 +100,9 @@ class GraphModel:
         param_nodes = [
             n for n in nodes
             if isinstance(n.config, (cfg.ConvBn2D, cfg.Conv2D, cfg.DeconvBn2D,
-                                     cfg.DarkCsp2D, cfg.SppCsp2D, cfg.Linear))
+                                     cfg.DarkCsp2D, cfg.SppCsp2D, cfg.Linear,
+                                     cfg.DarknetRnn, cfg.DarknetGru,
+                                     cfg.DarknetLstm, cfg.DarknetCrnn))
         ]
         keys = jax.random.split(key, max(len(param_nodes), 1))
         for node, k in zip(param_nodes, keys):
@@ -123,14 +125,34 @@ class GraphModel:
             elif isinstance(layer, cfg.SppCsp2D):
                 p, s = blocks.spp_csp_init(k, layer, in_c)
             elif isinstance(layer, cfg.Linear):
-                from ..ops import initializers
-                kw, kb = jax.random.split(k)
-                in_f = self._in_features[node.key]
-                p = {
-                    "w": initializers.linear_weight(kw, in_f, layer.out),
-                    "b": initializers.conv_bias(kb, layer.out, in_f),
-                }
-                s = {}
+                from ..ops import recurrent
+                p, s = recurrent.dense_init(
+                    k, self._in_features[node.key], layer.out,
+                    layer.bn.enabled)
+            elif isinstance(layer, cfg.DarknetRnn):
+                from ..ops import recurrent
+                p, s = recurrent.rnn_init(
+                    k, self._in_features[node.key], layer.hidden, layer.out,
+                    layer.bn)
+            elif isinstance(layer, cfg.DarknetGru):
+                from ..ops import recurrent
+                p, s = recurrent.gru_init(
+                    k, self._in_features[node.key], layer.out, layer.bn)
+            elif isinstance(layer, cfg.DarknetLstm):
+                from ..ops import recurrent
+                p, s = recurrent.lstm_init(
+                    k, self._in_features[node.key], layer.out, layer.bn)
+            elif isinstance(layer, cfg.DarknetCrnn):
+                p, s = {}, {}
+                for sub_idx, (sub_name, sub_cfg) in enumerate(
+                        self._crnn_sub_cfgs(layer).items()):
+                    sub_in = self._in_c[node.key] if sub_name == "input" \
+                        else layer.hidden
+                    sp, ss = conv.conv_bn_init(
+                        jax.random.fold_in(k, sub_idx), sub_cfg, sub_in)
+                    p[sub_name] = sp
+                    if ss:
+                        s[sub_name] = ss
             else:  # pragma: no cover
                 continue
             params[name] = p
@@ -139,6 +161,20 @@ class GraphModel:
         return params, state
 
     # ------------------------------------------------------------------
+
+    @staticmethod
+    def _crnn_sub_cfgs(layer: "cfg.DarknetCrnn") -> Dict[str, cfg.ConvBn2D]:
+        """The three conv sub-layer geometries of a [crnn] node
+        (crnn_layer.c:54-64: input c→hidden, self hidden→hidden,
+        output hidden→out, all sharing size/pad/act/BN, darknet order)."""
+        def sub(out_c: int) -> cfg.ConvBn2D:
+            return cfg.ConvBn2D(
+                c=out_c, k=layer.k, s=1, p=layer.p, d=layer.d, g=layer.g,
+                bias=not layer.bn, act=layer.act,
+                bn=cfg.BatchNormConfig(enabled=layer.bn), order="bn_act",
+            )
+        return {"input": sub(layer.hidden), "self": sub(layer.hidden),
+                "output": sub(layer.out)}
 
     def apply(
         self,
@@ -344,11 +380,55 @@ class GraphModel:
                     [outputs[k] for k in ik.iter_keys()]
                 )
             elif isinstance(layer, cfg.Linear):
-                from .. import activations as act_mod
+                from ..ops import recurrent
                 h = single()
-                h = h.reshape(h.shape[0], -1)
-                h = h @ params[name]["w"] + params[name]["b"]
-                outputs[key] = act_mod.apply(layer.act, h)
+                out, s = recurrent.dense_apply(
+                    params[name], state.get(name, {}),
+                    h.reshape(h.shape[0], -1), layer.act, train,
+                )
+                if s:
+                    new_state[name] = s
+                outputs[key] = out
+            elif isinstance(layer, cfg.DarknetRnn):
+                from ..ops import recurrent
+                out, s = recurrent.rnn_apply(
+                    params[name], state.get(name, {}), single(),
+                    hidden=layer.hidden, act=layer.act,
+                    self_act=layer.self_act, shortcut=layer.shortcut,
+                    time_steps=layer.time_steps, train=train,
+                )
+                if s:
+                    new_state[name] = s
+                outputs[key] = out
+            elif isinstance(layer, cfg.DarknetGru):
+                from ..ops import recurrent
+                out, s = recurrent.gru_apply(
+                    params[name], state.get(name, {}), single(),
+                    out_f=layer.out, time_steps=layer.time_steps, train=train,
+                )
+                if s:
+                    new_state[name] = s
+                outputs[key] = out
+            elif isinstance(layer, cfg.DarknetLstm):
+                from ..ops import recurrent
+                out, s = recurrent.lstm_apply(
+                    params[name], state.get(name, {}), single(),
+                    out_f=layer.out, time_steps=layer.time_steps, train=train,
+                )
+                if s:
+                    new_state[name] = s
+                outputs[key] = out
+            elif isinstance(layer, cfg.DarknetCrnn):
+                from ..ops import recurrent
+                out, s = recurrent.crnn_apply(
+                    params[name], state.get(name, {}), single(),
+                    sub_cfgs=self._crnn_sub_cfgs(layer), hidden=layer.hidden,
+                    shortcut=layer.shortcut, time_steps=layer.time_steps,
+                    train=train,
+                )
+                if s:
+                    new_state[name] = s
+                outputs[key] = out
             elif isinstance(layer, cfg.GlobalAvgPool2D):
                 # NHWC → [b, 1, 1, c] (darknet avgpool keeps a 1×1 map)
                 outputs[key] = jnp.mean(single(), axis=(1, 2), keepdims=True)

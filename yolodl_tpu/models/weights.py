@@ -11,7 +11,13 @@ layout so cfg+weights pairs run end-to-end:
              if batch_normalize: beta[f], gamma[f], mean[f], var[f]
              else:               bias[f]
              conv weights f32[f, in/g, k, k]   (OIHW)
-    per [connected]: bias[out], weights[out*in]
+    per [connected]: bias[out], weights[out*in],
+             if batch_normalize: scale[out], mean[out], var[out]
+             (save_connected_weights, parser.c)
+    per [rnn]:  3 connected blocks input/self/output (parser.c:1919-1922)
+    per [gru]:  6 connected blocks iz/ir/ih/sz/sr/sh (parser.c:1923-1929)
+    per [lstm]: 8 connected blocks wf/wi/wg/wo/uf/ui/ug/uo (parser.c:1930-1938)
+    per [crnn]: 3 convolutional blocks input/self/output (parser.c:1955-1958)
 
 Conv kernels are transposed OIHW→HWIO into the NHWC/HWIO param layout used
 on TPU.  ``save_darknet_weights`` writes the inverse for round-trip tests
@@ -49,6 +55,73 @@ class WeightsReader:
         return len(self.data) - self.off
 
 
+def _read_dense(reader: WeightsReader, in_f: int, out_f: int, bn: bool):
+    """One darknet connected block → (params, state|None)."""
+    b = reader.floats(out_f)
+    w = reader.floats(out_f * in_f).reshape(out_f, in_f)
+    p: Dict[str, Any] = {"w": np.ascontiguousarray(w.T), "b": b}
+    s = None
+    if bn:
+        p["bn"] = {"scale": reader.floats(out_f)}
+        s = {"bn": {"mean": reader.floats(out_f), "var": reader.floats(out_f)}}
+    return p, s
+
+
+def _write_dense(chunks, p: Dict[str, Any], s) -> None:
+    chunks.append(np.asarray(p["b"], "<f4").tobytes())
+    chunks.append(np.ascontiguousarray(np.asarray(p["w"], "<f4").T).tobytes())
+    if "bn" in p:
+        for arr in (p["bn"]["scale"], s["bn"]["mean"], s["bn"]["var"]):
+            chunks.append(np.asarray(arr, "<f4").tobytes())
+
+
+def _read_conv_block(reader: WeightsReader, in_c: int, f: int, k: int, bn: bool):
+    """One darknet convolutional block → (params, state|None), HWIO kernel."""
+    p: Dict[str, Any] = {}
+    s = None
+    if bn:
+        beta = reader.floats(f)
+        gamma = reader.floats(f)
+        mean = reader.floats(f)
+        var = reader.floats(f)
+        p["bn"] = {"scale": gamma, "bias": beta}
+        s = {"bn": {"mean": mean, "var": var}}
+    else:
+        p["b"] = reader.floats(f)
+    w = reader.floats(f * in_c * k * k).reshape(f, in_c, k, k)  # OIHW
+    p["w"] = np.ascontiguousarray(w.transpose(2, 3, 1, 0))  # HWIO
+    return p, s
+
+
+def _write_conv_block(chunks, p: Dict[str, Any], s) -> None:
+    if "bn" in p:
+        for arr in (p["bn"]["bias"], p["bn"]["scale"], s["bn"]["mean"], s["bn"]["var"]):
+            chunks.append(np.asarray(arr, "<f4").tobytes())
+    else:
+        chunks.append(np.asarray(p["b"], "<f4").tobytes())
+    w = np.asarray(p["w"], "<f4").transpose(3, 2, 0, 1)  # HWIO → OIHW
+    chunks.append(np.ascontiguousarray(w).tobytes())
+
+
+# (sub_key, in_features_selector, out_features_selector) per recurrent kind;
+# order matches parser.c save/load order exactly
+_RNN_SUBS = (("input", "in", "hidden"), ("self", "hidden", "hidden"),
+             ("output", "hidden", "out"))
+_GRU_SUBS = (("iz", "in", "out"), ("ir", "in", "out"), ("ih", "in", "out"),
+             ("sz", "out", "out"), ("sr", "out", "out"), ("sh", "out", "out"))
+_LSTM_SUBS = (("wf", "out", "out"), ("wi", "out", "out"), ("wg", "out", "out"),
+              ("wo", "out", "out"), ("uf", "in", "out"), ("ui", "in", "out"),
+              ("ug", "in", "out"), ("uo", "in", "out"))
+
+
+def _recurrent_dims(layer, in_f: int) -> Dict[str, int]:
+    return {
+        "in": in_f,
+        "out": layer.output,
+        "hidden": getattr(layer, "hidden", layer.output),
+    }
+
+
 def load_darknet_weights(
     darknet: dk.Darknet, path, strict: bool = True
 ) -> Tuple[Dict[str, Any], Dict[str, Any], int]:
@@ -71,35 +144,59 @@ def load_darknet_weights(
     state: Dict[str, Any] = {}
 
     for i, layer in enumerate(darknet.layers):
+        prev = darknet.net.input_shape_hwc if i == 0 else shapes[i - 1]
         if isinstance(layer, dk.Connected):
             # darknet connected: bias[out], weights[out, in] row-major
-            prev = darknet.net.input_shape_hwc if i == 0 else shapes[i - 1]
             in_f = prev[0] * prev[1] * prev[2]
-            out_f = layer.output
-            b = reader.floats(out_f)
-            w = reader.floats(out_f * in_f).reshape(out_f, in_f)
-            params[f"layer{i}"] = {"w": np.ascontiguousarray(w.T), "b": b}
+            p, s = _read_dense(reader, in_f, layer.output,
+                               layer.batch_normalize)
+            params[f"layer{i}"] = p
+            if s:
+                state[f"layer{i}"] = s
+            continue
+        if isinstance(layer, (dk.Rnn, dk.Gru, dk.Lstm)):
+            subs = {dk.Rnn: _RNN_SUBS, dk.Gru: _GRU_SUBS,
+                    dk.Lstm: _LSTM_SUBS}[type(layer)]
+            dims = _recurrent_dims(layer, prev[0] * prev[1] * prev[2])
+            p: Dict[str, Any] = {}
+            s: Dict[str, Any] = {}
+            for key, fin, fout in subs:
+                sp, ss = _read_dense(reader, dims[fin], dims[fout],
+                                     layer.batch_normalize)
+                p[key] = sp
+                if ss:
+                    s[key] = ss
+            params[f"layer{i}"] = p
+            if s:
+                state[f"layer{i}"] = s
+            continue
+        if isinstance(layer, dk.Crnn):
+            p, s = {}, {}
+            for key, in_c, out_c in (
+                ("input", prev[2], layer.hidden),
+                ("self", layer.hidden, layer.hidden),
+                ("output", layer.hidden, layer.output),
+            ):
+                sp, ss = _read_conv_block(
+                    reader, in_c // layer.groups, out_c, layer.size,
+                    layer.batch_normalize)
+                p[key] = sp
+                if ss:
+                    s[key] = ss
+            params[f"layer{i}"] = p
+            if s:
+                state[f"layer{i}"] = s
             continue
         if not isinstance(layer, dk.Convolutional):
             continue
         if layer.share_index is not None:
             continue  # shared weights: resolved at build time
         in_c = (darknet.net.channels if i == 0 else shapes[i - 1][2]) // layer.groups
-        f, k = layer.filters, layer.size
-
-        p: Dict[str, Any] = {}
-        if layer.batch_normalize:
-            beta = reader.floats(f)
-            gamma = reader.floats(f)
-            mean = reader.floats(f)
-            var = reader.floats(f)
-            p["bn"] = {"scale": gamma, "bias": beta}
-            state[f"layer{i}"] = {"bn": {"mean": mean, "var": var}}
-        else:
-            p["b"] = reader.floats(f)
-        w = reader.floats(f * in_c * k * k).reshape(f, in_c, k, k)  # OIHW
-        p["w"] = np.ascontiguousarray(w.transpose(2, 3, 1, 0))  # HWIO
+        p, s = _read_conv_block(reader, in_c, layer.filters, layer.size,
+                                layer.batch_normalize)
         params[f"layer{i}"] = p
+        if s:
+            state[f"layer{i}"] = s
 
     if strict and reader.remaining != 0:
         raise ValueError(
@@ -119,21 +216,27 @@ def save_darknet_weights(
     chunks = [struct.pack("<iii", 0, 2, 0), struct.pack("<q", seen)]
     for i, layer in enumerate(darknet.layers):
         if isinstance(layer, dk.Connected):
+            _write_dense(chunks, params[f"layer{i}"],
+                         state.get(f"layer{i}"))
+            continue
+        if isinstance(layer, (dk.Rnn, dk.Gru, dk.Lstm)):
+            subs = {dk.Rnn: _RNN_SUBS, dk.Gru: _GRU_SUBS,
+                    dk.Lstm: _LSTM_SUBS}[type(layer)]
             p = params[f"layer{i}"]
-            chunks.append(np.asarray(p["b"], "<f4").tobytes())
-            chunks.append(np.ascontiguousarray(np.asarray(p["w"], "<f4").T).tobytes())
+            s = state.get(f"layer{i}", {})
+            for key, _, _ in subs:
+                _write_dense(chunks, p[key], s.get(key))
+            continue
+        if isinstance(layer, dk.Crnn):
+            p = params[f"layer{i}"]
+            s = state.get(f"layer{i}", {})
+            for key in ("input", "self", "output"):
+                _write_conv_block(chunks, p[key], s.get(key))
             continue
         if not isinstance(layer, dk.Convolutional) or layer.share_index is not None:
             continue
-        p = params[f"layer{i}"]
-        if layer.batch_normalize:
-            s = state[f"layer{i}"]["bn"]
-            for arr in (p["bn"]["bias"], p["bn"]["scale"], s["mean"], s["var"]):
-                chunks.append(np.asarray(arr, "<f4").tobytes())
-        else:
-            chunks.append(np.asarray(p["b"], "<f4").tobytes())
-        w = np.asarray(p["w"], "<f4").transpose(3, 2, 0, 1)  # HWIO → OIHW
-        chunks.append(np.ascontiguousarray(w).tobytes())
+        _write_conv_block(chunks, params[f"layer{i}"],
+                          state.get(f"layer{i}"))
     with open(path, "wb") as f:
         f.write(b"".join(chunks))
 
@@ -148,29 +251,30 @@ def merge_into_model_tree(
     validating shapes (a partial-load helper like VarStore::load_partial)."""
     import jax.numpy as jnp
 
+    def deep_merge(ref: Dict[str, Any], new: Dict[str, Any], where: str):
+        merged = dict(ref)
+        for k, v in new.items():
+            if isinstance(v, dict):
+                sub_ref = ref.get(k)
+                merged[k] = deep_merge(
+                    sub_ref if isinstance(sub_ref, dict) else {}, v,
+                    f"{where}.{k}")
+            else:
+                expect = ref.get(k)
+                if expect is not None and tuple(expect.shape) != tuple(np.shape(v)):
+                    raise ValueError(
+                        f"{where}.{k}: shape {np.shape(v)} != expected "
+                        f"{tuple(expect.shape)}"
+                    )
+                merged[k] = jnp.asarray(v)
+        return merged
+
     params = dict(init_params)
     state = dict(init_state)
     for name, p in loaded_params.items():
         if name not in params:
             raise KeyError(f"weights for unknown node {name!r}")
-        ref = params[name]
-        merged = {}
-        for k, v in p.items():
-            if k == "bn":
-                merged["bn"] = {kk: jnp.asarray(vv) for kk, vv in v.items()}
-            else:
-                merged[k] = jnp.asarray(v)
-            expect = ref.get(k)
-            if expect is not None and not isinstance(v, dict):
-                if tuple(expect.shape) != tuple(np.shape(v)):
-                    raise ValueError(
-                        f"{name}.{k}: shape {np.shape(v)} != expected {tuple(expect.shape)}"
-                    )
-        params[name] = {**ref, **merged}
+        params[name] = deep_merge(params[name], p, name)
     for name, s in loaded_state.items():
-        ref = state.get(name, {})
-        state[name] = {
-            **ref,
-            "bn": {kk: jnp.asarray(vv) for kk, vv in s["bn"].items()},
-        }
+        state[name] = deep_merge(state.get(name, {}), s, name)
     return params, state
