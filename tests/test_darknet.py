@@ -303,8 +303,6 @@ class TestClassifierModels:
 # trident multi-branch) — everything else in the 74-cfg corpus must build,
 # including the sequence models ([rnn]/[gru]/[lstm]/[crnn], test_recurrent.py)
 UNBUILDABLE = {
-    "t1.test.cfg",                      # yolov1 [detection] head
-    "yolov4-tiny_contrastive.cfg",      # [contrastive] training loss
     # trident: routes layers of different spatial sizes; darknet itself
     # degenerates these to 0-size outputs (parse_route warning), so the cfg
     # is broken upstream — we fail fast instead
@@ -313,7 +311,7 @@ UNBUILDABLE = {
 
 
 def test_corpus_build_coverage():
-    """At least 71 of the 74 corpus cfgs build into runnable graphs."""
+    """At least 73 of the 74 corpus cfgs build into runnable graphs."""
     built, failed = [], []
     for path in ALL_CFGS:
         name = os.path.basename(path)
@@ -324,4 +322,4 @@ def test_corpus_build_coverage():
             failed.append(name)
     unexpected = [n for n in failed if n not in UNBUILDABLE]
     assert not unexpected, f"cfgs newly failing to build: {unexpected}"
-    assert len(built) >= 71, (len(built), failed)
+    assert len(built) >= 73, (len(built), failed)

@@ -303,3 +303,49 @@ def test_recurrent_parity(tmp_path, cfg_name):
         assert mse < 1e-4, f"layer {i} ({kind}): relative MSE {mse:.3e}"
         checked += 1
     assert checked >= 4
+
+
+def test_yolov1_connected_detection_parity(tmp_path):
+    """t1.test.cfg (YOLOv1): conv→connected→[detection] chain vs darknet-C.
+    Regression test for the connected-layer flatten order — darknet
+    flattens conv maps (c,h,w); our Linear flattens NHWC, so the .weights
+    IO permutes the in-dim (weights.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from oracle import DarknetOracle
+    from yolodl_tpu.config import darknet_cfg as dk
+    from yolodl_tpu.graph.from_darknet import graph_from_darknet
+    from yolodl_tpu.models.builder import GraphModel
+    from yolodl_tpu.models.weights import save_darknet_weights
+
+    cfg_path = os.path.join(REPO, "cfg/darknet/t1.test.cfg")
+    darknet = dk.Darknet.load(cfg_path)
+    model = GraphModel(graph_from_darknet(darknet))
+    params, state = model.init(jax.random.PRNGKey(5))
+    wpath = str(tmp_path / "t1.weights")
+    save_darknet_weights(darknet, params, state, wpath)
+
+    oracle = DarknetOracle(cfg_path, wpath)
+    rng = np.random.default_rng(2)
+    image = rng.uniform(0.0, 1.0, (3, 224, 224)).astype(np.float32)
+    oracle.forward(image)
+    _, _, ours = model.apply(
+        params, state, jnp.asarray(image[None]), train=False,
+        return_intermediates=True,
+    )
+
+    checked = 0
+    for i in range(oracle.num_layers):
+        kind = oracle.layer_type(i)
+        if kind not in {"convolutional", "maxpool", "connected", "detection"}:
+            continue
+        ref = oracle.layer_output(i).reshape(-1)
+        mine = np.asarray(ours[f"layer{i}"])
+        if kind in ("convolutional", "maxpool"):
+            mine = np.transpose(mine[0], (2, 0, 1))
+        mse = float(np.mean((mine.reshape(-1) - ref) ** 2)
+                    / (np.mean(ref**2) + 1e-12))
+        assert mse < 1e-5, f"layer {i} ({kind}): relative MSE {mse:.3e}"
+        checked += 1
+    assert checked >= 15

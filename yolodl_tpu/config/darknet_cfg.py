@@ -322,6 +322,25 @@ class Softmax:
 
 
 @dataclasses.dataclass(frozen=True)
+class Detection:
+    """darknet [detection] (YOLOv1 head, detection_layer.c): the forward
+    pass is a copy with optional per-cell softmax over the class block;
+    per-batch layout is [side²·classes probs][side²·num confs][side²·num·4
+    boxes] (get_detection_detections)."""
+
+    classes: int = 20
+    coords: int = 4
+    side: int = 7
+    num: int = 2
+    softmax: bool = False
+    sqrt: bool = False
+    rescore: bool = False
+
+    def output_shape(self, in_hwc: ShapeHWC) -> ShapeHWC:
+        return in_hwc
+
+
+@dataclasses.dataclass(frozen=True)
 class Rnn:
     """darknet [rnn] (parser.c parse_rnn, rnn_layer.c): three connected
     sub-layers; self activation is logistic/loggy when ``logistic``=1/2."""
@@ -401,7 +420,7 @@ class Unimplemented:
 
 Layer = Union[Convolutional, Route, Shortcut, MaxPool, UpSample, Yolo,
               Connected, AvgPool, Dropout, Softmax, Reorg, Sam,
-              ScaleChannels, Region, Rnn, Gru, Lstm, Crnn, Unimplemented]
+              ScaleChannels, Region, Rnn, Gru, Lstm, Crnn, Detection, Unimplemented]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -425,7 +444,8 @@ class Darknet:
             if isinstance(
                 layer,
                 (Convolutional, MaxPool, UpSample, Yolo, Connected, AvgPool,
-                 Dropout, Softmax, Reorg, Sam, Region, Rnn, Gru, Lstm, Crnn),
+                 Dropout, Softmax, Reorg, Sam, Region, Rnn, Gru, Lstm, Crnn,
+                 Detection),
             ):
                 src = self.net.input_shape_hwc if i == 0 else shapes[i - 1]
                 shapes.append(layer.output_shape(src))
@@ -632,6 +652,16 @@ def _parse_layer(name: str, d: Dict[str, str]) -> Layer:
             batch_normalize=_get_bool(d, "batch_normalize", False),
             shortcut=_get_bool(d, "shortcut", False),
         )
+    if name == "detection":
+        return Detection(
+            classes=_get_int(d, "classes", 20),
+            coords=_get_int(d, "coords", 4),
+            side=_get_int(d, "side", 7),
+            num=_get_int(d, "num", 2),
+            softmax=_get_bool(d, "softmax", False),
+            sqrt=_get_bool(d, "sqrt", False),
+            rescore=_get_bool(d, "rescore", False),
+        )
     if name == "avgpool":
         return AvgPool()
     if name == "dropout":
@@ -741,6 +771,14 @@ def to_cfg_string(darknet: Darknet) -> str:
             out.append(f"truth_thresh={_fmt(layer.truth_thresh)}")
             out.append(f"max={layer.max_boxes}")
             out.append(f"nms_kind={layer.nms_kind}")
+        elif isinstance(layer, Detection):
+            out.append("[detection]")
+            out.append(f"classes={layer.classes}")
+            out.append(f"coords={layer.coords}")
+            out.append(f"side={layer.side}")
+            out.append(f"num={layer.num}")
+            out.append(f"softmax={1 if layer.softmax else 0}")
+            out.append(f"sqrt={1 if layer.sqrt else 0}")
         elif isinstance(layer, Rnn):
             out.append("[rnn]")
             if layer.batch_normalize:

@@ -284,6 +284,19 @@ class DarknetScaleChannels(ModuleCfg):
 
 
 @dataclasses.dataclass(frozen=True)
+class Yolov1Detection(ModuleCfg):
+    """darknet [detection] (YOLOv1 head, detection_layer.c forward): copy
+    with optional per-cell softmax over the leading side²·classes block.
+    Per-batch layout: [S²·C class probs][S²·B confidences][S²·B·4 boxes]."""
+
+    from_: Optional[str] = None
+    classes: int = 20
+    side: int = 7
+    num: int = 2
+    softmax: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
 class DarknetRnn(ModuleCfg):
     """darknet [rnn] (rnn_layer.c): 3 connected sub-layers, time-major scan.
     ``time_steps`` comes from the cfg's [net] section."""

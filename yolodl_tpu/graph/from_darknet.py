@@ -211,8 +211,18 @@ def graph_from_darknet(darknet: dk.Darknet) -> Graph:
                                       probability=layer.probability))
         elif isinstance(layer, dk.Softmax):
             layers.append(cfg.Softmax(name=name, from_=prev))
-        elif isinstance(layer, dk.Unimplemented) and layer.section in ("cost", "crop"):
+        elif isinstance(layer, dk.Detection):
+            layers.append(
+                cfg.Yolov1Detection(
+                    name=name, from_=prev, classes=layer.classes,
+                    side=layer.side, num=layer.num, softmax=layer.softmax,
+                )
+            )
+        elif isinstance(layer, dk.Unimplemented) and layer.section in (
+                "cost", "crop", "contrastive"):
             # training-only/no-op sections at inference → identity
+            # ([contrastive] is a terminal loss layer like [cost]:
+            # representation_layer.c computes a loss, nothing consumes it)
             layers.append(cfg.Identity(name=name, from_=prev))
         else:
             raise ValueError(
@@ -221,6 +231,32 @@ def graph_from_darknet(darknet: dk.Darknet) -> Graph:
 
     if yolo_names:
         layers.append(cfg.MergeDetect2D(name="output", from_=tuple(yolo_names)))
+        # prune branches no detection head consumes (e.g. the terminal
+        # [route]→[contrastive] training tail of yolov4-tiny_contrastive.cfg)
+        # so the graph has exactly one sink; darknet still computes them but
+        # nothing reads their output at inference
+        by_name = {}
+        implicit_prev = {}
+        prev_name = None
+        for lay in layers:
+            by_name[lay.name] = lay
+            implicit_prev[lay.name] = prev_name
+            prev_name = lay.name
+        keep = set()
+        stack = ["output"]
+        while stack:
+            cur = stack.pop()
+            if cur in keep or cur not in by_name:
+                continue
+            keep.add(cur)
+            src = getattr(by_name[cur], "from_", None)
+            if src is None and implicit_prev[cur] is not None:
+                stack.append(implicit_prev[cur])
+            elif isinstance(src, str):
+                stack.append(src)
+            elif isinstance(src, (tuple, list)):
+                stack.extend(src)
+        layers = [lay for lay in layers if lay.name in keep]
     # classifier cfgs (no [yolo] heads) end at their last layer
 
     model = cfg.Model(groups={"darknet": tuple(layers)}, main_group="darknet")

@@ -477,7 +477,8 @@ def _infer_shape(
         b, c, _, _ = _single_tensor(ik, shapes)
         return ShapeOut.tensor(Shape([b, c, 1, 1]))
 
-    if isinstance(layer, (cfg.Dropout, cfg.Softmax, cfg.Identity)):
+    if isinstance(layer, (cfg.Dropout, cfg.Softmax, cfg.Identity,
+                          cfg.Yolov1Detection)):
         return ShapeOut.tensor(_single_tensor(ik, shapes))
 
     if isinstance(layer, cfg.DarknetRoute):

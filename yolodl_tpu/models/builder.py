@@ -444,6 +444,18 @@ class GraphModel:
                 outputs[key] = h
             elif isinstance(layer, cfg.Softmax):
                 outputs[key] = jax.nn.softmax(single(), axis=-1)
+            elif isinstance(layer, cfg.Yolov1Detection):
+                h = single().reshape(single().shape[0], -1)
+                if layer.softmax:
+                    # per-cell softmax over the leading S²·C class block
+                    # (detection_layer.c:9-17); confidences/boxes untouched
+                    n_cls = layer.side * layer.side * layer.classes
+                    cls = jax.nn.softmax(
+                        h[:, :n_cls].reshape(h.shape[0], -1, layer.classes),
+                        axis=-1,
+                    ).reshape(h.shape[0], n_cls)
+                    h = jnp.concatenate([cls, h[:, n_cls:]], axis=-1)
+                outputs[key] = h
             else:
                 raise NotImplementedError(f"forward for {layer.kind}")
 

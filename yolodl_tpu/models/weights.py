@@ -146,10 +146,19 @@ def load_darknet_weights(
     for i, layer in enumerate(darknet.layers):
         prev = darknet.net.input_shape_hwc if i == 0 else shapes[i - 1]
         if isinstance(layer, dk.Connected):
-            # darknet connected: bias[out], weights[out, in] row-major
-            in_f = prev[0] * prev[1] * prev[2]
+            # darknet connected: bias[out], weights[out, in] row-major with
+            # the in-dim in darknet's (c, h, w) flatten order; our Linear
+            # flattens NHWC → permute to (h, w, c) when prev is spatial
+            h0, w0, c0 = prev
+            in_f = h0 * w0 * c0
             p, s = _read_dense(reader, in_f, layer.output,
                                layer.batch_normalize)
+            if h0 * w0 > 1:
+                w = np.asarray(p["w"])  # (in_chw, out)
+                p["w"] = np.ascontiguousarray(
+                    w.reshape(c0, h0, w0, -1).transpose(1, 2, 0, 3)
+                    .reshape(in_f, -1)
+                )
             params[f"layer{i}"] = p
             if s:
                 state[f"layer{i}"] = s
@@ -213,11 +222,20 @@ def save_darknet_weights(
     seen: int = 0,
 ) -> None:
     """Write params back to the darknet binary layout (round-trip/testing)."""
+    shapes = darknet.output_shapes()
     chunks = [struct.pack("<iii", 0, 2, 0), struct.pack("<q", seen)]
     for i, layer in enumerate(darknet.layers):
         if isinstance(layer, dk.Connected):
-            _write_dense(chunks, params[f"layer{i}"],
-                         state.get(f"layer{i}"))
+            p = params[f"layer{i}"]
+            h0, w0, c0 = darknet.net.input_shape_hwc if i == 0 else shapes[i - 1]
+            if h0 * w0 > 1:
+                # our (h, w, c) in-dim order → darknet's (c, h, w)
+                w = np.asarray(p["w"])
+                p = {**p, "w": np.ascontiguousarray(
+                    w.reshape(h0, w0, c0, -1).transpose(2, 0, 1, 3)
+                    .reshape(h0 * w0 * c0, -1)
+                )}
+            _write_dense(chunks, p, state.get(f"layer{i}"))
             continue
         if isinstance(layer, (dk.Rnn, dk.Gru, dk.Lstm)):
             subs = {dk.Rnn: _RNN_SUBS, dk.Gru: _GRU_SUBS,
