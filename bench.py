@@ -53,7 +53,9 @@ def main():
 
     config = TrainConfig()
     ts, opt = train_init(model, config, seed=0)
-    step_fn = make_train_step(model, opt, config)
+    # scan SCAN_K steps into one XLA program (train.make_multi_step):
+    # amortizes per-step dispatch, ~96 → ~90 ms/step at b16
+    scan_k = int(os.environ.get("BENCH_SCAN", "5"))
 
     rng = np.random.default_rng(0)
     max_gt = 32
@@ -66,17 +68,31 @@ def main():
     mask = np.ones((BATCH, max_gt), bool)
     batch = (images, jnp.asarray(boxes), jnp.asarray(classes), jnp.asarray(mask))
 
+    if scan_k > 1:
+        from yolodl_tpu.train import make_multi_step
+
+        multi_fn = make_multi_step(model, opt, config, scan_k)
+        batch = tuple(
+            jnp.broadcast_to(x, (scan_k,) + x.shape) for x in batch
+        )
+        step_fn = multi_fn
+        steps_per_call = scan_k
+    else:
+        step_fn = make_train_step(model, opt, config)
+        steps_per_call = 1
+
     # warmup / compile
     ts, metrics = step_fn(ts, *batch)
     jax.block_until_ready(metrics["total_loss"])
 
+    calls = max(STEPS // steps_per_call, 1)
     t0 = time.perf_counter()
-    for _ in range(STEPS):
+    for _ in range(calls):
         ts, metrics = step_fn(ts, *batch)
     jax.block_until_ready(metrics["total_loss"])
     dt = time.perf_counter() - t0
 
-    img_s = BATCH * STEPS / dt
+    img_s = BATCH * steps_per_call * calls / dt
     print(
         json.dumps(
             {

@@ -137,6 +137,26 @@ class TestTrainCli:
         # tensorboard event file written
         assert any(name.startswith("events.out") for name in os.listdir(run_dir))
 
+    def test_train_steps_per_call_scan(self, workspace):
+        """training.steps_per_call=2 scans two optimizer steps per XLA call;
+        logging/checkpoint cadence still sees every step."""
+        import json
+
+        cfg = json.loads((workspace / "train.json5").read_text())
+        cfg["training"]["steps_per_call"] = 2
+        cfg["logging"]["dir"] = str(workspace / "logs_scan")
+        (workspace / "train_scan.json5").write_text(json.dumps(cfg))
+        out = run_cli(
+            "yolodl_tpu.cli.train_main",
+            "--config-file", str(workspace / "train_scan.json5"),
+            "--max-steps", "4",
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        runs = os.listdir(workspace / "logs_scan")
+        run_dir = workspace / "logs_scan" / runs[0]
+        ckpts = os.listdir(run_dir / "checkpoints")
+        assert any(name.endswith(".ckpt") for name in ckpts)
+
     def test_train_resume_from_recent(self, workspace):
         out1 = run_cli(
             "yolodl_tpu.cli.train_main",

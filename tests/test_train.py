@@ -329,3 +329,36 @@ class TestDataParallelRealModel:
         # params remain replicated and identical across devices
         leaf = jax.tree_util.tree_leaves(ts.params)[0]
         assert leaf.sharding.is_fully_replicated
+
+
+class TestMultiStep:
+    def test_scan_matches_sequential_steps(self, rng):
+        """make_multi_step(k) must be bit-compatible with k sequential
+        make_train_step calls (same params, opt state, step, metrics)."""
+        from yolodl_tpu.train import make_multi_step
+
+        model = tiny_model()
+        images, boxes, classes, mask = fake_batch(rng)
+        config = TrainConfig()
+        k = 3
+
+        ts_a, opt = train_init(model, config, seed=3)
+        step = make_train_step(model, opt, config)
+        for _ in range(k):
+            ts_a, metrics_a = step(ts_a, images, boxes, classes, mask)
+
+        ts_b, opt_b = train_init(model, config, seed=3)
+        multi = make_multi_step(model, opt_b, config, k)
+        stack = lambda x: jnp.broadcast_to(x, (k,) + x.shape)
+        ts_b, metrics_b = multi(
+            ts_b, stack(images), stack(boxes), stack(classes), stack(mask))
+
+        assert int(ts_a.step) == int(ts_b.step) == k
+        for a, b in zip(jax.tree_util.tree_leaves(ts_a.params),
+                        jax.tree_util.tree_leaves(ts_b.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+        # last scanned metric == last sequential metric
+        np.testing.assert_allclose(
+            float(metrics_b["total_loss"][-1]), float(metrics_a["total_loss"]),
+            rtol=1e-6)

@@ -184,45 +184,82 @@ def main(argv=None):
             )
         return resize_cache[target](images)
 
+    # scanned multi-step (training.steps_per_call): run K optimizer steps
+    # as one XLA program, amortizing per-step dispatch (~6 ms/step at
+    # yolov4-csp-608 b16).  Incompatible with multi-scale (sizes change
+    # per step) and the DP path (which has its own sharded program).
+    scan_k = config.steps_per_call
+    if scan_k > 1 and (config.n_devices > 1 or ms_sizes):
+        print("steps_per_call > 1 requires single-device, fixed-size "
+              "training; falling back to per-step dispatch")
+        scan_k = 1
+    if scan_k > 1:
+        from ..train import make_multi_step
+
+        step_fn = make_multi_step(model, optimizer, train_cfg, scan_k)
+
+    def handle_step(step, metrics, index=None):
+        """Per-optimizer-step host work: finite check, TB logging, rates,
+        checkpoints.  Returns True when --max-steps is reached."""
+        pick = (lambda v: v[index]) if index is not None else (lambda v: v)
+        total = float(pick(metrics["total_loss"]))
+        if not np.isfinite(total):
+            raise RuntimeError(f"non-finite total loss at step {step}: {total}")
+        lr = lr_at_step(config.lr, step)
+        logger.log_training_output(
+            step, lr, {k: float(pick(v)) for k, v in metrics.items()}
+        )
+        batch_rate.add(1)
+        record_rate.add(config.batch_size)
+        if step % 10 == 0:
+            print(
+                f"step {step}  loss {total:.5f}  "
+                f"{batch_rate.rate():.2f} batches/s  {record_rate.rate():.1f} records/s"
+            )
+        if config.checkpoint.save_steps and step % config.checkpoint.save_steps == 0:
+            save_checkpoint(ckpt_dir, step, total, ts.params, ts.state,
+                            ts.opt_state, ema_params=ts.ema_params)
+        if args.max_steps and step >= args.max_steps:
+            save_checkpoint(ckpt_dir, step, total, ts.params, ts.state,
+                            ts.opt_state, ema_params=ts.ema_params)
+            return True
+        return False
+
     profiling = False
+    pending = []
     try:
         for record, arrays in device_prefetch(iter(stream)):
             if args.profile_dir:
                 # device-side timing via jax.profiler (SURVEY §5.1): trace a
                 # steady-state window after warmup/compile
-                if int(ts.step) == 5 and not profiling:
+                if int(ts.step) >= 5 and not profiling:
                     jax.profiler.start_trace(args.profile_dir)
                     profiling = True
-                elif int(ts.step) == 10 and profiling:
+                elif int(ts.step) >= 10 and profiling:
                     jax.profiler.stop_trace()
                     profiling = False
                     print(f"wrote device trace to {args.profile_dir}")
+            if scan_k > 1:
+                pending.append(arrays)
+                if len(pending) < scan_k:
+                    continue
+                stacked = tuple(np.stack(parts) for parts in zip(*pending))
+                pending.clear()
+                ts, metrics = step_fn(ts, *stacked)
+                done = False
+                for j in range(scan_k):
+                    step = int(ts.step) - scan_k + 1 + j
+                    if handle_step(step, metrics, index=j):
+                        done = True
+                        break
+                if done:
+                    break
+                continue
             images, gt_boxes, gt_classes, gt_mask = arrays
             images = maybe_rescale(images, int(ts.step))
             batch = place((images, gt_boxes, gt_classes, gt_mask))
             ts, metrics = step_fn(ts, *batch)
-            total = float(metrics["total_loss"])
-            if not np.isfinite(total):
-                raise RuntimeError(f"non-finite total loss at step {int(ts.step)}: {total}")
-
-            step = int(ts.step)
-            lr = lr_at_step(config.lr, step)
-            logger.log_training_output(
-                step, lr, {k: float(v) for k, v in metrics.items()}
-            )
-            batch_rate.add(1)
-            record_rate.add(config.batch_size)
-            if step % 10 == 0:
-                print(
-                    f"step {step}  loss {total:.5f}  "
-                    f"{batch_rate.rate():.2f} batches/s  {record_rate.rate():.1f} records/s"
-                )
-            if config.checkpoint.save_steps and step % config.checkpoint.save_steps == 0:
-                save_checkpoint(ckpt_dir, step, total, ts.params, ts.state,
-                                ts.opt_state, ema_params=ts.ema_params)
-            if args.max_steps and step >= args.max_steps:
-                save_checkpoint(ckpt_dir, step, total, ts.params, ts.state,
-                                ts.opt_state, ema_params=ts.ema_params)
+            if handle_step(int(ts.step), metrics):
                 break
     finally:
         if profiling:

@@ -249,6 +249,9 @@ class TrainAppConfig:
     nms_conf_thresh: float
     multi_scale_sizes: Tuple[int, ...] = ()
     multi_scale_interval: int = 10
+    # scan this many optimizer steps into one XLA program
+    # (train.make_multi_step); 1 = classic per-step dispatch
+    steps_per_call: int = 1
 
     @staticmethod
     def load(path) -> "TrainAppConfig":
@@ -298,6 +301,7 @@ class TrainAppConfig:
             nms_iou_thresh=float(benchmark.get("nms_iou_thresh", 0.6)),
             nms_conf_thresh=float(benchmark.get("nms_conf_thresh", 0.1)),
             multi_scale_sizes=tuple(int(x) for x in ms.get("sizes", ())),
+            steps_per_call=int(training.get("steps_per_call", 1)),
             multi_scale_interval=int(ms.get("interval", 10)),
         )
 

@@ -5,4 +5,10 @@ from .checkpoint import (  # noqa: F401
     save_checkpoint,
 )
 from .ema import ema_init, ema_update  # noqa: F401
-from .loop import TrainConfig, TrainState, make_train_step, train_init  # noqa: F401
+from .loop import (  # noqa: F401
+    TrainConfig,
+    TrainState,
+    make_multi_step,
+    make_train_step,
+    train_init,
+)
