@@ -548,3 +548,66 @@ class TestPipelineWorkers:
         stream = TrainingStream(records, OnDemandLoader((16, 16)), cfg2)
         rec = next(iter(stream))
         assert rec.images.shape == (2, 3, 16, 16)
+
+
+class TestNativeAugmentation:
+    """C++ augmentation kernels (native/loader.cpp) vs the numpy/scipy
+    reference implementations — exact semantics, large speedup (the
+    per-record pipeline hotspots: affine 67→6 ms, jitter 52→16 ms)."""
+
+    def _need_lib(self):
+        from yolodl_tpu.data.native_loader import _aug_lib
+
+        if _aug_lib() is None:
+            pytest.skip("native augmentation kernels not built")
+
+    def test_affine_warp_matches_scipy(self, rng):
+        self._need_lib()
+        from scipy import ndimage
+
+        from yolodl_tpu.data.native_loader import affine_warp_native
+
+        img = rng.uniform(0, 1, (3, 48, 40)).astype(np.float32)
+        for _ in range(4):
+            m_rc = np.eye(2) + rng.normal(0, 0.15, (2, 2))
+            b_rc = rng.normal(0, 4, 2)
+            nat = affine_warp_native(img, m_rc, b_rc)
+            ref = np.stack([
+                ndimage.affine_transform(img[c], m_rc, offset=b_rc, order=1,
+                                         mode="constant", cval=0.0)
+                for c in range(3)
+            ])
+            np.testing.assert_allclose(nat, ref, atol=1e-5)
+
+    def test_color_jitter_matches_numpy(self, rng):
+        self._need_lib()
+        from yolodl_tpu.data.color import hsv_to_rgb, rgb_to_hsv
+        from yolodl_tpu.data.native_loader import color_jitter_native
+
+        img = rng.uniform(0, 1, (3, 33, 47)).astype(np.float32)
+        for hs, ss, vs in [(0.03, -0.1, 0.08), (0.0, 0.0, 0.0), (-0.4, 0.5, -0.5)]:
+            nat = color_jitter_native(img, hs, ss, vs)
+            hsv = rgb_to_hsv(img)
+            hsv[0] = (hsv[0] + hs + 1.0) % 1.0
+            hsv[1] = np.clip(hsv[1] + ss, 0.0, 1.0)
+            hsv[2] = np.clip(hsv[2] + vs, 0.0, 1.0)
+            ref = hsv_to_rgb(hsv)
+            np.testing.assert_allclose(nat, ref, atol=3e-5)
+
+    def test_jitter_dispatch_identical_stream(self, rng):
+        """ColorJitter.__call__ must produce the same result through the
+        native and numpy paths with the same RNG state."""
+        from yolodl_tpu.data.color import ColorJitter
+        from yolodl_tpu.data import native_loader
+
+        self._need_lib()
+        img = rng.uniform(0, 1, (3, 24, 24)).astype(np.float32)
+        cj = ColorJitter(0.05, 0.2, 0.2)
+        a = cj(img, np.random.default_rng(7))
+        saved = native_loader._aug_lib_cache
+        native_loader._aug_lib_cache = False  # force numpy fallback
+        try:
+            b = cj(img, np.random.default_rng(7))
+        finally:
+            native_loader._aug_lib_cache = saved
+        np.testing.assert_allclose(a, b, atol=3e-5)

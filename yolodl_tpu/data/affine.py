@@ -84,14 +84,21 @@ class RandomAffine:
         m_rc = swap @ m_xy @ swap
         b_rc = (swap @ b_pix)
 
-        warped = np.stack(
-            [
-                ndimage.affine_transform(
-                    image_chw[ch], m_rc, offset=b_rc, order=1, mode="constant", cval=0.0
-                )
-                for ch in range(c)
-            ]
-        ).astype(np.float32)
+        # C++ bilinear warp (native/loader.cpp ydl_affine_warp, exact
+        # scipy-order-1 semantics): scipy costs ~67 ms per 608² record
+        from .native_loader import affine_warp_native
+
+        warped = affine_warp_native(image_chw, m_rc, b_rc)
+        if warped is None:
+            warped = np.stack(
+                [
+                    ndimage.affine_transform(
+                        image_chw[ch], m_rc, offset=b_rc, order=1,
+                        mode="constant", cval=0.0,
+                    )
+                    for ch in range(c)
+                ]
+            ).astype(np.float32)
 
         if len(boxes_ratio) == 0:
             return warped, boxes_ratio, classes

@@ -60,14 +60,23 @@ class ColorJitter:
     def __call__(self, rgb_chw: np.ndarray, rng: np.random.Generator) -> np.ndarray:
         if rgb_chw.shape[0] != 3:
             raise ValueError(f"channel size must be 3, got {rgb_chw.shape[0]}")
+        # sample in a fixed order so the augmentation stream is identical
+        # whichever backend applies it
+        hs = rng.uniform(-self.hue_shift, self.hue_shift) if self.hue_shift else 0.0
+        ss = (rng.uniform(-self.saturation_shift, self.saturation_shift)
+              if self.saturation_shift else 0.0)
+        vs = rng.uniform(-self.value_shift, self.value_shift) if self.value_shift else 0.0
+
+        # fused C++ kernel (native/loader.cpp ydl_color_jitter): the numpy
+        # round trip costs ~52 ms per 608² record, the native one ~3 ms
+        from .native_loader import color_jitter_native
+
+        out = color_jitter_native(rgb_chw, hs, ss, vs)
+        if out is not None:
+            return out
+
         hsv = rgb_to_hsv(rgb_chw)
-        if self.hue_shift:
-            shift = rng.uniform(-self.hue_shift, self.hue_shift)
-            hsv[0] = (hsv[0] + shift + 1.0) % 1.0
-        if self.saturation_shift:
-            shift = rng.uniform(-self.saturation_shift, self.saturation_shift)
-            hsv[1] = np.clip(hsv[1] + shift, 0.0, 1.0)
-        if self.value_shift:
-            shift = rng.uniform(-self.value_shift, self.value_shift)
-            hsv[2] = np.clip(hsv[2] + shift, 0.0, 1.0)
+        hsv[0] = (hsv[0] + hs + 1.0) % 1.0
+        hsv[1] = np.clip(hsv[1] + ss, 0.0, 1.0)
+        hsv[2] = np.clip(hsv[2] + vs, 0.0, 1.0)
         return hsv_to_rgb(hsv)

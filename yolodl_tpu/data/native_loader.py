@@ -30,6 +30,71 @@ def native_loader_available() -> bool:
     return os.path.exists(_LIB_PATH)
 
 
+_aug_lib_cache = None
+
+
+def _aug_lib():
+    """Lazily-loaded CDLL exposing the augmentation kernels
+    (ydl_affine_warp / ydl_color_jitter); None when not built."""
+    global _aug_lib_cache
+    if _aug_lib_cache is not None:
+        return _aug_lib_cache or None
+    if not native_loader_available():
+        _aug_lib_cache = False
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    if not hasattr(lib, "ydl_affine_warp"):  # older build of the .so
+        _aug_lib_cache = False
+        return None
+    lib.ydl_affine_warp.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.ydl_color_jitter.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float,
+    ]
+    _aug_lib_cache = lib
+    return lib
+
+
+def affine_warp_native(image_chw: np.ndarray, m_rc: np.ndarray,
+                       b_rc: np.ndarray):
+    """C++ bilinear inverse warp (scipy affine_transform order=1 semantics);
+    returns None when the native library isn't available."""
+    lib = _aug_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(image_chw, np.float32)
+    c, h, w = src.shape
+    dst = np.empty_like(src)
+    m = np.ascontiguousarray(m_rc, np.float64).reshape(4)
+    off = np.ascontiguousarray(b_rc, np.float64).reshape(2)
+    lib.ydl_affine_warp(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), c, h, w,
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        off.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return dst
+
+
+def color_jitter_native(rgb_chw: np.ndarray, hue_shift: float,
+                        sat_shift: float, val_shift: float):
+    """Fused C++ HSV jitter; returns None when unavailable."""
+    lib = _aug_lib()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(rgb_chw, np.float32).copy()
+    _, h, w = img.shape
+    lib.ydl_color_jitter(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), h, w,
+        float(hue_shift), float(sat_shift), float(val_shift),
+    )
+    return img
+
+
 class NativeLoader:
     """Threaded C++ decode+letterbox; same .load contract as OnDemandLoader."""
 
