@@ -141,13 +141,19 @@ def main():
 
     map_before = evaluate(model, ts.params, ts.state, eval_batches, fwd, nms_stage)
 
+    # pre-generate a training pool so long runs are TPU-bound, not bounded
+    # by single-threaded numpy image synthesis
+    pool = [
+        tuple(jnp.asarray(a, jnp.bfloat16 if a.dtype == np.float32 and a.ndim == 4
+                          else None) for a in sample_batch(rng, BATCH))
+        for _ in range(int(os.environ.get("QL_POOL", "60")))
+    ]
+
     t0 = time.perf_counter()
     last_loss = None
     for i in range(STEPS):
-        images, boxes, classes, mask = sample_batch(rng, BATCH)
-        ts, metrics = step_fn(
-            ts, jnp.asarray(images, jnp.bfloat16), jnp.asarray(boxes),
-            jnp.asarray(classes), jnp.asarray(mask))
+        images, boxes, classes, mask = pool[i % len(pool)]
+        ts, metrics = step_fn(ts, images, boxes, classes, mask)
         last_loss = float(metrics["total_loss"])
         assert np.isfinite(last_loss), f"non-finite loss at step {i}"
     dt = time.perf_counter() - t0
