@@ -343,3 +343,84 @@ save_checkpoint(r'{tmp_path}/ckpts', 1, 1.0, ts.params, ts.state, ema_params=ts.
             "--checkpoint", ckpt, "--ema", "--limit", "2",
         )
         assert out.returncode == 0, out.stderr[-3000:]
+
+
+class TestClassifyCli:
+    @pytest.fixture()
+    def class_workspace(self, tmp_path, rng):
+        """3-color synthetic classification set + tiny classifier cfg."""
+        img_dir = tmp_path / "images"
+        img_dir.mkdir()
+        names = ["red", "green", "blue"]
+        rows = ["image_file,class_name"]
+        for i in range(12):
+            cls = i % 3
+            arr = rng.uniform(0, 60, (24, 24, 3)).astype(np.uint8)
+            arr[:, :, cls] = rng.uniform(180, 255, (24, 24)).astype(np.uint8)
+            Image.fromarray(arr).save(img_dir / f"i{i}.png")
+            rows.append(f"i{i}.png,{names[cls]}")
+        (tmp_path / "labels.csv").write_text("\n".join(rows) + "\n")
+        (tmp_path / "classes.txt").write_text("\n".join(names) + "\n")
+        (tmp_path / "net.cfg").write_text("""
+[net]
+height=24
+width=24
+channels=3
+batch=1
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[avgpool]
+
+[connected]
+output=3
+activation=linear
+
+[softmax]
+""")
+        cfg = {
+            "version": "0.1.0",
+            "model": {"kind": "Darknet", "cfg_file": str(tmp_path / "net.cfg")},
+            "dataset": {"image_dir": str(img_dir),
+                        "label_file": str(tmp_path / "labels.csv"),
+                        "classes_file": str(tmp_path / "classes.txt")},
+            "logging": {"dir": str(tmp_path / "logs")},
+            "training": {"batch_size": 6, "save_checkpoint_steps": 20,
+                         "optimizer": {"momentum": 0.9,
+                                       "lr_schedule": {"type": "Constant", "lr": 0.005}}},
+        }
+        (tmp_path / "classify.json5").write_text(json.dumps(cfg))
+        return tmp_path
+
+    def test_train_then_eval(self, class_workspace):
+        out = run_cli(
+            "yolodl_tpu.cli.classify_main",
+            "--config-file", str(class_workspace / "classify.json5"),
+            "--max-steps", "40",
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        assert "acc" in out.stdout
+
+        out2 = run_cli(
+            "yolodl_tpu.cli.classify_main",
+            "--config-file", str(class_workspace / "classify.json5"),
+            "--eval",
+        )
+        assert out2.returncode == 0, out2.stderr[-3000:]
+        assert "restored checkpoint" in out2.stdout
+        acc = float(out2.stdout.split("top-1 accuracy:")[1].split()[0])
+        assert acc > 0.9, out2.stdout

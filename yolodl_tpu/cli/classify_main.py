@@ -1,0 +1,189 @@
+"""Classifier train/eval CLI — darknet classification cfgs end-to-end.
+
+Beyond-reference capability (the reference cannot build classifier cfgs at
+all): trains any darknet classification network (cifar, darknet19/53,
+alexnet, vgg, resnet, ...) with the cross-entropy step of
+``train/classifier.py`` on a CSV-labelled image folder, and evaluates
+top-1 accuracy.
+
+Config (JSON5):
+    {
+      "version": "0.1.0",
+      "model": {"kind": "Darknet", "cfg_file": "cifar.cfg"},
+      "dataset": {"image_dir": ".", "label_file": "labels.csv",
+                  "classes_file": "classes.txt"},
+      "logging": {"dir": "logs"},
+      "training": {"batch_size": 32, "save_checkpoint_steps": 100,
+                   "optimizer": {"momentum": 0.9,
+                                 "lr_schedule": {"type": "Constant", "lr": 0.001}}}
+    }
+
+label_file rows: ``image_file,class_name``.  Images are letterboxed to the
+cfg's input size.  ``--eval`` computes dataset top-1 accuracy from the most
+recent checkpoint instead of training.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import time
+
+
+def _load_records(image_dir: str, label_file: str, classes):
+    class_to_id = {name: i for i, name in enumerate(classes)}
+    records = []
+    with open(label_file) as f:
+        for row in csv.DictReader(f):
+            name = row["class_name"].strip()
+            if name not in class_to_id:
+                raise ValueError(f"unknown class {name!r} in {label_file}")
+            records.append((os.path.join(image_dir, row["image_file"].strip()),
+                            class_to_id[name]))
+    if not records:
+        raise ValueError(f"no rows in {label_file}")
+    return records
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="yolodl-classify")
+    parser.add_argument("--config-file", required=True)
+    parser.add_argument("--max-steps", type=int, default=0)
+    parser.add_argument("--eval", action="store_true",
+                        help="evaluate top-1 accuracy from the most recent "
+                             "checkpoint instead of training")
+    args = parser.parse_args(argv)
+
+    import json5
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config.app_config import _check_version
+    from ..data.cache import OnDemandLoader
+    from ..data.records import FileRecord
+    from ..models.zoo import load_darknet_classifier
+    from ..train import LrScheduleConfig, TrainConfig, TrainState
+    from ..train.checkpoint import (
+        load_recent_checkpoint,
+        save_checkpoint,
+    )
+    from ..train.classifier import make_classifier_train_step
+    from ..train.loop import make_optimizer
+
+    base_dir = os.path.dirname(os.path.abspath(args.config_file))
+    with open(args.config_file) as f:
+        raw = json5.load(f)
+    _check_version(raw, args.config_file)
+
+    def resolve(p):
+        return p if os.path.isabs(p) else os.path.join(base_dir, p)
+
+    cfg_file = resolve(raw["model"]["cfg_file"])
+    ds = raw["dataset"]
+    classes = [
+        line.strip() for line in open(resolve(ds["classes_file"]))
+        if line.strip()
+    ]
+    records = _load_records(resolve(ds.get("image_dir", ".")),
+                            resolve(ds["label_file"]), classes)
+
+    model, params, state = load_darknet_classifier(cfg_file)
+    from ..config import darknet_cfg as dk
+
+    darknet = dk.Darknet.load(cfg_file)
+    in_h, in_w, _ = darknet.net.input_shape_hwc
+    loader = OnDemandLoader((in_h, in_w))
+
+    training = raw.get("training", {})
+    opt_raw = training.get("optimizer", {})
+    config = TrainConfig(
+        lr=LrScheduleConfig.parse(opt_raw.get("lr_schedule", opt_raw.get("lr"))),
+        optimizer=str(opt_raw.get("type", "adam")).lower(),
+        momentum=float(opt_raw.get("momentum", 0.937)),
+        weight_decay=float(opt_raw.get("weight_decay", 0.0)),
+    )
+    optimizer = make_optimizer(config)
+    opt_state = optimizer.init(params)
+    ts = TrainState(params, state, opt_state, jnp.zeros((), jnp.int32), None)
+
+    log_dir = resolve(raw.get("logging", {}).get("dir", "classify_logs"))
+    run_dir = os.path.join(log_dir, time.strftime("%Y-%m-%d-%H-%M-%S"))
+    ckpt_dir = os.path.join(run_dir, "checkpoints")
+
+    def load_batch(batch_records):
+        images = np.stack([loader.load(FileRecord(
+            path=p, height=0, width=0,
+            boxes_pixel=np.zeros((0, 4), np.float32),
+            classes=np.zeros((0,), np.int32),
+        )).image for p, _ in batch_records])
+        labels = np.asarray([lbl for _, lbl in batch_records], np.int32)
+        return jnp.asarray(images), jnp.asarray(labels)
+
+    if args.eval:
+        import glob
+
+        restored = None
+        for d in sorted(glob.glob(os.path.join(log_dir, "*", "checkpoints")),
+                        reverse=True):
+            restored = load_recent_checkpoint(d, ts.params, ts.state,
+                                              ts.opt_state)
+            if restored is not None:
+                break
+        if restored is not None:
+            p2, s2, _, meta = restored
+            ts = TrainState(p2, s2, ts.opt_state, ts.step, None)
+            print(f"restored checkpoint at step {meta['step']}")
+        else:
+            print(f"no checkpoint found under {log_dir} — "
+                  "evaluating the fresh initialization")
+
+        @jax.jit
+        def infer(params, state, images):
+            out, _ = model.apply(params, state, images, train=False)
+            return jnp.argmax(out.reshape(out.shape[0], -1), -1)
+
+        batch_size = int(training.get("batch_size", 32))
+        correct = total = 0
+        for i in range(0, len(records), batch_size):
+            chunk = records[i:i + batch_size]
+            images, labels = load_batch(chunk)
+            pred = np.asarray(infer(ts.params, ts.state, images))
+            correct += int((pred == np.asarray(labels)).sum())
+            total += len(chunk)
+        print(f"top-1 accuracy: {correct / total:.4f} ({correct}/{total})")
+        return
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    step_fn = make_classifier_train_step(model, optimizer, config)
+    batch_size = int(training.get("batch_size", 32))
+    save_steps = int(training.get("save_checkpoint_steps", 0))
+
+    rng = np.random.default_rng(0)
+    step = 0
+    while True:
+        order = rng.permutation(len(records))
+        for i in range(0, len(order) - batch_size + 1, batch_size):
+            batch_records = [records[j] for j in order[i:i + batch_size]]
+            images, labels = load_batch(batch_records)
+            ts, metrics = step_fn(ts, images, labels)
+            step = int(ts.step)
+            loss = float(metrics["loss"])
+            if not np.isfinite(loss):
+                raise RuntimeError(f"non-finite loss at step {step}")
+            if step % 10 == 0 or step == 1:
+                print(f"step {step}  loss {loss:.5f}  "
+                      f"acc {float(metrics['accuracy']):.3f}")
+            if save_steps and step % save_steps == 0:
+                save_checkpoint(ckpt_dir, step, loss, ts.params, ts.state,
+                                ts.opt_state)
+            if args.max_steps and step >= args.max_steps:
+                save_checkpoint(ckpt_dir, step, loss, ts.params, ts.state,
+                                ts.opt_state)
+                return
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Classifier training: cross-entropy step for softmax/cost darknet nets.
+
+Beyond-reference capability: the reference can neither build nor train
+classification cfgs (its darknet path is ``todo!()``); darknet itself trains
+them with [softmax] + [cost type=sse], whose combined backward delta is
+``p − y`` on the logits (softmax_layer.c backward is a pass-through copy,
+cost_layer.c delta = truth − pred) — i.e. exactly the cross-entropy-through-
+softmax gradient.  Taking ``CE = −log(p[y])`` on our graph's softmax output
+reproduces that gradient through the chain rule, so training dynamics match
+darknet's.
+
+Works with any classifier graph built by the darknet front-end
+(darknet19/darknet53/alexnet/vgg/resnet/cifar... — everything whose output
+is a [B, C] probability or logit tensor).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.builder import GraphModel
+from .loop import TrainConfig, TrainState
+
+
+def make_classifier_train_step(
+    model: GraphModel,
+    optimizer: optax.GradientTransformation,
+    config: TrainConfig,
+    output_is_prob: bool = True,
+    data_format: str = "NCHW",
+) -> Callable:
+    """(TrainState, images, labels[int32 B]) → (TrainState, metrics).
+
+    ``output_is_prob``: the graph ends in [softmax] (darknet classifiers) —
+    CE uses log(p).  False = raw logits (graphs without a softmax sink).
+    """
+
+    def loss_fn(params, state, images, labels):
+        out, new_state = model.apply(params, state, images, train=True,
+                                     data_format=data_format)
+        out = out.reshape(out.shape[0], -1).astype(jnp.float32)
+        if output_is_prob:
+            log_p = jnp.log(jnp.maximum(out, 1e-12))
+        else:
+            log_p = jax.nn.log_softmax(out, axis=-1)
+        ce = -jnp.take_along_axis(log_p, labels[:, None], axis=-1).mean()
+        acc = jnp.mean((jnp.argmax(out, -1) == labels).astype(jnp.float32))
+        return ce, (new_state, acc)
+
+    def step(ts: TrainState, images, labels):
+        (ce, (new_state, acc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(ts.params, ts.state, images, labels)
+        updates, new_opt_state = optimizer.update(grads, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+        new_state = model.clamp_running_vars(new_state)
+        return (
+            TrainState(new_params, new_state, new_opt_state, ts.step + 1,
+                       ts.ema_params),
+            {"loss": ce, "accuracy": acc},
+        )
+
+    return jax.jit(step, donate_argnums=(0,))
