@@ -362,3 +362,50 @@ class TestMultiStep:
         np.testing.assert_allclose(
             float(metrics_b["total_loss"][-1]), float(metrics_a["total_loss"]),
             rtol=1e-6)
+
+
+class TestClassifierStep:
+    def test_ce_gradient_is_p_minus_y_on_logits(self):
+        """The classifier step's CE-through-softmax must produce the darknet
+        [softmax]+[cost] gradient, p − y, on the logits (softmax_layer.c
+        backward is a pass-through; cost delta = truth − pred)."""
+        from yolodl_tpu.config import newslab as ncfg
+        from yolodl_tpu.graph.ir import _flatten
+        from yolodl_tpu.models.builder import GraphModel
+        from yolodl_tpu.shapes import Shape
+
+        model_cfg = ncfg.Model(groups={"m": (
+            ncfg.Input(name="input", shape=Shape(["_", 5, 1, 1])),
+            ncfg.Linear(name="fc", from_="input", out=4, act="linear"),
+            ncfg.Softmax(name="output", from_="fc"),
+        )}, main_group="m")
+        model = GraphModel(_flatten(model_cfg))
+        params, state = model.init(jax.random.PRNGKey(0))
+
+        x = jnp.asarray(np.random.default_rng(1).normal(size=(3, 5, 1, 1)),
+                        jnp.float32)
+        labels = jnp.asarray([0, 2, 3], jnp.int32)
+
+        def ce(params):
+            out, _ = model.apply(params, state, x, train=True)
+            log_p = jnp.log(jnp.maximum(out, 1e-12))
+            return -jnp.take_along_axis(log_p, labels[:, None], -1).mean()
+
+        g = jax.grad(ce)(params)
+
+        # numpy reference: logits = x @ w + b; dL/dlogits = (p - y)/B
+        w = np.asarray(params["fc"]["w"])
+        b = np.asarray(params["fc"]["b"])
+        xf = np.asarray(x).reshape(3, -1)
+        # NCHW→NHWC flatten order inside the model: (h, w, c) — for 1×1
+        # spatial it's identical to the channel order
+        logits = xf @ w + b
+        p = np.exp(logits - logits.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        y = np.eye(4)[np.asarray(labels)]
+        d_logits = (p - y) / 3.0
+        expect_dw = xf.T @ d_logits
+        np.testing.assert_allclose(np.asarray(g["fc"]["w"]), expect_dw,
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g["fc"]["b"]),
+                                   d_logits.sum(0), rtol=1e-5, atol=1e-6)

@@ -205,6 +205,13 @@ def main(argv=None):
         total = float(pick(metrics["total_loss"]))
         if not np.isfinite(total):
             raise RuntimeError(f"non-finite total loss at step {step}: {total}")
+        if os.environ.get("YOLODL_DEBUG_ASSERT"):
+            # per-term guard (the reference's debug_assert tier,
+            # loss_.rs:242-255; total-loss ensure is always on above)
+            for k, v in metrics.items():
+                if not np.isfinite(float(pick(v))):
+                    raise RuntimeError(
+                        f"non-finite metric {k!r} at step {step}")
         lr = lr_at_step(config.lr, step)
         logger.log_training_output(
             step, lr, {k: float(pick(v)) for k, v in metrics.items()}

@@ -229,10 +229,16 @@ class MaxPool(ModuleCfg):
 
 @dataclasses.dataclass(frozen=True)
 class Linear(ModuleCfg):
+    """Fully-connected layer.  ``bn`` defaults to disabled: the reference's
+    Linear carries a bn field (linear.rs:9) but its runtime is ``todo!()``,
+    and darknet connected layers only normalize when batch_normalize=1 —
+    set ``bn: {enabled: true}`` explicitly to opt in (connected-BN order:
+    gemm → BN scale → +bias → act)."""
+
     from_: Optional[str] = None
     out: int = 0
     act: str = "linear"
-    bn: BatchNormConfig = BatchNormConfig()
+    bn: BatchNormConfig = BatchNormConfig(enabled=False)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -502,8 +508,10 @@ def _parse_module(raw: Mapping) -> ModuleCfg:
             maxpool_depth=bool(raw.get("maxpool_depth", False)),
         )
     if kind == "Linear":
+        bn_raw = raw.get("bn")
         return Linear(name=name, from_=single_from(), out=int(raw["out"]),
-                      bn=BatchNormConfig.parse(raw.get("bn")))
+                      bn=(BatchNormConfig.parse(bn_raw) if bn_raw is not None
+                          else BatchNormConfig(enabled=False)))
     if kind == "DynamicPad2D":
         return DynamicPad2D(
             name=name, from_=single_from(), pad_kind=str(raw.get("type", "zero")),
