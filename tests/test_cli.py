@@ -424,3 +424,52 @@ activation=linear
         assert "restored checkpoint" in out2.stdout
         acc = float(out2.stdout.split("top-1 accuracy:")[1].split()[0])
         assert acc > 0.9, out2.stdout
+
+
+class TestDetectDarknetWeights:
+    def test_detect_with_darknet_cfg_and_weights(self, workspace, tmp_path):
+        """The README quickstart flow: darknet .cfg + .weights through the
+        detect CLI (model built by the darknet front-end, weights loaded by
+        our serializer)."""
+        import jax
+
+        from yolodl_tpu.config import darknet_cfg as dk
+        from yolodl_tpu.graph.from_darknet import graph_from_darknet
+        from yolodl_tpu.models import YoloModel
+        from yolodl_tpu.models.weights import save_darknet_weights
+
+        # shrink yolov4-tiny for CPU speed; weights are input-size-invariant
+        text = open(os.path.join(REPO, "cfg/darknet/yolov4-tiny.cfg")).read()
+        text = text.replace("width=416", "width=160").replace(
+            "height=416", "height=160")
+        cfg_path = tmp_path / "tiny160.cfg"
+        cfg_path.write_text(text)
+
+        darknet = dk.Darknet.load(str(cfg_path))
+        model = YoloModel(graph_from_darknet(darknet))
+        params, state = model.init(jax.random.PRNGKey(0))
+        weights_path = tmp_path / "tiny.weights"
+        save_darknet_weights(darknet, params, state, str(weights_path))
+
+        detect_cfg = {
+            "version": "0.1.0",
+            "model": {"kind": "Darknet", "cfg_file": str(cfg_path),
+                      "minibatch_size": 2},
+            "input": {"kind": {
+                "type": "Csv", "image_size": 160, "input_channels": 3,
+                "image_dir": str(workspace / "images"),
+                "label_file": str(workspace / "label.csv"),
+                "classes_file": str(workspace / "classes.txt"),
+            }},
+            "output": {"output_dir": str(tmp_path / "out"),
+                       "nms_iou_thresh": 0.5, "nms_conf_thresh": 0.05},
+        }
+        (tmp_path / "detect_dk.json5").write_text(json.dumps(detect_cfg))
+        out = run_cli(
+            "yolodl_tpu.cli.detect_main",
+            "--config-file", str(tmp_path / "detect_dk.json5"),
+            "--weights", str(weights_path),
+            "--limit", "2",
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        assert len(os.listdir(tmp_path / "out")) == 2
