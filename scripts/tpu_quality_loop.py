@@ -42,7 +42,8 @@ from yolodl_tpu.train import LrScheduleConfig, TrainConfig, make_train_step, tra
 
 STEPS = int(os.environ.get("QL_STEPS", "300"))
 BATCH = int(os.environ.get("QL_BATCH", "8"))
-SIZE = 416
+CFG = os.environ.get("QL_CFG", "cfg/darknet/yolov4-tiny.cfg")
+SIZE = int(os.environ.get("QL_SIZE", "416"))
 N_CLASSES = 3
 MAX_GT = 8
 
@@ -110,8 +111,11 @@ def evaluate(model, params, state, eval_batches, fwd, nms_stage):
 
 def main():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # 3-class head: rewrite tiny cfg classes/filters (3 anchors × (5+3) = 24)
-    text = open(os.path.join(repo, "cfg/darknet/yolov4-tiny.cfg")).read()
+    # 3-class head: rewrite cfg classes/filters (3 anchors × (5+3) = 24)
+    text = open(os.path.join(repo, CFG)).read()
+    for src_size in (416, 512, 608):
+        text = text.replace(f"width={src_size}", f"width={SIZE}").replace(
+            f"height={src_size}", f"height={SIZE}")
     text = text.replace("classes=80", f"classes={N_CLASSES}").replace(
         "filters=255", f"filters={3 * (5 + N_CLASSES)}")
     darknet = dk.Darknet.from_str(text)
@@ -154,8 +158,11 @@ def main():
     for i in range(STEPS):
         images, boxes, classes, mask = pool[i % len(pool)]
         ts, metrics = step_fn(ts, images, boxes, classes, mask)
-        last_loss = float(metrics["total_loss"])
-        assert np.isfinite(last_loss), f"non-finite loss at step {i}"
+        # a value readout costs a ~26 ms tunnel round trip (CLAUDE.md
+        # measurement notes) — only check the loss periodically
+        if i % 50 == 0 or i == STEPS - 1:
+            last_loss = float(metrics["total_loss"])
+            assert np.isfinite(last_loss), f"non-finite loss at step {i}"
     dt = time.perf_counter() - t0
 
     map_after = evaluate(model, ts.params, ts.state, eval_batches, fwd, nms_stage)
