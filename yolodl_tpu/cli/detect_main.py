@@ -73,6 +73,17 @@ def main(argv=None):
         pred, _ = model.apply(params, state, images, train=False)
         return pred
 
+    # honor the model cfg's nms_kind (yolo.rs NmsKind; e.g. yolov4-csp,
+    # cspx-p7 declare nms_kind=diounms): DIoU-NMS subtracts the normalized
+    # center distance before thresholding
+    nms_kind = "greedy"
+    if config.model_kind == "darknet":
+        from ..config import darknet_cfg as dk
+
+        dk_layers = dk.Darknet.load(model_path).layers
+        if any(getattr(l, "nms_kind", "") == "diounms" for l in dk_layers):
+            nms_kind = "diou"
+
     @jax.jit
     def postprocess(pred):
         nms = non_max_suppression(
@@ -81,6 +92,7 @@ def main(argv=None):
             confidence_threshold=config.nms_conf_thresh,
             suppress_by_class=False,
             class_mode="argmax",
+            kind=nms_kind,
         )
         return yolo_inference(nms, pred.num_flats)
 
