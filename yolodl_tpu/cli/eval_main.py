@@ -76,6 +76,15 @@ def main(argv=None):
         pred, _ = model.apply(params, state, images, train=False)
         return pred
 
+    # honor the model cfg's nms_kind (detect_main does the same)
+    nms_kind = "greedy"
+    if config.model_kind == "darknet":
+        from ..config import darknet_cfg as dk
+
+        dk_layers = dk.Darknet.load(model_path).layers
+        if any(getattr(l, "nms_kind", "") == "diounms" for l in dk_layers):
+            nms_kind = "diou"
+
     @jax.jit
     def postprocess(pred):
         nms = non_max_suppression(
@@ -83,6 +92,7 @@ def main(argv=None):
             iou_threshold=config.nms_iou_thresh,
             confidence_threshold=args.conf_thresh,
             suppress_by_class=True,
+            kind=nms_kind,
         )
         return yolo_inference(nms, pred.num_flats)
 
