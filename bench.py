@@ -45,7 +45,8 @@ def main():
     from yolodl_tpu.train import TrainConfig, make_train_step, train_init
 
     cfg_path = os.path.join(os.path.dirname(__file__), "cfg/darknet/yolov4-csp.cfg")
-    model = YoloModel(graph_from_darknet(dk.Darknet.load(cfg_path)))
+    model = YoloModel(graph_from_darknet(dk.Darknet.load(cfg_path)),
+                      fold_region=os.environ.get("BENCH_FOLD", "off"))
 
     if MODE in ("infer", "nms"):
         _bench_inference(jax, jnp, np, model)

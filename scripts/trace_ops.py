@@ -38,7 +38,8 @@ CFG = os.environ.get("BENCH_CFG", "cfg/darknet/yolov4-csp.cfg")
 
 def main():
     n_top = int(sys.argv[1]) if len(sys.argv) > 1 else 25
-    model = YoloModel(graph_from_darknet(dk.Darknet.load(CFG)))
+    model = YoloModel(graph_from_darknet(dk.Darknet.load(CFG)),
+                      fold_region=os.environ.get("BENCH_FOLD", "off"))
     config = TrainConfig()
     ts, opt = train_init(model, config)
     step_fn = make_train_step(model, opt, config)

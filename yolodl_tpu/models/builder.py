@@ -37,10 +37,17 @@ class GraphModel:
     classifier cfgs build too, exceeding the reference whose non-detection
     path is todo!())."""
 
-    def __init__(self, graph: Graph, spd_stem: str = "auto"):
+    def __init__(self, graph: Graph, spd_stem: str = "auto",
+                 fold_region: str = "off"):
         """``spd_stem``: "auto" enables the space-to-depth stem rewrite
         (ops/spd_stem.py) when the graph starts with the eligible darknet
-        conv(k3,s1)→conv(k3,s2) pair; "off" disables it."""
+        conv(k3,s1)→conv(k3,s2) pair; "off" disables it.
+        ``fold_region``: "on" executes eligible low-channel subgraphs in
+        W-folded layout (ops/fold_region.py).  Off by default: measured
+        end-to-end on the v5e chip it loses ~1 ms unscanned / ~6 ms scanned
+        because XLA's layout assignment already lane-packs the spatial dim
+        for low-channel convs and the fold boundaries force layout copies
+        (see ops/fold_region.py docstring for the full measurement)."""
         self.graph = graph
         self.output_key = graph.output_node().key
 
@@ -74,6 +81,7 @@ class GraphModel:
 
         # input channel count per node (from predecessor's inferred shape)
         self._in_c: Dict[int, int] = {}
+        self._fold_keys: set = set()
         self._in_features: Dict[int, int] = {}  # flattened size (Linear)
         for key, node in graph.nodes.items():
             ik = node.input_keys
@@ -89,6 +97,49 @@ class GraphModel:
                         for d in shape[1:]:
                             feat *= d.size
                         self._in_features[key] = feat
+
+        if fold_region != "off":
+            self._fold_keys = self._detect_fold_region()
+
+    def _detect_fold_region(self) -> set:
+        """Nodes to execute W-folded (ops/fold_region.py): low-channel
+        shape-preserving convs, plus the elementwise sum/shortcut nodes
+        between them so fold/unfold reshapes happen only at region edges."""
+        from ..ops import fold_region as fr
+
+        region: set = set()
+        for key in self.graph.order:
+            node = self.graph.nodes[key]
+            layer = node.config
+            ikeys = list(node.input_keys.iter_keys())
+            if isinstance(layer, cfg.ConvBn2D):
+                in_c = self._in_c.get(key)
+                if (len(ikeys) == 1 and in_c is not None
+                        and fr.conv_is_foldable(layer, in_c)):
+                    region.add(key)
+            elif isinstance(layer, (cfg.Sum2D, cfg.DarknetShortcut)):
+                if not ikeys or not any(k in region for k in ikeys):
+                    continue
+                if (isinstance(layer, cfg.DarknetShortcut)
+                        and layer.weights_type != "none"):
+                    continue
+                # all inputs must have equal, fully-known tensor shapes
+                # (folded channel order breaks min-channel-prefix adds)
+                shapes = set()
+                ok = True
+                for k2 in ikeys:
+                    s = self.graph.nodes[k2].output_shape
+                    if not s.is_tensor:
+                        ok = False
+                        break
+                    dims = s.tensor_shape()
+                    if not all(d.is_known for d in dims[1:]):
+                        ok = False
+                        break
+                    shapes.add(tuple(d.size for d in dims[1:]))
+                if ok and len(shapes) == 1:
+                    region.add(key)
+        return region
 
     # ------------------------------------------------------------------
 
@@ -229,6 +280,25 @@ class GraphModel:
             outputs[k1] = out1
             spd_skip = {k_in, k0, k1}
 
+        # W-folded execution of low-channel regions (exact rewrite;
+        # ops/fold_region.py).  ``folded`` caches packed forms so reshapes
+        # occur only at region edges; unfolded outputs are still recorded
+        # for every region node — XLA dead-code-eliminates unused ones.
+        folded: Dict[int, Any] = {}
+        fold_active = bool(self._fold_keys) and not return_intermediates
+        if fold_active:
+            from ..ops import fold_region as fr
+
+        def folded_input(k: int) -> Optional[Array]:
+            if k in folded:
+                return folded[k]
+            t = outputs[k]
+            if not isinstance(t, jax.Array) or t.ndim != 4 \
+                    or t.shape[2] % fr.FOLD != 0:
+                return None
+            folded[k] = fr.fold_w(t)
+            return folded[k]
+
         for key in self.graph.order:
             if key in spd_skip:
                 continue
@@ -239,6 +309,32 @@ class GraphModel:
 
             def single() -> Any:
                 return outputs[ik.single_key]
+
+            if fold_active and key in self._fold_keys:
+                if isinstance(layer, cfg.ConvBn2D):
+                    xf = folded_input(ik.single_key)
+                    if xf is not None:
+                        out_f, s = fr.fold_conv_bn_apply(
+                            params[name], state.get(name, {}), xf, layer,
+                            train)
+                        if s:
+                            new_state[name] = s
+                        folded[key] = out_f
+                        outputs[key] = fr.unfold_w(out_f)
+                        continue
+                else:  # Sum2D / DarknetShortcut with equal input shapes
+                    ins_f = [folded_input(k2) for k2 in ik.iter_keys()]
+                    if all(t is not None for t in ins_f):
+                        out_f = ins_f[0]
+                        for other in ins_f[1:]:
+                            out_f = out_f + other
+                        if isinstance(layer, cfg.DarknetShortcut):
+                            from .. import activations
+                            out_f = activations.apply(layer.act, out_f)
+                        folded[key] = out_f
+                        outputs[key] = fr.unfold_w(out_f)
+                        continue
+                # fall through: input width not divisible → canonical path
 
             if isinstance(layer, cfg.Input):
                 if ik.kind == "placeholder":
@@ -508,8 +604,9 @@ class YoloModel(GraphModel):
     """A detection model: validates the MergeDetect2D sink and uniform class
     count (model.rs:330-353)."""
 
-    def __init__(self, graph: Graph, spd_stem: str = "auto"):
-        super().__init__(graph, spd_stem)
+    def __init__(self, graph: Graph, spd_stem: str = "auto",
+                 fold_region: str = "off"):
+        super().__init__(graph, spd_stem, fold_region)
         out = graph.nodes[self.output_key]
         if out.output_shape.kind != MERGE_DETECT_2D:
             raise ValueError(

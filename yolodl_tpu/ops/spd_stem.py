@@ -92,25 +92,28 @@ def build_spd_stem_weights(w0: Array, w1: Array) -> Tuple[Array, Array]:
     return w0p, w1p
 
 
-def _phase_grouped_bn(
+def phase_grouped_bn(
     params: Dict[str, Array],
     state: Dict[str, Array],
     x: Array,
     train: bool,
     eps: float = DEFAULT_EPS,
     momentum: float = DEFAULT_MOMENTUM,
+    phases: int = 4,
 ) -> Tuple[Array, Dict[str, Array]]:
-    """BN over SPD phases: x has 4·C channels in (phase, c) order; params and
-    state are per original channel [C].  Batch statistics are combined
-    across the 4 phases, exactly reproducing the full-resolution BN."""
+    """BN over packed phases: x has ``phases``·C channels in (phase, c)
+    order; params and state are per original channel [C].  Batch statistics
+    are combined across the phases, exactly reproducing the canonical BN.
+    Used by both the space-to-depth stem and W-fold regions
+    (ops/fold_region.py)."""
     c4 = x.shape[-1]
-    c = c4 // 4
+    c = c4 // phases
 
     if train:
         x32 = x.astype(jnp.float32)
         # per (phase, c) moments, then combine phases (equal counts)
-        mean_pc = jnp.mean(x32, axis=(0, 1, 2)).reshape(4, c)
-        sq_pc = jnp.mean(jnp.square(x32), axis=(0, 1, 2)).reshape(4, c)
+        mean_pc = jnp.mean(x32, axis=(0, 1, 2)).reshape(phases, c)
+        sq_pc = jnp.mean(jnp.square(x32), axis=(0, 1, 2)).reshape(phases, c)
         mean = jnp.mean(mean_pc, axis=0)
         var = jnp.mean(sq_pc, axis=0) - jnp.square(mean)
         var = jnp.maximum(var, 0.0)
@@ -130,8 +133,8 @@ def _phase_grouped_bn(
     if scale is not None:
         inv = inv * scale
     shift = -mean * inv + (bias if bias is not None else 0.0)
-    inv4 = jnp.tile(inv, 4)
-    shift4 = jnp.tile(shift, 4)
+    inv4 = jnp.tile(inv, phases)
+    shift4 = jnp.tile(shift, phases)
     return x * inv4.astype(x.dtype) + shift4.astype(x.dtype), new_state
 
 
@@ -154,7 +157,7 @@ def spd_stem_apply(
         h = h + jnp.tile(params0["b"], 4).astype(h.dtype)
     new_state0 = state0
     if layer0.bn.enabled:
-        out_bn, bn_s = _phase_grouped_bn(params0["bn"], state0["bn"], h, train)
+        out_bn, bn_s = phase_grouped_bn(params0["bn"], state0["bn"], h, train)
         h = out_bn
         new_state0 = {**state0, "bn": bn_s}
     h = activations.apply(layer0.act, h)
