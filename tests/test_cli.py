@@ -164,6 +164,18 @@ class TestTrainCli:
             "--max-steps", "2",
         )
         assert out1.returncode == 0, out1.stderr[-3000:]
+        # second invocation makes a fresh run dir; FromRecent must find the
+        # first run's step-2 checkpoint across run dirs (checkpoint.rs:39-64)
+        cfg = json.loads((workspace / "train.json5").read_text())
+        cfg["training"]["load_checkpoint"] = {"type": "FromRecent"}
+        (workspace / "train_resume.json5").write_text(json.dumps(cfg))
+        out2 = run_cli(
+            "yolodl_tpu.cli.train_main",
+            "--config-file", str(workspace / "train_resume.json5"),
+            "--max-steps", "4",
+        )
+        assert out2.returncode == 0, out2.stderr[-3000:]
+        assert "restored checkpoint at step 2" in out2.stdout, out2.stdout
 
 
 class TestDetectCli:

@@ -41,7 +41,8 @@ def main(argv=None):
     from ..parallel import make_dp_train_step, make_mesh, shard_batch
     from ..parallel.dp import replicate_state
     from ..train import (
-        TrainConfig, load_checkpoint, load_recent_checkpoint, make_train_step,
+        TrainConfig, load_checkpoint, load_recent_checkpoint_in_runs,
+        make_train_step,
         save_checkpoint, train_init,
     )
     from ..train.logging import LoggingWorker
@@ -133,7 +134,9 @@ def main(argv=None):
     # checkpoint restore (utils/checkpoint.rs:24-81 semantics)
     restored = None
     if config.checkpoint.mode == "from_recent":
-        restored = load_recent_checkpoint(ckpt_dir, ts.params, ts.state, ts.opt_state)
+        # scan prior runs under the logging dir, not this run's empty dir
+        restored = load_recent_checkpoint_in_runs(
+            config.logging.dir, ts.params, ts.state, ts.opt_state)
     elif config.checkpoint.mode == "from_file":
         restored = load_checkpoint(
             os.path.join(base_dir, config.checkpoint.file), ts.params, ts.state,

@@ -177,3 +177,36 @@ def load_recent_checkpoint(
     if path is None:
         return None
     return load_checkpoint(path, params_template, state_template, opt_template)
+
+
+def find_recent_checkpoint_in_runs(logging_dir: str) -> Optional[str]:
+    """Newest checkpoint across all timestamped run dirs under a logging dir.
+
+    FromRecent in the reference scans the *previous* runs' checkpoint dirs
+    (checkpoint.rs:39-64), not the just-created empty one — a fresh run dir
+    is made per invocation, so scanning only it would never resume.
+    Newest = lexicographically greatest basename (timestamp prefix sorts).
+    """
+    if not os.path.isdir(logging_dir):
+        return None
+    best = None
+    for run in os.listdir(logging_dir):
+        ckpt_dir = os.path.join(logging_dir, run, "checkpoints")
+        path = find_recent_checkpoint(ckpt_dir)
+        if path is not None and (
+            best is None or os.path.basename(path) > os.path.basename(best)
+        ):
+            best = path
+    return best
+
+
+def load_recent_checkpoint_in_runs(
+    logging_dir: str,
+    params_template: Any,
+    state_template: Any,
+    opt_template: Any = None,
+):
+    path = find_recent_checkpoint_in_runs(logging_dir)
+    if path is None:
+        return None
+    return load_checkpoint(path, params_template, state_template, opt_template)
