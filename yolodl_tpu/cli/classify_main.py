@@ -67,7 +67,7 @@ def main(argv=None):
     from ..models.zoo import load_darknet_classifier
     from ..train import LrScheduleConfig, TrainConfig, TrainState
     from ..train.checkpoint import (
-        load_recent_checkpoint,
+        load_recent_checkpoint_in_runs,
         save_checkpoint,
     )
     from ..train.classifier import make_classifier_train_step
@@ -123,15 +123,8 @@ def main(argv=None):
         return jnp.asarray(images), jnp.asarray(labels)
 
     if args.eval:
-        import glob
-
-        restored = None
-        for d in sorted(glob.glob(os.path.join(log_dir, "*", "checkpoints")),
-                        reverse=True):
-            restored = load_recent_checkpoint(d, ts.params, ts.state,
-                                              ts.opt_state)
-            if restored is not None:
-                break
+        restored = load_recent_checkpoint_in_runs(log_dir, ts.params, ts.state,
+                                                  ts.opt_state)
         if restored is not None:
             p2, s2, _, meta = restored
             ts = TrainState(p2, s2, ts.opt_state, ts.step, None)
