@@ -209,6 +209,46 @@ class TestDetectMultiDevice:
         assert len(os.listdir(workspace / "out8")) == 6
 
 
+class TestConfigErrors:
+    """User mistakes produce one clear error line + exit 1, not a traceback
+    wall (anyhow-chain equivalent, train/src/main.rs:23)."""
+
+    def test_missing_config_file(self):
+        out = run_cli("yolodl_tpu.cli.train_main",
+                      "--config-file", "does-not-exist.json5")
+        assert out.returncode == 1
+        assert "error: file not found" in out.stderr
+        assert "Traceback" not in out.stderr
+
+    def test_bad_version(self, tmp_path):
+        p = tmp_path / "bad.json5"
+        p.write_text('{"version": "9.9.9"}')
+        out = run_cli("yolodl_tpu.cli.detect_main", "--config-file", str(p))
+        assert out.returncode == 1
+        assert "9.9.9" in out.stderr and "Traceback" not in out.stderr
+
+    def test_syntax_error(self, tmp_path):
+        p = tmp_path / "syn.json5"
+        p.write_text("{oops")
+        out = run_cli("yolodl_tpu.cli.train_main", "--config-file", str(p))
+        assert out.returncode == 1
+        assert "error:" in out.stderr and "Traceback" not in out.stderr
+
+    def test_debug_env_reenables_traceback(self, tmp_path):
+        env_backup = os.environ.get("YOLODL_DEBUG")
+        os.environ["YOLODL_DEBUG"] = "1"
+        try:
+            out = run_cli("yolodl_tpu.cli.train_main",
+                          "--config-file", "does-not-exist.json5")
+        finally:
+            if env_backup is None:
+                os.environ.pop("YOLODL_DEBUG", None)
+            else:
+                os.environ["YOLODL_DEBUG"] = env_backup
+        assert out.returncode == 1
+        assert "Traceback" in out.stderr
+
+
 class TestBenchmarkMetrics:
     def test_train_logs_benchmark_metrics(self, workspace):
         import json5 as _json5

@@ -1,0 +1,47 @@
+"""CLI error boundary: user-facing errors print one clear line, not a wall.
+
+The reference CLIs surface config problems as anyhow error chains rather
+than panics (train/src/main.rs:23, detect/src/main.rs:32); the equivalent
+here is catching the exception types our config/dataset layers raise for
+user mistakes and printing ``error: ...``.  Unexpected exceptions still
+traceback, and ``YOLODL_DEBUG=1`` forces tracebacks for everything.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+# Exception types raised for user mistakes (bad paths, malformed JSON5/cfg,
+# wrong version, schema violations). Everything else is a real bug and
+# keeps its traceback.
+_USER_ERRORS = (
+    FileNotFoundError,
+    IsADirectoryError,
+    NotADirectoryError,
+    PermissionError,
+    ValueError,
+    KeyError,
+    TypeError,
+)
+
+
+def run(main) -> None:
+    try:
+        rc = main()
+        # some mains return their result object for tests; only ints are
+        # exit codes
+        sys.exit(rc if isinstance(rc, int) else 0)
+    except KeyboardInterrupt:
+        sys.exit(130)
+    except _USER_ERRORS as e:
+        if os.environ.get("YOLODL_DEBUG"):
+            raise
+        msg = str(e) or repr(e)
+        if isinstance(e, KeyError):
+            msg = f"missing config key {msg}"
+        elif isinstance(e, FileNotFoundError):
+            msg = f"file not found: {e.filename or msg}"
+        print(f"error: {msg}", file=sys.stderr)
+        print("(set YOLODL_DEBUG=1 for a full traceback)", file=sys.stderr)
+        sys.exit(1)

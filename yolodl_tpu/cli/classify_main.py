@@ -179,4 +179,5 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    from ._guard import run
+    run(main)

@@ -110,4 +110,5 @@ def _calc_anchors(args):
 
 
 if __name__ == "__main__":
-    main()
+    from ._guard import run
+    run(main)
