@@ -178,6 +178,11 @@ def main(argv=None):
                 return
 
 
-if __name__ == "__main__":
+def cli():
+    """Console-script entry (pyproject [project.scripts]): guarded main."""
     from ._guard import run
     run(main)
+
+
+if __name__ == "__main__":
+    cli()

@@ -186,6 +186,11 @@ def main(argv=None):
     print(f"wrote {count} images to {config.output_dir}")
 
 
-if __name__ == "__main__":
+def cli():
+    """Console-script entry (pyproject [project.scripts]): guarded main."""
     from ._guard import run
     run(main)
+
+
+if __name__ == "__main__":
+    cli()

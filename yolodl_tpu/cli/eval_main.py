@@ -144,6 +144,11 @@ def main(argv=None):
     return result
 
 
-if __name__ == "__main__":
+def cli():
+    """Console-script entry (pyproject [project.scripts]): guarded main."""
     from ._guard import run
     run(main)
+
+
+if __name__ == "__main__":
+    cli()

@@ -109,6 +109,11 @@ def _calc_anchors(args):
     print(f"mean best-IoU fitness: {fitness:.4f} over {len(sizes)} boxes")
 
 
-if __name__ == "__main__":
+def cli():
+    """Console-script entry (pyproject [project.scripts]): guarded main."""
     from ._guard import run
     run(main)
+
+
+if __name__ == "__main__":
+    cli()

@@ -277,6 +277,11 @@ def main(argv=None):
         logger.close()
 
 
-if __name__ == "__main__":
+def cli():
+    """Console-script entry (pyproject [project.scripts]): guarded main."""
     from ._guard import run
     run(main)
+
+
+if __name__ == "__main__":
+    cli()
