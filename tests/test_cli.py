@@ -209,6 +209,44 @@ class TestDetectMultiDevice:
         assert len(os.listdir(workspace / "out8")) == 6
 
 
+class TestGracefulShutdown:
+    def test_sigterm_saves_checkpoint_and_exits_zero(self, workspace):
+        """SIGTERM (TPU maintenance preemption) checkpoints at the next step
+        boundary and exits cleanly."""
+        import signal as _signal
+
+        env = dict(os.environ)
+        env.update(JAX_PLATFORMS="cpu", PYTHONPATH=REPO,
+                   PALLAS_AXON_POOL_IPS="")
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "yolodl_tpu.cli.train_main",
+             "--config-file", str(workspace / "train.json5")],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd=REPO,
+        )
+        saw_step = False
+        try:
+            for line in proc.stdout:
+                if line.startswith("step "):
+                    saw_step = True
+                    proc.send_signal(_signal.SIGTERM)
+                    break
+            out_rest, err = proc.communicate(timeout=120)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+        assert saw_step, err[-2000:]
+        assert proc.returncode == 0, (out_rest, err[-2000:])
+        assert "checkpoint saved" in out_rest, out_rest
+        runs = os.listdir(workspace / "logs")
+        ckpts = []
+        for r in runs:
+            d = workspace / "logs" / r / "checkpoints"
+            if d.is_dir():
+                ckpts += [f for f in os.listdir(d) if f.endswith(".ckpt")]
+        assert ckpts
+
+
 class TestConfigErrors:
     """User mistakes produce one clear error line + exit 1, not a traceback
     wall (anyhow-chain equivalent, train/src/main.rs:23)."""

@@ -264,6 +264,26 @@ class TestCheckpointExtras:
         loaded_leaf = np.asarray(jax.tree_util.tree_leaves(params[name])[0])
         np.testing.assert_array_equal(donor_leaf, loaded_leaf)
 
+    def test_async_checkpointer_roundtrip(self, tmp_path):
+        from yolodl_tpu.train.checkpoint import (
+            AsyncCheckpointer, find_recent_checkpoint, load_checkpoint,
+        )
+
+        model = tiny_model()
+        ts, _ = train_init(model, TrainConfig())
+        saver = AsyncCheckpointer()
+        saver.save(str(tmp_path), 1, 2.0, ts.params, ts.state, ts.opt_state)
+        saver.save(str(tmp_path), 2, 1.0, ts.params, ts.state, ts.opt_state)
+        saver.flush()
+        path = find_recent_checkpoint(str(tmp_path))
+        assert path is not None and "_000002_" in path
+        p2, _, o2, meta = load_checkpoint(path, ts.params, ts.state,
+                                          ts.opt_state)
+        assert meta["step"] == 2 and o2 is not None
+        for a, b in zip(jax.tree_util.tree_leaves(ts.params),
+                        jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 class TestSgdOptimizer:
     def test_sgd_trains(self, rng):

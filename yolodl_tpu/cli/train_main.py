@@ -42,9 +42,9 @@ def main(argv=None):
     from ..parallel.dp import replicate_state
     from ..train import (
         TrainConfig, load_checkpoint, load_recent_checkpoint_in_runs,
-        make_train_step,
-        save_checkpoint, train_init,
+        make_train_step, train_init,
     )
+    from ..train.checkpoint import AsyncCheckpointer
     from ..train.logging import LoggingWorker
     from ..train.lr_schedule import lr_at_step
     from ..utils.timing import RateCounter
@@ -201,6 +201,23 @@ def main(argv=None):
 
         step_fn = make_multi_step(model, optimizer, train_cfg, scan_k)
 
+    # graceful preemption: SIGTERM/SIGINT request a checkpoint + clean exit
+    # at the next step boundary (TPU maintenance events deliver SIGTERM);
+    # a second signal falls through to the default handler
+    import signal
+
+    stop_signal = {"num": None}
+
+    def _request_stop(signum, frame):
+        stop_signal["num"] = signum
+        signal.signal(signum, signal.SIG_DFL)
+
+    for _sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(_sig, _request_stop)
+
+    saver = AsyncCheckpointer()
+    save_checkpoint = saver.save
+
     def handle_step(step, metrics, index=None):
         """Per-optimizer-step host work: finite check, TB logging, rates,
         checkpoints.  Returns True when --max-steps is reached."""
@@ -232,6 +249,12 @@ def main(argv=None):
         if args.max_steps and step >= args.max_steps:
             save_checkpoint(ckpt_dir, step, total, ts.params, ts.state,
                             ts.opt_state, ema_params=ts.ema_params)
+            return True
+        if stop_signal["num"] is not None:
+            save_checkpoint(ckpt_dir, step, total, ts.params, ts.state,
+                            ts.opt_state, ema_params=ts.ema_params)
+            print(f"received signal {stop_signal['num']} — checkpoint saved "
+                  f"at step {step}, exiting")
             return True
         return False
 
@@ -274,6 +297,7 @@ def main(argv=None):
     finally:
         if profiling:
             jax.profiler.stop_trace()
+        saver.flush()
         logger.close()
 
 

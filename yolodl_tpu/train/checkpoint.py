@@ -179,6 +179,44 @@ def load_recent_checkpoint(
     return load_checkpoint(path, params_template, state_template, opt_template)
 
 
+class AsyncCheckpointer:
+    """Checkpoint writes off the training thread.
+
+    The device→host transfer happens on the caller (a cheap snapshot; the
+    arrays are immutable so no copy-vs-mutation race), then the npz
+    serialization + disk write run on a worker thread so the train loop is
+    not blocked for the write (the reference saves synchronously,
+    multi_gpu.rs:317-333). At most one write is in flight: a new save
+    first joins the previous one, preserving filename-timestamp order.
+    """
+
+    def __init__(self):
+        self._thread = None
+
+    def save(self, checkpoint_dir: str, step: int, loss: float, params: Any,
+             state: Any, opt_state: Any = None,
+             extra: Optional[Dict[str, Any]] = None,
+             ema_params: Any = None) -> None:
+        import threading
+
+        host = jax.tree_util.tree_map(
+            np.asarray, (params, state, opt_state, ema_params))
+        self.flush()
+        self._thread = threading.Thread(
+            target=save_checkpoint,
+            args=(checkpoint_dir, step, loss, host[0], host[1], host[2]),
+            kwargs={"extra": extra, "ema_params": host[3]},
+            daemon=True,
+        )
+        self._thread.start()
+
+    def flush(self) -> None:
+        """Block until the in-flight write (if any) has been published."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+
 def find_recent_checkpoint_in_runs(logging_dir: str) -> Optional[str]:
     """Newest checkpoint across all timestamped run dirs under a logging dir.
 
