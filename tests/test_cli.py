@@ -156,6 +156,58 @@ class TestTrainCli:
         run_dir = workspace / "logs_scan" / runs[0]
         ckpts = os.listdir(run_dir / "checkpoints")
         assert any(name.endswith(".ckpt") for name in ckpts)
+        # checkpoints land only on scan-window boundaries: ts holds the
+        # end-of-window params, so an intermediate step label would break
+        # exact resume (the saved step must divide by steps_per_call)
+        steps = [int(n.split("_")[1]) for n in ckpts if n.endswith(".ckpt")]
+        assert steps and all(s % 2 == 0 for s in steps), steps
+
+    def test_train_scan_saves_window_end_on_odd_boundary(self, workspace):
+        """A save boundary crossed mid-window triggers a save at the window
+        end (not silently skipped, not mislabeled)."""
+        import json
+
+        cfg = json.loads((workspace / "train.json5").read_text())
+        cfg["training"]["steps_per_call"] = 2
+        cfg["training"]["save_checkpoint_steps"] = 3  # crosses mid-window
+        cfg["logging"]["dir"] = str(workspace / "logs_scan3")
+        (workspace / "train_scan3.json5").write_text(json.dumps(cfg))
+        out = run_cli(
+            "yolodl_tpu.cli.train_main",
+            "--config-file", str(workspace / "train_scan3.json5"),
+            "--max-steps", "6",
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        runs = os.listdir(workspace / "logs_scan3")
+        ckpts = os.listdir(workspace / "logs_scan3" / runs[0] / "checkpoints")
+        steps = sorted(int(n.split("_")[1]) for n in ckpts)
+        # boundary 3 falls inside window (3,4] → saved at 4; boundary 6 and
+        # max-steps coincide at 6
+        assert steps == [4, 6], steps
+
+    def test_train_ema_checkpointed(self, workspace):
+        """training.ema.enabled produces checkpoints with EMA params that
+        eval --ema can consume."""
+        import json
+
+        cfg = json.loads((workspace / "train.json5").read_text())
+        cfg["training"]["ema"] = {"enabled": True, "decay": 0.99}
+        cfg["logging"]["dir"] = str(workspace / "logs_ema")
+        (workspace / "train_ema.json5").write_text(json.dumps(cfg))
+        out = run_cli(
+            "yolodl_tpu.cli.train_main",
+            "--config-file", str(workspace / "train_ema.json5"),
+            "--max-steps", "2",
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        runs = os.listdir(workspace / "logs_ema")
+        ckpt_dir = workspace / "logs_ema" / runs[0] / "checkpoints"
+        path = sorted(ckpt_dir.iterdir())[-1]
+        import numpy as np
+        with np.load(path) as data:
+            import json as _json
+            meta = _json.loads(bytes(data["__meta__"].tobytes()).decode())
+        assert meta["has_ema"], meta
 
     def test_train_resume_from_recent(self, workspace):
         out1 = run_cli(

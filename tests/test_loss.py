@@ -372,8 +372,8 @@ class TestDiouNms:
         ])
         from yolodl_tpu.loss import non_max_suppression
 
-        # pair IoU ≈ 0.198; DIoU ≈ 0.198 − 0.089 = 0.109 → threshold 0.15
-        # separates the two policies
+        # pair IoU ≈ 0.198; DIoU ≈ 0.198 − (0.089)^0.6 ≈ −0.04 → threshold
+        # 0.15 separates the two policies
         greedy = non_max_suppression(pred, iou_threshold=0.15,
                                      confidence_threshold=0.3, max_dets=16)
         diou = non_max_suppression(pred, iou_threshold=0.15,
@@ -381,6 +381,62 @@ class TestDiouNms:
                                    kind="diou")
         assert int(greedy.num_valid()[0]) == 1
         assert int(diou.num_valid()[0]) == 2
+
+    def test_matches_darknet_box_diounms_formula(self):
+        """Suppression decision equals darknet box_diounms: suppress iff
+        iou − (d²/c²)^β > thresh (box.c:214-231), β from beta_nms."""
+        import numpy as np
+
+        from yolodl_tpu.loss.nms import _suppress
+
+        rng = np.random.default_rng(3)
+        n = 32
+        cy, cx = rng.uniform(0.2, 0.8, (2, n))
+        h, w = rng.uniform(0.1, 0.4, (2, n))
+        tlbr = np.stack([cy - h / 2, cx - w / 2, cy + h / 2, cx + w / 2], -1)
+        scores = np.sort(rng.uniform(0.1, 1.0, n))[::-1].copy()
+        beta, thresh = 0.6, 0.45
+
+        def diounms(a, b):
+            t = max(a[0], b[0]); l = max(a[1], b[1])
+            bb = min(a[2], b[2]); r = min(a[3], b[3])
+            inter = max(0.0, bb - t) * max(0.0, r - l)
+            ua = (a[2]-a[0])*(a[3]-a[1]) + (b[2]-b[0])*(b[3]-b[1]) - inter
+            iou = inter / ua if ua > 0 else 0.0
+            d = ((a[0]+a[2])/2 - (b[0]+b[2])/2) ** 2 \
+                + ((a[1]+a[3])/2 - (b[1]+b[3])/2) ** 2
+            et = min(a[0], b[0]); el = min(a[1], b[1])
+            eb = max(a[2], b[2]); er = max(a[3], b[3])
+            c = (eb - et) ** 2 + (er - el) ** 2
+            return iou - (d / c) ** beta if c > 0 else iou
+
+        keep_ref = []
+        kept = []
+        for i in range(n):
+            if all(diounms(tlbr[j], tlbr[i]) <= thresh for j in kept):
+                kept.append(i)
+            keep_ref.append(i in kept)
+
+        import jax.numpy as jnp
+
+        keep = _suppress(jnp.asarray(tlbr, jnp.float32),
+                         jnp.asarray(scores, jnp.float32),
+                         jnp.zeros(n, jnp.int32), jnp.ones(n, bool),
+                         thresh, kind="diou", beta=beta)
+        np.testing.assert_array_equal(np.asarray(keep), np.asarray(keep_ref))
+
+    def test_parser_beta_nms_default_matches_darknet(self):
+        """parser.c:490: beta_nms defaults to 0.6."""
+        from yolodl_tpu.config import darknet_cfg as dk
+
+        darknet = dk.Darknet.load("cfg/darknet/yolov4-csp.cfg")
+        yolo = [l for l in darknet.layers
+                if getattr(l, "nms_kind", None) is not None]
+        assert yolo and all(l.beta_nms == 0.6 for l in yolo)
+
+        from yolodl_tpu.loss.nms import nms_options_from_darknet
+
+        assert nms_options_from_darknet(darknet) == ("diou", 0.6)
 
 
 class TestNmsFixpointEquivalence:

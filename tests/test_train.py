@@ -284,6 +284,25 @@ class TestCheckpointExtras:
                         jax.tree_util.tree_leaves(p2)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_async_checkpointer_surfaces_write_failure(self, tmp_path):
+        """flush() re-raises a failed background write — the preemption path
+        must not report success on a checkpoint that never hit disk."""
+        import pytest
+
+        from yolodl_tpu.train.checkpoint import AsyncCheckpointer
+
+        model = tiny_model()
+        ts, _ = train_init(model, TrainConfig())
+        bad_dir = tmp_path / "file-not-dir"
+        bad_dir.write_text("occupied")  # makedirs will fail
+        saver = AsyncCheckpointer()
+        saver.save(str(bad_dir), 1, 1.0, ts.params, ts.state)
+        with pytest.raises(RuntimeError, match="checkpoint write failed"):
+            saver.flush()
+        # the checkpointer recovers: next save/flush works
+        saver.save(str(tmp_path), 2, 1.0, ts.params, ts.state)
+        saver.flush()
+
 
 class TestSgdOptimizer:
     def test_sgd_trains(self, rng):

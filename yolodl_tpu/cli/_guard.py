@@ -13,8 +13,10 @@ import os
 import sys
 
 # Exception types raised for user mistakes (bad paths, malformed JSON5/cfg,
-# wrong version, schema violations). Everything else is a real bug and
-# keeps its traceback.
+# wrong version, schema violations). Everything else — including TypeError,
+# which essentially always signals a programming bug — keeps its traceback.
+# The one-liner includes the raise site so a misclassified internal
+# ValueError/KeyError is still reportable without rerunning.
 _USER_ERRORS = (
     FileNotFoundError,
     IsADirectoryError,
@@ -22,7 +24,6 @@ _USER_ERRORS = (
     PermissionError,
     ValueError,
     KeyError,
-    TypeError,
 )
 
 
@@ -43,5 +44,12 @@ def run(main) -> None:
         elif isinstance(e, FileNotFoundError):
             msg = f"file not found: {e.filename or msg}"
         print(f"error: {msg}", file=sys.stderr)
-        print("(set YOLODL_DEBUG=1 for a full traceback)", file=sys.stderr)
+        tb = e.__traceback__
+        while tb is not None and tb.tb_next is not None:
+            tb = tb.tb_next
+        if tb is not None:
+            frame = tb.tb_frame
+            print(f"({type(e).__name__} at "
+                  f"{frame.f_code.co_filename}:{tb.tb_lineno}; "
+                  "set YOLODL_DEBUG=1 for a full traceback)", file=sys.stderr)
         sys.exit(1)

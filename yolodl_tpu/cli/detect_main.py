@@ -73,16 +73,14 @@ def main(argv=None):
         pred, _ = model.apply(params, state, images, train=False)
         return pred
 
-    # honor the model cfg's nms_kind (yolo.rs NmsKind; e.g. yolov4-csp,
-    # cspx-p7 declare nms_kind=diounms): DIoU-NMS subtracts the normalized
-    # center distance before thresholding
-    nms_kind = "greedy"
+    # honor the model cfg's nms_kind + beta_nms (yolo.rs NmsKind; e.g.
+    # yolov4-csp, cspx-p7 declare nms_kind=diounms)
+    nms_kind, nms_beta = "greedy", 0.6
     if config.model_kind == "darknet":
         from ..config import darknet_cfg as dk
+        from ..loss.nms import nms_options_from_darknet
 
-        dk_layers = dk.Darknet.load(model_path).layers
-        if any(getattr(l, "nms_kind", "") == "diounms" for l in dk_layers):
-            nms_kind = "diou"
+        nms_kind, nms_beta = nms_options_from_darknet(dk.Darknet.load(model_path))
 
     @jax.jit
     def postprocess(pred):
@@ -93,6 +91,7 @@ def main(argv=None):
             suppress_by_class=False,
             class_mode="argmax",
             kind=nms_kind,
+            beta=nms_beta,
         )
         return yolo_inference(nms, pred.num_flats)
 

@@ -76,23 +76,27 @@ def main(argv=None):
         pred, _ = model.apply(params, state, images, train=False)
         return pred
 
-    # honor the model cfg's nms_kind (detect_main does the same)
-    nms_kind = "greedy"
+    # honor the model cfg's nms_kind + beta_nms (detect_main does the same)
+    nms_kind, nms_beta = "greedy", 0.6
     if config.model_kind == "darknet":
         from ..config import darknet_cfg as dk
+        from ..loss.nms import nms_options_from_darknet
 
-        dk_layers = dk.Darknet.load(model_path).layers
-        if any(getattr(l, "nms_kind", "") == "diounms" for l in dk_layers):
-            nms_kind = "diou"
+        nms_kind, nms_beta = nms_options_from_darknet(dk.Darknet.load(model_path))
 
     @jax.jit
     def postprocess(pred):
+        # class_mode="argmax": yolo_inference keeps only each instance's
+        # best class anyway, and the full N·C top-k hits XLA's TPU TopK
+        # slow path on near-degenerate confidences (see non_max_suppression)
         nms = non_max_suppression(
             pred,
             iou_threshold=config.nms_iou_thresh,
             confidence_threshold=args.conf_thresh,
             suppress_by_class=True,
+            class_mode="argmax",
             kind=nms_kind,
+            beta=nms_beta,
         )
         return yolo_inference(nms, pred.num_flats)
 
@@ -132,7 +136,7 @@ def main(argv=None):
 
     ap50 = average_precision(dets, gts, iou_threshold=0.5,
                              num_classes=len(dataset.classes))
-    map5095 = coco_map_50_95(dets, gts)
+    map5095 = coco_map_50_95(dets, gts, num_classes=len(dataset.classes))
     result = {
         "images": len(records),
         "detections": len(dets),

@@ -125,6 +125,7 @@ def main(argv=None):
         lr=config.lr, optimizer=config.optimizer,
         momentum=config.momentum, weight_decay=config.weight_decay,
         loss=config.loss,
+        use_ema=config.use_ema, ema_decay=config.ema_decay,
         benchmark_confidence=(
             config.nms_conf_thresh if config.logging.enable_benchmark else None
         ),
@@ -144,8 +145,15 @@ def main(argv=None):
         )
     if restored is not None:
         params, state, opt_state, meta = restored
+        # restored EMA (if present) continues accumulating; otherwise the
+        # EMA shadow restarts from the restored params
+        ema = meta.get("ema")
+        if ts.ema_params is None:
+            ema = None  # EMA disabled in this run's config
+        elif ema is None:
+            ema = params
         ts = ts.__class__(params, state, opt_state or ts.opt_state,
-                          jnp.asarray(meta["step"], jnp.int32), ts.ema_params)
+                          jnp.asarray(meta["step"], jnp.int32), ema)
         print(f"restored checkpoint at step {meta['step']}")
     if config.override_initial_step is not None:
         ts = ts.__class__(ts.params, ts.state, ts.opt_state,
@@ -218,9 +226,17 @@ def main(argv=None):
     saver = AsyncCheckpointer()
     save_checkpoint = saver.save
 
-    def handle_step(step, metrics, index=None):
+    def handle_step(step, metrics, index=None, final=True, window=1):
         """Per-optimizer-step host work: finite check, TB logging, rates,
-        checkpoints.  Returns True when --max-steps is reached."""
+        checkpoints.  Returns True when training should stop.
+
+        In scanned multi-step mode only the last sub-step of a window has
+        ``final=True``: ``ts`` then matches ``step``, so checkpoints and
+        stop handling happen exclusively there (an intermediate sub-step
+        must never be saved — ts already holds the end-of-window params and
+        the label would lie, breaking exact resume). A save boundary
+        crossed anywhere inside the window triggers a save at its end.
+        """
         pick = (lambda v: v[index]) if index is not None else (lambda v: v)
         total = float(pick(metrics["total_loss"]))
         if not np.isfinite(total):
@@ -243,7 +259,10 @@ def main(argv=None):
                 f"step {step}  loss {total:.5f}  "
                 f"{batch_rate.rate():.2f} batches/s  {record_rate.rate():.1f} records/s"
             )
-        if config.checkpoint.save_steps and step % config.checkpoint.save_steps == 0:
+        if not final:
+            return False
+        save = config.checkpoint.save_steps
+        if save and (step // save) > ((step - window) // save):
             save_checkpoint(ckpt_dir, step, total, ts.params, ts.state,
                             ts.opt_state, ema_params=ts.ema_params)
         if args.max_steps and step >= args.max_steps:
@@ -253,46 +272,58 @@ def main(argv=None):
         if stop_signal["num"] is not None:
             save_checkpoint(ckpt_dir, step, total, ts.params, ts.state,
                             ts.opt_state, ema_params=ts.ema_params)
+            saver.flush()  # raises if the write failed — do not lie below
             print(f"received signal {stop_signal['num']} — checkpoint saved "
                   f"at step {step}, exiting")
             return True
         return False
 
     profiling = False
+    profiled = False
     pending = []
+    # step tracked host-side: a per-step int(ts.step) readout costs a full
+    # device round trip (~26 ms on the axon tunnel, CLAUDE.md perf ledger)
+    host_step = int(ts.step)
     try:
         for record, arrays in device_prefetch(iter(stream)):
-            if args.profile_dir:
-                # device-side timing via jax.profiler (SURVEY §5.1): trace a
-                # steady-state window after warmup/compile
-                if int(ts.step) >= 5 and not profiling:
+            if args.profile_dir and not profiled:
+                # device-side timing via jax.profiler (SURVEY §5.1): trace
+                # ONE steady-state window after warmup/compile
+                if host_step >= 5 and not profiling:
                     jax.profiler.start_trace(args.profile_dir)
                     profiling = True
-                elif int(ts.step) >= 10 and profiling:
+                elif host_step >= 10 and profiling:
                     jax.profiler.stop_trace()
                     profiling = False
+                    profiled = True
                     print(f"wrote device trace to {args.profile_dir}")
             if scan_k > 1:
-                pending.append(arrays)
+                # stack the HOST arrays (stacking the prefetched device
+                # arrays would round-trip every batch through the host)
+                pending.append((record.images, record.boxes,
+                                record.classes, record.mask))
                 if len(pending) < scan_k:
                     continue
                 stacked = tuple(np.stack(parts) for parts in zip(*pending))
                 pending.clear()
                 ts, metrics = step_fn(ts, *stacked)
+                host_step += scan_k
                 done = False
                 for j in range(scan_k):
-                    step = int(ts.step) - scan_k + 1 + j
-                    if handle_step(step, metrics, index=j):
+                    step = host_step - scan_k + 1 + j
+                    if handle_step(step, metrics, index=j,
+                                   final=(j == scan_k - 1), window=scan_k):
                         done = True
                         break
                 if done:
                     break
                 continue
             images, gt_boxes, gt_classes, gt_mask = arrays
-            images = maybe_rescale(images, int(ts.step))
+            images = maybe_rescale(images, host_step)
             batch = place((images, gt_boxes, gt_classes, gt_mask))
             ts, metrics = step_fn(ts, *batch)
-            if handle_step(int(ts.step), metrics):
+            host_step += 1
+            if handle_step(host_step, metrics):
                 break
     finally:
         if profiling:

@@ -249,6 +249,10 @@ class TrainAppConfig:
     nms_conf_thresh: float
     multi_scale_sizes: Tuple[int, ...] = ()
     multi_scale_interval: int = 10
+    # training.ema: {"enabled": true, "decay": 0.9999} — EMA parameter
+    # shadow, checkpointed alongside params and evaluable via eval --ema
+    use_ema: bool = False
+    ema_decay: float = 0.9999
     # scan this many optimizer steps into one XLA program
     # (train.make_multi_step); 1 = classic per-step dispatch
     steps_per_call: int = 1
@@ -303,6 +307,8 @@ class TrainAppConfig:
             multi_scale_sizes=tuple(int(x) for x in ms.get("sizes", ())),
             steps_per_call=int(training.get("steps_per_call", 1)),
             multi_scale_interval=int(ms.get("interval", 10)),
+            use_ema=bool(training.get("ema", {}).get("enabled", False)),
+            ema_decay=float(training.get("ema", {}).get("decay", 0.9999)),
         )
 
 

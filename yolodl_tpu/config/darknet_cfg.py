@@ -218,7 +218,7 @@ class Yolo:
     label_smooth_eps: float = 0.0
     max_boxes: int = 200
     nms_kind: str = "default"
-    beta_nms: float = 0.0
+    beta_nms: float = 0.6  # parser.c:490 default
 
     @property
     def masked_anchors(self) -> Tuple[Tuple[float, float], ...]:
@@ -589,7 +589,7 @@ def _parse_layer(name: str, d: Dict[str, str]) -> Layer:
             label_smooth_eps=_get_float(d, "label_smooth_eps", 0.0),
             max_boxes=_get_int(d, "max", 200),
             nms_kind=_get_str(d, "nms_kind", "default"),
-            beta_nms=_get_float(d, "beta_nms", 0.0),
+            beta_nms=_get_float(d, "beta_nms", 0.6),
         )
     if name in ("reorg", "reorg_old", "reorg3d"):
         return Reorg(stride=_get_int(d, "stride", 2),

@@ -130,11 +130,17 @@ def coco_map_50_95(
     detections: Sequence[Detection],
     ground_truths: Sequence[GroundTruth],
     num_points: int = 101,
+    num_classes: Optional[int] = None,
 ) -> float:
-    """mAP averaged over IoU 0.50:0.05:0.95 (the COCO headline metric)."""
+    """mAP averaged over IoU 0.50:0.05:0.95 (the COCO headline metric).
+
+    ``num_classes`` uses the same fixed denominator as
+    :func:`average_precision` so both reported metrics are consistent.
+    """
     thresholds = np.arange(0.5, 1.0, 0.05)
     vals = [
-        average_precision(detections, ground_truths, float(t), num_points)["mAP"]
+        average_precision(detections, ground_truths, float(t), num_points,
+                          num_classes)["mAP"]
         for t in thresholds
     ]
     return float(np.mean(vals))

@@ -61,14 +61,16 @@ class NmsOutput:
 
 def _suppress(tlbr: Array, scores: Array, group: Array, valid: Array,
               iou_threshold: float, backend: str = "xla",
-              kind: str = "greedy") -> Array:
+              kind: str = "greedy", beta: float = 0.6) -> Array:
     """Greedy NMS over score-sorted candidates (single image).
 
     tlbr [K,4], scores [K] (descending), group [K], valid [K] → keep [K].
     ``backend="pallas"`` computes the IoU matrix with the tiled TPU kernel
     (kernels/iou_pallas.py) — the tch-nms replacement path.
-    ``kind="diou"`` subtracts the normalized center distance from the IoU
-    before thresholding (darknet nms_kind=diounms).
+    ``kind="diou"`` subtracts the normalized center distance raised to
+    ``beta`` from the IoU before thresholding, matching darknet's
+    box_diou: iou − (d²/c²)^β with β = beta_nms (default 0.6)
+    (darknet src/box.c:166-177 dia_box_diou).
     """
     k = tlbr.shape[0]
     if backend == "pallas":
@@ -86,7 +88,7 @@ def _suppress(tlbr: Array, scores: Array, group: Array, valid: Array,
         enc_b = jnp.maximum(tlbr[:, None, 2], tlbr[None, :, 2])
         enc_r = jnp.maximum(tlbr[:, None, 3], tlbr[None, :, 3])
         diag = (enc_b - enc_t) ** 2 + (enc_r - enc_l) ** 2 + 1e-16
-        iou = iou - dist / diag
+        iou = iou - (dist / diag) ** beta
     elif kind != "greedy":
         raise ValueError(f"unknown nms kind {kind!r}")
     same_group = group[:, None] == group[None, :]
@@ -141,6 +143,18 @@ def _suppress(tlbr: Array, scores: Array, group: Array, valid: Array,
     return keep[:k]
 
 
+def nms_options_from_darknet(darknet) -> tuple:
+    """(kind, beta) for NMS from a parsed darknet cfg's yolo layers.
+
+    Mirrors detector.c:774: diounms_sort is used when any yolo layer sets
+    nms_kind=diounms, with that layer's beta_nms (parser.c:490, default .6).
+    """
+    for layer in darknet.layers:
+        if getattr(layer, "nms_kind", "") == "diounms":
+            return "diou", float(getattr(layer, "beta_nms", 0.6))
+    return "greedy", 0.6
+
+
 def non_max_suppression(
     prediction: MergedDetection,
     iou_threshold: float = DEFAULT_IOU_THRESHOLD,
@@ -150,6 +164,7 @@ def non_max_suppression(
     backend: str = "xla",
     kind: str = "greedy",
     class_mode: str = "pairs",
+    beta: float = 0.6,
 ) -> NmsOutput:
     """Batched NMS on a merged detection tensor.
 
@@ -197,7 +212,8 @@ def non_max_suppression(
     group = classes if suppress_by_class else jnp.zeros_like(classes)
 
     keep = jax.vmap(
-        lambda t, s, g, v: _suppress(t, s, g, v, iou_threshold, backend, kind)
+        lambda t, s, g, v: _suppress(t, s, g, v, iou_threshold, backend, kind,
+                                     beta)
     )(tlbr, top_conf, group, valid)
 
     return NmsOutput(

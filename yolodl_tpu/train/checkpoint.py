@@ -192,6 +192,13 @@ class AsyncCheckpointer:
 
     def __init__(self):
         self._thread = None
+        self._exc = None
+
+    def _write(self, *args, **kwargs):
+        try:
+            save_checkpoint(*args, **kwargs)
+        except BaseException as e:  # surfaced by the next flush()/save()
+            self._exc = e
 
     def save(self, checkpoint_dir: str, step: int, loss: float, params: Any,
              state: Any, opt_state: Any = None,
@@ -203,7 +210,7 @@ class AsyncCheckpointer:
             np.asarray, (params, state, opt_state, ema_params))
         self.flush()
         self._thread = threading.Thread(
-            target=save_checkpoint,
+            target=self._write,
             args=(checkpoint_dir, step, loss, host[0], host[1], host[2]),
             kwargs={"extra": extra, "ema_params": host[3]},
             daemon=True,
@@ -211,10 +218,17 @@ class AsyncCheckpointer:
         self._thread.start()
 
     def flush(self) -> None:
-        """Block until the in-flight write (if any) has been published."""
+        """Block until the in-flight write (if any) has been published.
+
+        Re-raises a failed write — callers must not report a checkpoint as
+        saved (or exit on preemption) before flush() returns.
+        """
         if self._thread is not None:
             self._thread.join()
             self._thread = None
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise RuntimeError("async checkpoint write failed") from exc
 
 
 def find_recent_checkpoint_in_runs(logging_dir: str) -> Optional[str]:
