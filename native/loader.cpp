@@ -18,6 +18,7 @@
 // Build: native/build.sh → native/libyolodl_loader.so
 
 #include <cmath>
+#include <csetjmp>
 #include <cstddef>
 #include <cstdio>
 
@@ -42,10 +43,26 @@ struct Image {
     std::vector<uint8_t> data;  // HWC, 8-bit
 };
 
+struct JpegErrorMgr {
+    jpeg_error_mgr pub;
+    jmp_buf jump;
+};
+
+void jpeg_error_exit_longjmp(j_common_ptr cinfo) {
+    // libjpeg's default error_exit calls exit(); a corrupt JPEG must fail
+    // the one decode (rc!=0 → Python PIL fallback), not kill training
+    longjmp(reinterpret_cast<JpegErrorMgr*>(cinfo->err)->jump, 1);
+}
+
 bool decode_jpeg(FILE* f, Image* out) {
     jpeg_decompress_struct cinfo;
-    jpeg_error_mgr jerr;
-    cinfo.err = jpeg_std_error(&jerr);
+    JpegErrorMgr jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = jpeg_error_exit_longjmp;
+    if (setjmp(jerr.jump)) {
+        jpeg_destroy_decompress(&cinfo);
+        return false;
+    }
     jpeg_create_decompress(&cinfo);
     jpeg_stdio_src(&cinfo, f);
     if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
@@ -122,12 +139,15 @@ bool decode_file(const char* path, Image* out) {
 // yolodl_tpu.data.letterbox.letterbox_geometry (parity with the Python path)
 void letterbox_into(const Image& img, int out_h, int out_w, float pad, float* out) {
     int new_h, new_w;
+    // lrint = round-half-even under the default FP environment, matching
+    // Python's round() in letterbox_geometry — half-up here would misplace
+    // the content (and thus the box transforms) by 1px on exact halves
     if ((int64_t)out_h * img.w <= (int64_t)out_w * img.h) {
         new_h = out_h;
-        new_w = (int)((int64_t)img.w * out_h / (double)img.h + 0.5);
+        new_w = (int)lrint((int64_t)img.w * out_h / (double)img.h);
         if (new_w < 1) new_w = 1;
     } else {
-        new_h = (int)((int64_t)img.h * out_w / (double)img.w + 0.5);
+        new_h = (int)lrint((int64_t)img.h * out_w / (double)img.w);
         if (new_h < 1) new_h = 1;
         new_w = out_w;
     }

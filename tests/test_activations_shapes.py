@@ -45,9 +45,12 @@ class TestActivations:
         )
 
     def test_normalize_channels_sums_to_one(self):
-        x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 5, 3, 3)), dtype=jnp.float32)
+        x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 3, 3, 5)), dtype=jnp.float32)
+        # NHWC device layout: apply() normalizes the channel (last) axis
         y = act.normalize_channels_softmax(x)
-        np.testing.assert_allclose(np.asarray(y.sum(axis=1)), 1.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(y.sum(axis=-1)), 1.0, atol=1e-5)
+        y2 = act.apply("normalize_channels", jnp.abs(x) + 0.1)
+        np.testing.assert_allclose(np.asarray(y2.sum(axis=-1)), 1.0, atol=1e-5)
 
     def test_darknet_name_resolution(self):
         assert act.resolve("leaky") is act.leaky

@@ -75,6 +75,15 @@ class TestColor:
 
 
 class TestLetterbox:
+    def test_single_channel_image(self):
+        from yolodl_tpu.data.letterbox import letterbox_resize
+
+        img = np.random.default_rng(0).uniform(0, 1, (1, 20, 30)).astype(
+            np.float32)
+        out, _, _ = letterbox_resize(img, (16, 16))
+        assert out.shape == (1, 16, 16)
+        assert out.min() >= 0 and out.max() <= 1
+
     def test_wide_into_square(self):
         img = np.ones((3, 40, 80), np.float32)
         out, boxes, tr = letterbox_resize(
@@ -425,6 +434,53 @@ class TestNativeLoader:
         ref = OnDemandLoader((48, 48)).load(rec)
         assert np.abs(out.image - ref.image).mean() < 0.03
 
+    def test_corrupt_jpeg_does_not_kill_process(self, tmp_path, rng):
+        """libjpeg fatal errors must fail the one decode (rc!=0 → Python
+        fallback), not exit() the training process."""
+        from yolodl_tpu.data.native_loader import NativeLoader, native_loader_available
+
+        if not native_loader_available():
+            pytest.skip("native loader not built")
+        arr = (rng.uniform(0, 255, (40, 60, 3))).astype(np.uint8)
+        good = tmp_path / "good.jpg"
+        Image.fromarray(arr).save(good, quality=95)
+        bad = tmp_path / "bad.jpg"
+        bad.write_bytes(good.read_bytes()[:120])  # truncated mid-header/data
+        rec = FileRecord(str(bad), 40, 60, np.zeros((0, 4)),
+                         np.zeros((0,), np.int32))
+        loader = NativeLoader((32, 32))
+        try:
+            loader.load(rec)  # PIL fallback may or may not decode the stub
+        except Exception:
+            pass  # raising is fine — dying is not
+        # process alive and loader still functional:
+        ok = loader.load(FileRecord(str(good), 40, 60, np.zeros((0, 4)),
+                                    np.zeros((0,), np.int32)))
+        assert ok.image.shape == (3, 32, 32)
+
+    def test_halfway_rounding_matches_python(self):
+        """Content placement on an exact-half resize (25·16/32 = 12.5) must
+        match letterbox_geometry's round-half-even (width 12, not 13)."""
+        from yolodl_tpu.data.letterbox import letterbox_geometry
+        from yolodl_tpu.data.native_loader import NativeLoader, native_loader_available
+
+        assert letterbox_geometry((32, 25), (16, 16)) == (16, 12, 0, 2)
+        if not native_loader_available():
+            pytest.skip("native loader not built")
+        import tempfile
+
+        white = np.full((32, 25, 3), 255, np.uint8)
+        with tempfile.TemporaryDirectory() as d:
+            path = f"{d}/white.png"
+            Image.fromarray(white).save(path)
+            rec = FileRecord(path, 32, 25, np.zeros((0, 4)),
+                             np.zeros((0,), np.int32))
+            a = NativeLoader((16, 16)).load(rec).image
+            b = OnDemandLoader((16, 16)).load(rec).image
+        cols_a = (np.abs(a - 0.5) > 1e-3).any(axis=(0, 1))
+        cols_b = (np.abs(b - 0.5) > 1e-3).any(axis=(0, 1))
+        np.testing.assert_array_equal(cols_a, cols_b)
+
 
 class TestMixUpCutMix:
     def _rec(self, value, boxes, classes):
@@ -526,6 +582,21 @@ class TestTfrecordCache:
         for a, b in zip(outs, outs2):
             assert np.abs(a.image - b.image).max() <= 1 / 255 + 1e-6
 
+    def test_torn_index_tail_recovers(self, image_dir, tmp_path):
+        """A crash mid-append leaves a torn JSONL line; load skips it and
+        the affected record re-caches."""
+        from yolodl_tpu.data.tfrecord_cache import TfrecordCache
+
+        tmp, records = image_dir
+        cache = TfrecordCache(str(tmp_path / "tfc"), (24, 24))
+        for r in records:
+            cache.load(r)
+        with open(cache.index_path, "a") as f:
+            f.write('{"k": "/partial/pa')  # torn write
+        cache2 = TfrecordCache(str(tmp_path / "tfc"), (24, 24))
+        outs = [cache2.load(r) for r in records]
+        assert all(o.image.shape == (3, 24, 24) for o in outs)
+
 
 class TestPipelineWorkers:
     def test_multiworker_deterministic_when_ordered(self, image_dir):
@@ -548,6 +619,62 @@ class TestPipelineWorkers:
         stream = TrainingStream(records, OnDemandLoader((16, 16)), cfg2)
         rec = next(iter(stream))
         assert rec.images.shape == (2, 3, 16, 16)
+
+    def test_more_workers_than_records(self, image_dir):
+        """Workers whose strided slot range is empty exit instead of
+        busy-spinning through empty epochs (1-record dataset, 8 workers)."""
+        import threading as _threading
+        import time
+
+        tmp, records = image_dir
+        before = set(_threading.enumerate())
+        cfg2 = TrainingStreamConfig(batch_size=2, max_gt=4, seed=1,
+                                    workers=8)  # > 1 record
+        stream = TrainingStream(records[:1], OnDemandLoader((16, 16)), cfg2)
+        it = iter(stream)
+        rec = next(it)
+        assert rec.images.shape == (2, 3, 16, 16)
+        time.sleep(0.3)  # surplus workers exit immediately; one produces
+        new_alive = [t for t in _threading.enumerate() if t not in before]
+        assert len(new_alive) <= 1, [t.name for t in new_alive]
+
+    def test_in_flight_records_bounded(self, image_dir):
+        """Ordered mode must not buffer unboundedly when one slot stalls:
+        the free worker is throttled by the in-flight ticket cap."""
+        import threading as _threading
+        import time
+
+        tmp, records = image_dir
+        loads = {"n": 0}
+        gate = _threading.Event()
+
+        class SlowImg0Loader(OnDemandLoader):
+            def load(self, record):
+                loads["n"] += 1
+                if record.path.endswith("img0.png") and not gate.is_set():
+                    gate.wait(timeout=30)
+                return super().load(record)
+
+        cfg2 = TrainingStreamConfig(batch_size=2, max_gt=4, seed=0,
+                                    workers=2, queue_depth=1)
+        stream = TrainingStream(records, SlowImg0Loader((16, 16)), cfg2)
+        it = iter(stream)
+        got = []
+
+        def consume():
+            for _ in range(12):
+                got.append(next(it))
+
+        consumer = _threading.Thread(target=consume, daemon=True)
+        consumer.start()
+        time.sleep(1.5)  # consumer stalls on img0; free worker runs ahead
+        # ticket cap = queue_depth*batch_size + 2*workers = 6; plus a few
+        # records already consumed before the stall. Without the cap the
+        # free worker loads hundreds of records in this window.
+        assert loads["n"] <= 24, loads["n"]
+        gate.set()
+        consumer.join(timeout=60)
+        assert not consumer.is_alive() and len(got) == 12
 
 
 class TestNativeAugmentation:

@@ -151,16 +151,185 @@ def test_csp_new_coords_parity(tmp_path):
         return_intermediates=True,
     )
 
+    # new_coords=1: darknet's head conv applies logistic while our graph
+    # keeps the head conv linear and σ's inside the decode (exactly once
+    # end-to-end, from_darknet.py) — compare σ(ours) for those convs
+    head_convs = {
+        i for i in range(oracle.num_layers - 1)
+        if oracle.layer_type(i) == "convolutional"
+        and oracle.layer_type(i + 1) == "yolo"
+    }
+    assert len(head_convs) == 3
     checked = 0
     for i in range(oracle.num_layers):
         if oracle.layer_type(i) not in COMPARABLE:
             continue
         ref = oracle.layer_output(i)
         mine = np.transpose(np.asarray(ours[f"layer{i}"][0]), (2, 0, 1))
+        if i in head_convs:
+            mine = 1.0 / (1.0 + np.exp(-mine))
         denom = np.mean(ref**2) + 1e-12
         assert float(np.mean((mine - ref) ** 2) / denom) < 1e-5, i
         checked += 1
     assert checked > 80
+
+
+def test_new_coords_decoded_boxes_match_darknet(tmp_path):
+    """END-TO-END box decode parity for a new_coords=1 head with
+    scale_x_y=1.05: σ must be applied exactly once (the conv's logistic is
+    folded into the decode) and the xy scale honored — vs darknet's
+    get_network_boxes (yolo_layer.c get_yolo_box new_coords branch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from oracle import DarknetOracle
+    from yolodl_tpu.config import darknet_cfg as dk
+    from yolodl_tpu.graph.from_darknet import graph_from_darknet
+    from yolodl_tpu.models import YoloModel
+    from yolodl_tpu.models.weights import save_darknet_weights
+
+    cfg_text = """[net]
+width=64
+height=64
+channels=3
+batch=1
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+filters=21
+size=1
+stride=1
+pad=1
+activation=logistic
+
+[yolo]
+mask=0,1,2
+anchors=10,14, 23,27, 37,58
+classes=2
+num=3
+new_coords=1
+scale_x_y=1.05
+"""
+    cfg_path = tmp_path / "mini_nc.cfg"
+    cfg_path.write_text(cfg_text)
+    darknet = dk.Darknet.load(str(cfg_path))
+    model = YoloModel(graph_from_darknet(darknet))
+    params, state = model.init(jax.random.PRNGKey(3))
+    wpath = str(tmp_path / "mini_nc.weights")
+    save_darknet_weights(darknet, params, state, wpath)
+
+    oracle = DarknetOracle(str(cfg_path), wpath)
+    rng = np.random.default_rng(2)
+    image = rng.uniform(0.0, 1.0, (3, 64, 64)).astype(np.float32)
+    oracle.forward(image)
+    dk_dets = oracle.detections(64, 64, thresh=0.3)
+
+    pred, _ = model.apply(params, state, jnp.asarray(image[None]), train=False)
+    obj = np.asarray(pred.obj_prob()[0])
+    boxes = np.asarray(pred.cycxhw[0])
+
+    ours_rows = []
+    for info in pred.infos:
+        fh, fw, a = info.feature_h, info.feature_w, info.num_anchors
+        for cell in range(fh * fw):
+            r, c = divmod(cell, fw)
+            for n in range(a):
+                flat = info.flat_begin + (n * fh + r) * fw + c
+                if obj[flat] > 0.3:
+                    cy, cx, bh, bw = boxes[flat]
+                    ours_rows.append((cx, cy, bw, bh, obj[flat]))
+    assert len(dk_dets) > 5, "threshold left too few candidates to compare"
+    assert len(ours_rows) == len(dk_dets), (len(ours_rows), len(dk_dets))
+    np.testing.assert_allclose(np.asarray(ours_rows), dk_dets[:, :5],
+                               atol=3e-3)
+
+
+def test_local_avgpool_parity(tmp_path):
+    """[local_avgpool] divides by the in-bounds cell count per window
+    (forward_local_avgpool_layer's counter), not size² — border windows
+    under darknet's default padding=size−1 expose the difference."""
+    import jax
+    import jax.numpy as jnp
+
+    from oracle import DarknetOracle
+    from yolodl_tpu.config import darknet_cfg as dk
+    from yolodl_tpu.graph.from_darknet import graph_from_darknet
+    from yolodl_tpu.models import YoloModel
+    from yolodl_tpu.models.weights import save_darknet_weights
+
+    cfg_text = """[net]
+width=32
+height=32
+channels=3
+batch=1
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[local_avgpool]
+size=4
+stride=2
+
+[convolutional]
+filters=18
+size=1
+stride=1
+pad=1
+activation=linear
+
+[yolo]
+mask=0,1,2
+anchors=10,14, 23,27, 37,58
+classes=1
+num=3
+"""
+    cfg_path = tmp_path / "lap.cfg"
+    cfg_path.write_text(cfg_text)
+    darknet = dk.Darknet.load(str(cfg_path))
+    model = YoloModel(graph_from_darknet(darknet))
+    params, state = model.init(jax.random.PRNGKey(5))
+    wpath = str(tmp_path / "lap.weights")
+    save_darknet_weights(darknet, params, state, wpath)
+
+    oracle = DarknetOracle(str(cfg_path), wpath)
+    rng = np.random.default_rng(9)
+    image = rng.uniform(0.0, 1.0, (3, 32, 32)).astype(np.float32)
+    oracle.forward(image)
+    _, _, ours = model.apply(
+        params, state, jnp.asarray(image[None]), train=False,
+        return_intermediates=True,
+    )
+    checked = 0
+    for i in range(oracle.num_layers):
+        if oracle.layer_type(i) not in (COMPARABLE | {"local_avgpool"}):
+            continue
+        ref = oracle.layer_output(i)
+        mine = np.transpose(np.asarray(ours[f"layer{i}"][0]), (2, 0, 1))
+        denom = np.mean(ref**2) + 1e-12
+        assert float(np.mean((mine - ref) ** 2) / denom) < 1e-5, \
+            (i, oracle.layer_type(i))
+        checked += 1
+    assert checked == 3
 
 
 def test_yolov2_reorg_region_parity(tmp_path):

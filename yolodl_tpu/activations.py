@@ -111,18 +111,22 @@ def relu6(x: Array) -> Array:
     return jnp.clip(x, 0.0, 6.0)
 
 
-def normalize_channels(x: Array, channel_axis: int = 1) -> Array:
-    """Relu then divide by the channel-sum (darknet activations.c)."""
+def normalize_channels(x: Array, channel_axis: int = -1) -> Array:
+    """Relu then divide by the channel-sum (darknet activations.c).
+
+    Default axis −1: activations are NHWC on device (conv.py DIMSPEC), so
+    dispatch through ``apply`` must normalize the LAST axis.
+    """
     relu_x = jnp.maximum(x, 0.0)
     total = jnp.sum(relu_x, axis=channel_axis, keepdims=True)
     return relu_x / jnp.maximum(total, 1e-6)
 
 
-def normalize_channels_softmax(x: Array, channel_axis: int = 1) -> Array:
+def normalize_channels_softmax(x: Array, channel_axis: int = -1) -> Array:
     return jax.nn.softmax(x, axis=channel_axis)
 
 
-def normalize_channels_softmax_maxval(x: Array, channel_axis: int = 1) -> Array:
+def normalize_channels_softmax_maxval(x: Array, channel_axis: int = -1) -> Array:
     sm = jax.nn.softmax(x, axis=channel_axis)
     maxval = jnp.max(sm, axis=channel_axis, keepdims=True)
     return sm / jnp.maximum(maxval, 1e-6)

@@ -57,6 +57,8 @@ class DatasetConfig:
 
     @staticmethod
     def parse(raw: dict, class_whitelist=()) -> "DatasetConfig":
+        """``class_whitelist`` overrides ``raw["class_whitelist"]`` when
+        given (programmatic callers); the config key is the default."""
         kind_raw = raw["kind"]
         t = kind_raw["type"].lower()
         return DatasetConfig(
@@ -68,7 +70,8 @@ class DatasetConfig:
             label_file=kind_raw.get("label_file", ""),
             input_channels=int(kind_raw.get("input_channels", 3)),
             dataset_name=kind_raw.get("dataset_name", ""),
-            class_whitelist=tuple(raw.get("class_whitelist", ()) or ()),
+            class_whitelist=tuple(
+                class_whitelist or raw.get("class_whitelist", ()) or ()),
             blacklist_files=tuple(kind_raw.get("blacklist_files", ()) or ()),
         )
 

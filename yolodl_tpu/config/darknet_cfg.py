@@ -620,7 +620,8 @@ def _parse_layer(name: str, d: Dict[str, str]) -> Layer:
     if name == "rnn":
         return Rnn(
             output=int(d["output"]),
-            hidden=_get_int(d, "hidden", int(d["output"])),
+            hidden=_get_int(d, "hidden", 1),  # parser.c:270 default
+
             activation=_get_str(d, "activation", "logistic"),
             batch_normalize=_get_bool(d, "batch_normalize", False),
             logistic=_get_int(d, "logistic", 0),
@@ -728,6 +729,8 @@ def to_cfg_string(darknet: Darknet) -> str:
                 out.append(f"groups={layer.groups}")
             if layer.dilation != 1:
                 out.append(f"dilation={layer.dilation}")
+            if layer.share_index is not None:
+                out.append(f"share_index={layer.share_index}")
             out.append(f"activation={layer.activation}")
         elif isinstance(layer, Route):
             out.append("[route]")
@@ -738,9 +741,16 @@ def to_cfg_string(darknet: Darknet) -> str:
         elif isinstance(layer, Shortcut):
             out.append("[shortcut]")
             out.append("from=" + ",".join(str(i) for i in layer.from_layers))
+            if layer.weights_type != "none":
+                out.append(f"weights_type={layer.weights_type}")
             out.append(f"activation={layer.activation}")
         elif isinstance(layer, MaxPool):
-            out.append("[maxpool]")
+            # pool_kind is encoded only by the section header — emitting
+            # [maxpool] for an avg pool would silently change semantics
+            out.append("[maxpool]" if layer.pool_kind == "max"
+                       else "[local_avgpool]")
+            if layer.maxpool_depth:
+                out.append("maxpool_depth=1")
             out.append(f"size={layer.size}")
             if layer.stride_x == layer.stride_y:
                 out.append(f"stride={layer.stride_x}")
@@ -771,6 +781,8 @@ def to_cfg_string(darknet: Darknet) -> str:
             out.append(f"truth_thresh={_fmt(layer.truth_thresh)}")
             out.append(f"max={layer.max_boxes}")
             out.append(f"nms_kind={layer.nms_kind}")
+            if layer.beta_nms != 0.6:
+                out.append(f"beta_nms={_fmt(layer.beta_nms)}")
         elif isinstance(layer, Detection):
             out.append("[detection]")
             out.append(f"classes={layer.classes}")

@@ -183,7 +183,10 @@ class Detect2D(ModuleCfg):
     # anchors are (h, w) pairs in image-ratio units (model-config Size)
     anchors: Tuple[Tuple[float, float], ...] = ()
     variant: str = "scaled"  # "scaled" | "darknet"
-    scale_xy: float = 1.0
+    # xy decode scale: σ(t)·s − 0.5(s−1).  The NEWSLAB scaled decode is
+    # fixed at 2 (detect_2d.rs:66-139); darknet heads carry the cfg's
+    # scale_x_y (2.0 for yolov4-csp, 1.05 for cspx-p7-mish).
+    scale_xy: float = 2.0
     channel_order: str = "entry_major"  # "entry_major" | "anchor_major"
     entry_layout: str = "cycxhw"  # "cycxhw" (NEWSLAB) | "xywh" (darknet)
     class_activation: str = "sigmoid"  # "sigmoid" | "softmax" (region heads)

@@ -99,7 +99,9 @@ class FileCache:
                     return DataRecord(image=image, boxes=boxes, classes=record.classes)
 
         rec = self._loader.load(record)
-        tmp = cache_path + f".tmp{os.getpid()}"
+        # pid alone is not unique: two pipeline worker THREADS caching the
+        # same image would collide on the tmp path and crash on os.replace
+        tmp = cache_path + f".tmp{os.getpid()}-{threading.get_ident()}"
         with open(tmp, "wb") as f:
             f.write(self.MAGIC)
             f.write(np.ascontiguousarray(rec.image, "<f4").tobytes())

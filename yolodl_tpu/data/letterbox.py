@@ -57,7 +57,10 @@ def letterbox_resize(
 
     # PIL resize per channel stack (HWC uint8-free float path)
     hwc = np.transpose(image_chw, (1, 2, 0))
-    pil = Image.fromarray((np.clip(hwc, 0, 1) * 255).astype(np.uint8))
+    arr = (np.clip(hwc, 0, 1) * 255).astype(np.uint8)
+    if c == 1:
+        arr = arr[..., 0]  # PIL needs 2-D for single-channel ("L") images
+    pil = Image.fromarray(arr)
     resized = np.asarray(
         pil.resize((new_w, new_h), Image.BILINEAR), dtype=np.float32
     ) / 255.0

@@ -48,7 +48,6 @@ class TrainingStreamConfig:
     seed: int = 0
     workers: int = 2
     queue_depth: int = 4
-    drop_last: bool = True
     # ordered=True reassembles records in plan order (deterministic batches,
     # the reference's unordered_records=false); False yields as they finish
     ordered: bool = True
@@ -188,6 +187,19 @@ class TrainingStream:
         out_q: "queue.Queue" = queue.Queue(maxsize=cfg.queue_depth * cfg.batch_size)
         stop = threading.Event()
         workers = max(1, cfg.workers)
+        # bound total in-flight records (loaded but not yet consumed): in
+        # ordered mode the reorder buffer drains out_q, so without a cap a
+        # single slow slot would let the other workers run arbitrarily far
+        # ahead and grow `pending` without bound (~4.4 MB per record).
+        # The cap is a serial-ordered WINDOW, not a semaphore: a producer
+        # may start serial s only once s < consumed + cap, so the producer
+        # of the oldest outstanding serial can never be blocked (a plain
+        # ticket pool deadlocks when the reorder buffer absorbs every
+        # ticket while the needed serial is still unproduced).
+        window_cap = out_q.maxsize + 2 * workers
+        window = threading.Condition()
+        consumed = [0]
+        n_slots_total = len(self.records)
 
         def producer(worker_id: int):
             """Each worker handles epoch slots ≡ worker_id (mod workers) —
@@ -195,11 +207,18 @@ class TrainingStream:
             try_par_then_unordered (training_stream.rs:208-223); per-slot
             RNG keys keep augmentation deterministic regardless of
             interleaving."""
+            if worker_id >= n_slots_total:
+                return  # its strided slot range is empty in every epoch
             epoch = 0
             try:
                 while not stop.is_set():
                     plan = self._epoch_plan(epoch)
                     for slot in range(worker_id, len(plan), workers):
+                        serial = epoch * n_slots_total + slot
+                        with window:
+                            while (serial >= consumed[0] + window_cap
+                                   and not stop.is_set()):
+                                window.wait(0.5)
                         if stop.is_set():
                             return
                         rng = np.random.default_rng((cfg.seed, epoch, slot))
@@ -221,13 +240,20 @@ class TrainingStream:
         pending = {}
         next_serial = 0
 
+        def advance_window():
+            with window:
+                consumed[0] += 1
+                window.notify_all()
+
         def get_next():
-            """Next record, in plan order when cfg.ordered."""
+            """Next record, in plan order when cfg.ordered.  Every consumed
+            record advances the producers' in-flight window."""
             nonlocal next_serial
             if not cfg.ordered:
                 item = out_q.get()
                 if isinstance(item, Exception):
                     raise item
+                advance_window()
                 return item
             while next_serial not in pending:
                 item = out_q.get()
@@ -237,6 +263,7 @@ class TrainingStream:
                 pending[epoch_i * n_slots + slot_i] = item
             item = pending.pop(next_serial)
             next_serial += 1
+            advance_window()
             return item
 
         step = 0

@@ -8,7 +8,11 @@ index.  Compared to :class:`FileCache`'s one-file-per-image raw floats,
 the single-shard layout is sequential-read friendly and 4× smaller
 (uint8 payloads).
 
-Single-writer, many-reader; writes append + atomically republish the index.
+Single-writer, many-reader; shard writes append, and the index is an
+append-only JSONL (one ``{"k": path, "o": offset}`` line per record) —
+republishing the whole index per miss would rewrite O(n) JSON on every
+cache fill, quadratic over a COCO-scale warmup.  A torn final line (crash
+mid-append) is skipped on load; that record simply re-caches.
 """
 
 from __future__ import annotations
@@ -65,12 +69,21 @@ class TfrecordCache:
         os.makedirs(cache_dir, exist_ok=True)
         h, w = cache_hw
         self.shard_path = os.path.join(cache_dir, f"cache-{h}x{w}.tfrecord")
-        self.index_path = self.shard_path + ".index.json"
+        self.index_path = self.shard_path + ".index.jsonl"
         self._loader = OnDemandLoader(cache_hw)
         self._lock = threading.Lock()
         self._index: Dict[str, int] = {}
         if os.path.exists(self.index_path):
             with open(self.index_path) as f:
+                for line in f:
+                    try:
+                        entry = json.loads(line)
+                        self._index[entry["k"]] = entry["o"]
+                    except (ValueError, KeyError):
+                        break  # torn tail from a crash mid-append
+        legacy = self.shard_path + ".index.json"
+        if not self._index and os.path.exists(legacy):
+            with open(legacy) as f:
                 self._index = json.load(f)
 
     def _key(self, record: FileRecord) -> str:
@@ -112,8 +125,6 @@ class TfrecordCache:
             with open(self.shard_path, "ab") as f:
                 offset, _ = write_tfrecord(f, payload)
             self._index[key] = offset
-            tmp = self.index_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(self._index, f)
-            os.replace(tmp, self.index_path)
+            with open(self.index_path, "a") as f:
+                f.write(json.dumps({"k": key, "o": offset}) + "\n")
         return rec

@@ -16,6 +16,7 @@ names ("input", "layer0", ..., "output") and reuses the standard flattening
 
 from __future__ import annotations
 
+import dataclasses
 from typing import List
 
 from ..config import darknet_cfg as dk
@@ -112,6 +113,24 @@ def graph_from_darknet(darknet: dk.Darknet) -> Graph:
             anchors = tuple(
                 (ah / net.height, aw / net.width) for aw, ah in layer.masked_anchors
             )
+            if layer.new_coords:
+                # new_coords=1: the preceding conv carries activation=
+                # logistic and the darknet yolo layer applies NO further
+                # activation (yolo_layer.c forward_yolo_layer, the
+                # new_coords branch is commented out).  Our scaled decode
+                # applies the σ itself — strip the conv's logistic so the
+                # sigmoid is applied exactly once, and obj/class reach the
+                # loss as logits (the Rust reference's convention,
+                # detect_2d.rs:66-139).  End-to-end outputs are exactly
+                # darknet's; only the intermediate head-conv tensor is
+                # pre-σ here (parity tests compare σ(ours) there).
+                for k in range(len(layers) - 1, -1, -1):
+                    if layers[k].name == prev:
+                        if (isinstance(layers[k], cfg.ConvBn2D)
+                                and layers[k].act == "logistic"):
+                            layers[k] = dataclasses.replace(
+                                layers[k], act="linear")
+                        break
             layers.append(
                 cfg.Detect2D(
                     name=name,

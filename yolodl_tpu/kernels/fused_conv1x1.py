@@ -29,6 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._util import pad_axis
+
 Array = jax.Array
 
 TILE_M = 256
@@ -45,15 +47,6 @@ def _kernel(x_ref, w_ref, scale_ref, shift_ref, out_ref):
     out_ref[:, :] = _mish(z).astype(out_ref.dtype)
 
 
-def _pad_axis(x, size, axis):
-    pad = size - x.shape[axis]
-    if pad <= 0:
-        return x
-    widths = [(0, 0)] * x.ndim
-    widths[axis] = (0, pad)
-    return jnp.pad(x, widths)
-
-
 def _forward(x2d: Array, w: Array, scale: Array, shift: Array,
              interpret: bool) -> Array:
     m, k = x2d.shape
@@ -61,10 +54,10 @@ def _forward(x2d: Array, w: Array, scale: Array, shift: Array,
     m_pad = ((m + TILE_M - 1) // TILE_M) * TILE_M
     n_pad = ((n + TILE_N - 1) // TILE_N) * TILE_N
 
-    xp = _pad_axis(x2d, m_pad, 0)
-    wp = _pad_axis(w, n_pad, 1)
-    scale_p = _pad_axis(scale.reshape(1, -1).astype(jnp.float32), n_pad, 1)
-    shift_p = _pad_axis(shift.reshape(1, -1).astype(jnp.float32), n_pad, 1)
+    xp = pad_axis(x2d, m_pad, 0)
+    wp = pad_axis(w, n_pad, 1)
+    scale_p = pad_axis(scale.reshape(1, -1).astype(jnp.float32), n_pad, 1)
+    shift_p = pad_axis(shift.reshape(1, -1).astype(jnp.float32), n_pad, 1)
 
     out = pl.pallas_call(
         _kernel,
@@ -114,15 +107,16 @@ def _bwd(interpret, res, g):
     w32 = w.astype(jnp.float32)
     scale32 = scale.astype(jnp.float32)
 
-    # recompute z (cheap GEMM; avoids storing the activation tile)
-    z = x2d @ w32 * scale32 + shift.astype(jnp.float32)
+    # recompute the pre-activation (one GEMM, reused for z and d_scale;
+    # avoids storing the activation tile)
+    acc = x2d @ w32
+    z = acc * scale32 + shift.astype(jnp.float32)
     sp = jax.nn.softplus(z)
     t = jnp.tanh(sp)
     dmish = t + z * (1.0 - t * t) * jax.nn.sigmoid(z)
     gz = g2d * dmish
 
     d_shift = jnp.sum(gz, axis=0)
-    acc = x2d @ w32
     d_scale = jnp.sum(gz * acc, axis=0)
     ga = gz * scale32
     dx = (ga @ w32.T).astype(x.dtype).reshape(*lead, x.shape[-1])

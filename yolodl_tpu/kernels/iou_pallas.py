@@ -21,6 +21,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._util import pad_axis
+
 Array = jax.Array
 
 EPSILON = 1e-16
@@ -51,21 +53,12 @@ def _iou_tile_kernel(rows_ref, cols_ref, out_ref):
     out_ref[:, :] = inter / union
 
 
-def _pad_to(x: Array, n: int, axis: int) -> Array:
-    pad = n - x.shape[axis]
-    if pad <= 0:
-        return x
-    widths = [(0, 0)] * x.ndim
-    widths[axis] = (0, pad)
-    return jnp.pad(x, widths)
-
-
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pairwise_iou_pallas(tlbr: Array, interpret: bool = False) -> Array:
     """[K, 4] TLBR boxes → [K, K] IoU matrix via the tiled TPU kernel."""
     k = tlbr.shape[0]
     k_pad = max(TILE, ((k + TILE - 1) // TILE) * TILE)
-    planes = _pad_to(tlbr.astype(jnp.float32), k_pad, axis=0).T  # [4, Kpad]
+    planes = pad_axis(tlbr.astype(jnp.float32), k_pad, 0).T  # [4, Kpad]
     planes = jnp.asarray(planes)
 
     grid = (k_pad // TILE, k_pad // TILE)

@@ -61,8 +61,14 @@ def yolo_benchmark(
     precision = jnp.where(all_pos > 0, matched_pos / jnp.maximum(all_pos, 1), 1.0)
 
     # classification accuracy on matched cells whose confidence passes the
-    # threshold for any class (benchmark.rs:79-95)
-    conf = matched_prob[..., None] * jax.nn.sigmoid(pred_class)
+    # threshold for any class (benchmark.rs:79-95); class probabilities use
+    # the head's declared activation so the gate agrees with what
+    # NMS/inference compute (MergedDetection.class_prob)
+    if prediction.infos and prediction.infos[0].class_act == "softmax":
+        class_prob = jax.nn.softmax(pred_class, axis=-1)
+    else:
+        class_prob = jax.nn.sigmoid(pred_class)
+    conf = matched_prob[..., None] * class_prob
     conf_ok = jnp.any(conf >= confidence_threshold, axis=-1)
     pred_label = jnp.argmax(pred_class, axis=-1)
     correct = valid & conf_ok & (pred_label == matching.gt_class)

@@ -144,7 +144,7 @@ def detect_decode(
     num_classes: int,
     order: str = "entry_major",
     variant: str = "scaled",
-    scale_xy: float = 1.0,
+    scale_xy: float = 2.0,
     entry_layout: str = "cycxhw",
     gaussian: bool = False,
     class_activation: str = "sigmoid",
@@ -201,8 +201,14 @@ def detect_decode(
     anchor_w = jnp.asarray([aw for _, aw in anchors], dtype=x.dtype).reshape(1, a, 1, 1)
 
     if variant == "scaled":
-        cy = (jax.nn.sigmoid(ty) * 2.0 - 0.5 + rows) / fh
-        cx = (jax.nn.sigmoid(tx) * 2.0 - 0.5 + cols) / fw
+        # scaled-YOLOv4 power decode.  The NEWSLAB reference hardcodes the
+        # xy scale to 2 (detect_2d.rs:66-139, scale_xy=2 in its configs);
+        # darknet new_coords heads carry scale_x_y in the cfg (2.0 for
+        # yolov4-csp, 1.05 for cspx-p7) and apply x·s − 0.5(s−1)
+        # (yolo_layer.c forward_yolo_layer scal_add). wh is s-independent:
+        # (σ·2)² · a == σ²·4·a (get_yolo_box new_coords branch).
+        cy = (jax.nn.sigmoid(ty) * scale_xy - 0.5 * (scale_xy - 1.0) + rows) / fh
+        cx = (jax.nn.sigmoid(tx) * scale_xy - 0.5 * (scale_xy - 1.0) + cols) / fw
         h = jnp.square(jax.nn.sigmoid(th) * 2.0) * anchor_h
         w = jnp.square(jax.nn.sigmoid(tw) * 2.0) * anchor_w
     elif variant == "darknet":

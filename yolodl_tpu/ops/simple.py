@@ -59,7 +59,17 @@ def max_pool2d(
             window_strides=(1, stride_y, stride_x, 1),
             padding=((0, 0), (lo, hi), (lo, hi), (0, 0)),
         )
-        return summed / (size * size)
+        # darknet local_avgpool divides by the count of IN-BOUNDS cells
+        # per window (forward_local_avgpool_layer's `counter`), not size²
+        # — border windows under padding would otherwise be scaled down
+        ones = jnp.ones(x.shape[1:3], x.dtype)[None, :, :, None]
+        counts = jax.lax.reduce_window(
+            ones, 0.0, jax.lax.add,
+            window_dimensions=(1, size, size, 1),
+            window_strides=(1, stride_y, stride_x, 1),
+            padding=((0, 0), (lo, hi), (lo, hi), (0, 0)),
+        )
+        return summed / counts
     # Large-window stride-1 max-pools (the SPP block: k=5/9/13 over the same
     # map, yolov4 [maxpool] / SppCsp2D) compose exactly from chained 3×3
     # stride-1 pools with -inf padding: max over [i-m, i+m] = m-fold max over

@@ -55,6 +55,16 @@ class _UnitWrapper(Generic[T]):
     def __eq__(self, other):
         return type(other) is type(self) and bool(np.all(self.value == other.value))
 
+    def __hash__(self):
+        # defining __eq__ alone would set __hash__ = None, making
+        # Pixel/Ratio unusable in sets/dict keys (scalar wrappers only;
+        # array-valued wrappers hash by shape/bytes)
+        v = self.value
+        if np.isscalar(v) or getattr(v, "ndim", 1) == 0:
+            return hash((type(self).__name__, float(v)))
+        arr = np.asarray(v)
+        return hash((type(self).__name__, arr.shape, arr.tobytes()))
+
     def __repr__(self):
         return f"{type(self).__name__}({self.value!r})"
 
