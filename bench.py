@@ -154,11 +154,6 @@ def _bench_inference(jax, jnp, np, model):
     # same loop shape cancels the dev-setup's per-dispatch tunnel overhead
     # and leaves the NMS+class-selection device time
     @jax.jit
-    def fwd_sum(params, state, x):
-        pred, _ = model.apply(params, state, x, train=False)
-        return pred.obj_logit.sum()
-
-    @jax.jit
     def nms_stage2(pred):
         out = non_max_suppression(pred, confidence_threshold=0.25,
                                   backend="pallas", class_mode="argmax")

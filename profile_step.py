@@ -37,7 +37,9 @@ def timeit(fn, *args):
 
 
 def main():
-    model = YoloModel(graph_from_darknet(dk.Darknet.load("cfg/darknet/yolov4-csp.cfg")))
+    cfg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "cfg/darknet/yolov4-csp.cfg")
+    model = YoloModel(graph_from_darknet(dk.Darknet.load(cfg_path)))
     config = TrainConfig()
     ts, opt = train_init(model, config)
     step_fn = make_train_step(model, opt, config)

@@ -153,6 +153,10 @@ def main(argv=None):
     step_fn = make_classifier_train_step(model, optimizer, config)
     batch_size = int(training.get("batch_size", 32))
     save_steps = int(training.get("save_checkpoint_steps", 0))
+    if len(records) < batch_size:
+        raise ValueError(
+            f"dataset has {len(records)} records < batch_size {batch_size} "
+            "— no full batch can ever be formed")
 
     rng = np.random.default_rng(0)
     step = 0
@@ -162,7 +166,10 @@ def main(argv=None):
             batch_records = [records[j] for j in order[i:i + batch_size]]
             images, labels = load_batch(batch_records)
             ts, metrics = step_fn(ts, images, labels)
-            step = int(ts.step)
+            # step tracked host-side (a device readout costs a network
+            # round trip on remote TPUs); one transfer for all metrics
+            metrics = jax.device_get(metrics)
+            step += 1
             loss = float(metrics["loss"])
             if not np.isfinite(loss):
                 raise RuntimeError(f"non-finite loss at step {step}")

@@ -97,6 +97,7 @@ def main(argv=None):
     stream = TrainingStream(dataset.records(), loader, stream_cfg)
 
     logger_holder = {}
+    current_step = {"n": 0}  # host-side optimizer step, for telemetry tags
     if config.logging.enable_images:
         # per-stage debug images with boxes (logging.rs:428-500 taxonomy)
         from ..train.logging import draw_boxes_on_image
@@ -105,10 +106,10 @@ def main(argv=None):
 
         def debug_hook(stage, rec):
             lg = logger_holder.get("logger")
-            if lg is None or debug_counter["n"] % 50 != 0:
-                debug_counter["n"] += 1
-                return
+            sampled = debug_counter["n"] % 50 == 0
             debug_counter["n"] += 1
+            if lg is None or not sampled:
+                return
             boxes = rec.boxes
             if len(boxes):
                 cy, cx, h, w = (boxes[:, k] for k in range(4))
@@ -116,7 +117,10 @@ def main(argv=None):
                 canvas = draw_boxes_on_image(rec.image, tlbr)
             else:
                 canvas = rec.image
-            lg.log_image(debug_counter["n"], f"pipeline/{stage}", canvas)
+            # tag with the optimizer step so TB's x-axis tracks training
+            # progress (the hook runs on pipeline threads ahead of the
+            # trainer; the step is approximate by design)
+            lg.log_image(current_step["n"], f"pipeline/{stage}", canvas)
 
         stream_cfg.debug_hook = debug_hook
 
@@ -249,9 +253,16 @@ def main(argv=None):
                     raise RuntimeError(
                         f"non-finite metric {k!r} at step {step}")
         lr = lr_at_step(config.lr, step)
+        bench_keys = ("obj_accuracy", "obj_recall", "obj_precision",
+                      "class_accuracy", "num_matched")
         logger.log_training_output(
-            step, lr, {k: float(pick(v)) for k, v in metrics.items()}
+            step, lr,
+            {k: float(pick(v)) for k, v in metrics.items()
+             if k not in bench_keys},
+            benchmark={k: float(pick(metrics[k])) for k in bench_keys
+                       if k in metrics} or None,
         )
+        current_step["n"] = step
         batch_rate.add(1)
         record_rate.add(config.batch_size)
         if step % 10 == 0:
@@ -262,16 +273,20 @@ def main(argv=None):
         if not final:
             return False
         save = config.checkpoint.save_steps
+        saved = False
         if save and (step // save) > ((step - window) // save):
             save_checkpoint(ckpt_dir, step, total, ts.params, ts.state,
                             ts.opt_state, ema_params=ts.ema_params)
+            saved = True
         if args.max_steps and step >= args.max_steps:
-            save_checkpoint(ckpt_dir, step, total, ts.params, ts.state,
-                            ts.opt_state, ema_params=ts.ema_params)
+            if not saved:
+                save_checkpoint(ckpt_dir, step, total, ts.params, ts.state,
+                                ts.opt_state, ema_params=ts.ema_params)
             return True
         if stop_signal["num"] is not None:
-            save_checkpoint(ckpt_dir, step, total, ts.params, ts.state,
-                            ts.opt_state, ema_params=ts.ema_params)
+            if not saved:
+                save_checkpoint(ckpt_dir, step, total, ts.params, ts.state,
+                                ts.opt_state, ema_params=ts.ema_params)
             saver.flush()  # raises if the write failed — do not lie below
             print(f"received signal {stop_signal['num']} — checkpoint saved "
                   f"at step {step}, exiting")
@@ -284,8 +299,14 @@ def main(argv=None):
     # step tracked host-side: a per-step int(ts.step) readout costs a full
     # device round trip (~26 ms on the axon tunnel, CLAUDE.md perf ledger)
     host_step = int(ts.step)
+    # scan mode stacks HOST arrays into one k-step upload — prefetching
+    # per-batch device copies would transfer every batch twice
+    if scan_k > 1:
+        source = ((rec, None) for rec in iter(stream))
+    else:
+        source = device_prefetch(iter(stream))
     try:
-        for record, arrays in device_prefetch(iter(stream)):
+        for record, arrays in source:
             if args.profile_dir and not profiled:
                 # device-side timing via jax.profiler (SURVEY §5.1): trace
                 # ONE steady-state window after warmup/compile
@@ -307,6 +328,9 @@ def main(argv=None):
                 stacked = tuple(np.stack(parts) for parts in zip(*pending))
                 pending.clear()
                 ts, metrics = step_fn(ts, *stacked)
+                # ONE host transfer for the whole metrics dict (each
+                # float() readout is a ~26 ms round trip on a remote TPU)
+                metrics = jax.device_get(metrics)
                 host_step += scan_k
                 done = False
                 for j in range(scan_k):
@@ -322,6 +346,7 @@ def main(argv=None):
             images = maybe_rescale(images, host_step)
             batch = place((images, gt_boxes, gt_classes, gt_mask))
             ts, metrics = step_fn(ts, *batch)
+            metrics = jax.device_get(metrics)  # one transfer per step
             host_step += 1
             if handle_step(host_step, metrics):
                 break

@@ -11,6 +11,7 @@ benchmark accuracy/recall/precision (:323-359), per-parameter |w|max and
 from __future__ import annotations
 
 import queue
+import sys
 import threading
 from typing import Any, Dict, Optional
 
@@ -52,6 +53,7 @@ class LoggingWorker:
         self._thread: Optional[threading.Thread] = None
         self._writer = None
         self.dropped = 0
+        self._warned_write_failure = False
 
     def start(self) -> "LoggingWorker":
         from torch.utils.tensorboard import SummaryWriter
@@ -74,8 +76,15 @@ class LoggingWorker:
                 elif kind == "image":
                     name, image = payload
                     self._writer.add_image(name, image, step)
-            except Exception:
-                pass
+            except Exception as e:
+                # never crash training over telemetry, but don't be silent
+                # about it either: count it and warn once
+                self.dropped += 1
+                if not self._warned_write_failure:
+                    self._warned_write_failure = True
+                    print(f"warning: TensorBoard write failed ({e!r}); "
+                          "further failures counted in .dropped",
+                          file=sys.stderr)
         self._writer.flush()
 
     def _offer(self, item) -> None:
