@@ -185,6 +185,34 @@ class TestTrainCli:
         # max-steps coincide at 6
         assert steps == [4, 6], steps
 
+    def test_train_full_telemetry(self, workspace):
+        """enable_gradients + enable_images + enable_benchmark: per-param
+        maxima, benchmark scalars, heatmap and pipeline images all flow to
+        the TB worker without breaking the step (logging.rs:323-422)."""
+        import json
+
+        cfg = json.loads((workspace / "train.json5").read_text())
+        cfg["logging"].update(enable_gradients=True, enable_images=True,
+                              enable_benchmark=True)
+        cfg["logging"]["dir"] = str(workspace / "logs_tel")
+        (workspace / "train_tel.json5").write_text(json.dumps(cfg))
+        out = run_cli(
+            "yolodl_tpu.cli.train_main",
+            "--config-file", str(workspace / "train_tel.json5"),
+            "--max-steps", "3",
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        runs = os.listdir(workspace / "logs_tel")
+        run_dir = workspace / "logs_tel" / runs[0]
+        events = [f for f in os.listdir(run_dir) if f.startswith("events.out")]
+        assert events
+        # the event file must actually contain the extra taxonomies
+        data = b"".join((run_dir / f).read_bytes() for f in events)
+        assert b"weights_max/" in data and b"grads_max/" in data, \
+            "per-parameter maxima missing from TB events"
+        assert b"benchmark/obj_accuracy" in data
+        assert b"objectness" in data, "heatmap image missing"
+
     def test_train_ema_checkpointed(self, workspace):
         """training.ema.enabled produces checkpoints with EMA params that
         eval --ema can consume."""

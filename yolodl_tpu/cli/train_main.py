@@ -133,6 +133,8 @@ def main(argv=None):
         benchmark_confidence=(
             config.nms_conf_thresh if config.logging.enable_benchmark else None
         ),
+        log_weights_and_grads=config.logging.enable_gradients,
+        return_obj_sample=config.logging.enable_images,
     )
     ts, optimizer = train_init(model, train_cfg, seed=0)
 
@@ -176,6 +178,17 @@ def main(argv=None):
 
     logger = LoggingWorker(run_dir).start()
     logger_holder["logger"] = logger if config.logging.enable_images else None
+    last_batch = {"images": None, "infos": None}
+    if config.logging.enable_images:
+        # static per-head layout for the objectness heatmap, via an
+        # abstract trace (no device work)
+        size = config.dataset.image_size
+        spec = jax.eval_shape(
+            lambda p, s, x: model.apply(p, s, x, train=False)[0],
+            ts.params, ts.state,
+            jax.ShapeDtypeStruct((1, 3, size, size), jnp.float32),
+        )
+        last_batch["infos"] = spec.infos
     batch_rate = RateCounter()
     record_rate = RateCounter()
 
@@ -255,13 +268,33 @@ def main(argv=None):
         lr = lr_at_step(config.lr, step)
         bench_keys = ("obj_accuracy", "obj_recall", "obj_precision",
                       "class_accuracy", "num_matched")
+        wg_keys = [k for k in metrics
+                   if k.startswith(("weights_max/", "grads_max/"))]
         logger.log_training_output(
             step, lr,
             {k: float(pick(v)) for k, v in metrics.items()
-             if k not in bench_keys},
+             if k not in bench_keys and k not in wg_keys
+             and k != "obj_sample"},
             benchmark={k: float(pick(metrics[k])) for k in bench_keys
                        if k in metrics} or None,
         )
+        if wg_keys:
+            # per-parameter |w|max / |grad|max (logging.rs:361-376)
+            logger.log_scalars(
+                step, {k: float(pick(metrics[k])) for k in wg_keys})
+        if ("obj_sample" in metrics and (step % 200 == 0 or step == 1)
+                and logger_holder.get("logger") is not None
+                and last_batch.get("images") is not None
+                and last_batch.get("infos") is not None):
+            obj = np.asarray(pick(metrics["obj_sample"]))
+            # multi-scale steps at a non-base size have a different flat
+            # layout — skip those samples
+            if obj.shape[0] == last_batch["infos"][-1].flat_end:
+                # objectness heatmap over the first training image
+                # (logging.rs:379-422)
+                logger.log_objectness_heatmap(
+                    step, np.asarray(last_batch["images"][0]), obj,
+                    last_batch["infos"])
         current_step["n"] = step
         batch_rate.add(1)
         record_rate.add(config.batch_size)
@@ -323,6 +356,7 @@ def main(argv=None):
                 # arrays would round-trip every batch through the host)
                 pending.append((record.images, record.boxes,
                                 record.classes, record.mask))
+                last_batch["images"] = record.images
                 if len(pending) < scan_k:
                     continue
                 stacked = tuple(np.stack(parts) for parts in zip(*pending))
@@ -344,6 +378,7 @@ def main(argv=None):
                 continue
             images, gt_boxes, gt_classes, gt_mask = arrays
             images = maybe_rescale(images, host_step)
+            last_batch["images"] = record.images
             batch = place((images, gt_boxes, gt_classes, gt_mask))
             ts, metrics = step_fn(ts, *batch)
             metrics = jax.device_get(metrics)  # one transfer per step

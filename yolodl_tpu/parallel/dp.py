@@ -101,6 +101,11 @@ def make_dp_train_step(
                 "obj_precision": jax.lax.pmean(bench.obj_precision, DATA_AXIS),
                 "class_accuracy": jax.lax.pmean(bench.class_accuracy, DATA_AXIS),
             })
+        if config.log_weights_and_grads:
+            # params/grads are identical across replicas post-pmean
+            from ..train.loop import param_maxima
+
+            metrics.update(param_maxima(new_params, grads))
         return (
             TrainState(new_params, new_state, new_opt_state, new_step, new_ema),
             metrics,

@@ -45,6 +45,13 @@ class TrainConfig:
     # when set, per-step obj/class quality metrics (benchmark.rs taxonomy)
     # are computed inside the step at this confidence threshold
     benchmark_confidence: Optional[float] = None
+    # per-parameter |w|max / |grad|max scalars in the metrics dict
+    # (logging.rs:361-376 enable_gradients taxonomy); the reductions run
+    # on device, only ~2·n_params scalars cross to the host
+    log_weights_and_grads: bool = False
+    # include the first image's objectness probabilities in the metrics
+    # (metrics["obj_sample"], [N]) for the TB heatmap (logging.rs:379-422)
+    return_obj_sample: bool = False
 
 
 @jax.tree_util.register_pytree_node_class
@@ -172,12 +179,32 @@ def make_train_step(
                 "obj_precision": bench.obj_precision,
                 "class_accuracy": bench.class_accuracy,
             })
+        if config.log_weights_and_grads:
+            metrics.update(param_maxima(new_params, grads))
+        if config.return_obj_sample:
+            metrics["obj_sample"] = pred.obj_prob()[0]
         return (
             TrainState(new_params, new_state, new_opt_state, new_step, new_ema),
             metrics,
         )
 
     return jax.jit(step, donate_argnums=(0,)) if jit else step
+
+
+def param_maxima(params, grads=None):
+    """Per-parameter |w|max (and |grad|max) scalars, keyed the way the TB
+    worker expects (logging.rs:361-376 taxonomy)."""
+    out = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                        for p in path)
+        out[f"weights_max/{name}"] = jnp.max(jnp.abs(leaf))
+    if grads is not None:
+        for path, leaf in jax.tree_util.tree_flatten_with_path(grads)[0]:
+            name = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                            for p in path)
+            out[f"grads_max/{name}"] = jnp.max(jnp.abs(leaf))
+    return out
 
 
 def make_multi_step(
