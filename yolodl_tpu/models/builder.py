@@ -236,6 +236,7 @@ class GraphModel:
         data_format: str = "NCHW",
         return_intermediates: bool = False,
         rng: Optional[Array] = None,
+        node_overrides: Optional[Dict[int, Array]] = None,
     ) -> Tuple[Any, State]:
         """Forward pass → (MergedDetection, new_state).
 
@@ -252,6 +253,11 @@ class GraphModel:
 
         outputs: Dict[int, Any] = {}
         new_state: State = dict(state)
+        if node_overrides:
+            # precomputed node outputs (NHWC), e.g. a spatially-sharded
+            # prefix computed under shard_map (parallel/spatial_model.py);
+            # those nodes are skipped below
+            outputs.update(node_overrides)
 
         # space-to-depth stem fast path (exact rewrite; skipped when
         # intermediates are requested, e.g. by the parity harness)
@@ -259,6 +265,7 @@ class GraphModel:
         if (
             self._spd_pair is not None
             and not return_intermediates
+            and not node_overrides
             and x.shape[1] % 2 == 0
             and x.shape[2] % 2 == 0
         ):
@@ -301,6 +308,8 @@ class GraphModel:
 
         for key in self.graph.order:
             if key in spd_skip:
+                continue
+            if node_overrides and key in node_overrides:
                 continue
             node = self.graph.nodes[key]
             layer = node.config

@@ -1,0 +1,283 @@
+"""Full-model spatially-sharded inference: height over the device mesh.
+
+The reference's only scaling axis is the batch (SURVEY §2.8); its analogous
+"large axis" concern is spatial (SURVEY §5.7).  This module runs a whole
+detection graph with the image HEIGHT sharded across chips:
+
+- a planner walks the graph IR and finds the longest *prefix* of nodes that
+  can execute on height shards exactly — convolutions and SPP pools via
+  halo exchange (``ppermute`` neighbor transfers over ICI), stride-2
+  downsamples on even local heights, routes/shortcuts/upsamples locally;
+- the prefix runs inside ``shard_map``; at the cut (where the spatial
+  extent stops dividing the mesh, or an op needs global context) the live
+  tensors are ``all_gather``-ed along H — by then the network has
+  downsampled 8-32×, so the gathered tail is small — and the stock model
+  executes the remainder via ``GraphModel.apply(node_overrides=...)``;
+- outputs are bitwise the unsharded model's (tested vs single-device).
+
+This is how inputs larger than one chip's HBM (1216²+ satellite tiles)
+are served: the memory-dominant high-resolution stages never exist
+unsharded anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+from jax.sharding import PartitionSpec as P
+
+from .. import activations
+from ..config import newslab as cfg
+from ..ops.norm import batch_norm_apply
+from ..ops import simple
+from .spatial import SPACE_AXIS
+
+Array = jax.Array
+
+DIMSPEC = ("NHWC", "HWIO", "NHWC")
+
+
+def _halo(x_local: Array, halo: int, fill: float, axis_name: str) -> Array:
+    """Height halo exchange with a choosable boundary fill (zeros for
+    convolution padding, -inf for max pooling)."""
+    if halo == 0:
+        return x_local
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    top = x_local[:, :halo]
+    bot = x_local[:, -halo:]
+    from_prev = jax.lax.ppermute(
+        bot, axis_name, [(i, (i + 1) % n) for i in range(n)])
+    from_next = jax.lax.ppermute(
+        top, axis_name, [(i, (i - 1) % n) for i in range(n)])
+    pad = jnp.full_like(from_prev, fill)
+    from_prev = jnp.where(idx == 0, pad, from_prev)
+    from_next = jnp.where(idx == n - 1, pad, from_next)
+    return jnp.concatenate([from_prev, x_local, from_next], axis=1)
+
+
+# ----------------------------------------------------------------------
+# planning
+
+
+def _static_h(node) -> Optional[int]:
+    out = node.output_shape
+    if not out.is_tensor:
+        return None
+    dims = out.tensor_shape()
+    if len(dims) != 4 or not dims[2].is_known:  # logical NCHW
+        return None
+    return dims[2].size
+
+
+def _conv_shardable(layer: cfg.ConvBn2D, in_h: int, n: int) -> bool:
+    if in_h % n:
+        return False
+    lh = in_h // n
+    if layer.d != 1:
+        return False
+    pad_ok = layer.padding in (0, (layer.k - 1) // 2)
+    return pad_ok and lh % layer.s == 0 and lh >= max(1, layer.padding)
+
+
+def _pool_shardable(layer: cfg.MaxPool, in_h: int, n: int) -> bool:
+    if in_h % n:
+        return False
+    lh = in_h // n
+    tp = layer.total_padding if layer.total_padding is not None else 0
+    if layer.maxpool_depth:
+        return False
+    if (layer.stride_y == layer.size == layer.stride_x and tp // 2 == 0
+            and lh % layer.size == 0):
+        # aligned non-overlapping windows; darknet's default tp=size−1
+        # puts all padding at the hi edge (lo = tp//2 = 0), which only the
+        # last shard can read — and on size-aligned heights it never does
+        return True
+    if (layer.stride_y == 1 and layer.stride_x == 1 and layer.size % 2 == 1
+            and tp == layer.size - 1):
+        return lh >= layer.size // 2  # SPP window with symmetric halo
+    return False
+
+
+def plan_spatial_prefix(model, n_shards: int) -> Tuple[Set[int], List[int]]:
+    """(sharded node keys, cut keys to gather) for an ``n_shards`` mesh.
+
+    A node is sharded when every input is sharded and the op is exact on
+    height shards at the graph's static sizes.  Cut keys are sharded nodes
+    consumed by any unsharded node.
+    """
+    graph = model.graph
+    sharded: Set[int] = set()
+    for key in graph.order:
+        node = graph.nodes[key]
+        layer = node.config
+        ik = node.input_keys
+        if isinstance(layer, cfg.Input):
+            h = _static_h(node)
+            if ik.kind == "placeholder" and h and h % n_shards == 0:
+                sharded.add(key)
+            continue
+        in_keys = list(ik.iter_keys())
+        if not in_keys or not all(k in sharded for k in in_keys):
+            continue
+        in_h = _static_h(graph.nodes[in_keys[0]])
+        if in_h is None:
+            continue
+        ok = False
+        if isinstance(layer, cfg.ConvBn2D):
+            ok = _conv_shardable(layer, in_h, n_shards)
+        elif isinstance(layer, cfg.MaxPool):
+            ok = _pool_shardable(layer, in_h, n_shards)
+        elif isinstance(layer, cfg.UpSample2D):
+            if layer.stride is not None and layer.reverse:
+                ok = (in_h // n_shards) % layer.stride == 0
+            else:
+                ok = True
+        elif isinstance(layer, (cfg.Concat2D, cfg.Sum2D, cfg.DarknetRoute,
+                                cfg.DarknetSam)):
+            hs = {_static_h(graph.nodes[k]) for k in in_keys}
+            ok = len(hs) == 1 and None not in hs
+        elif isinstance(layer, cfg.DarknetShortcut):
+            hs = {_static_h(graph.nodes[k]) for k in in_keys}
+            ok = len(hs) == 1 and None not in hs  # equal-H adds only
+        if ok:
+            sharded.add(key)
+
+    consumers: Dict[int, List[int]] = {}
+    for key in graph.order:
+        for k2 in graph.nodes[key].input_keys.iter_keys():
+            consumers.setdefault(k2, []).append(key)
+    cut = [k for k in graph.order if k in sharded
+           and any(c not in sharded for c in consumers.get(k, []))]
+    return sharded, cut
+
+
+# ----------------------------------------------------------------------
+# sharded prefix execution
+
+
+def _run_prefix(model, params, state, x_local, sharded: Set[int],
+                axis_name: str) -> Dict[int, Array]:
+    graph = model.graph
+    outputs: Dict[int, Array] = {}
+    for key in graph.order:
+        if key not in sharded:
+            continue
+        node = graph.nodes[key]
+        layer = node.config
+        name = model._pname[key]
+        ik = node.input_keys
+
+        if isinstance(layer, cfg.Input):
+            outputs[key] = x_local
+        elif isinstance(layer, cfg.ConvBn2D):
+            xin = outputs[ik.single_key]
+            p = params[name]
+            xe = _halo(xin, layer.padding, 0.0, axis_name)
+            out = jax.lax.conv_general_dilated(
+                xe, p["w"].astype(xe.dtype), (layer.s, layer.s),
+                ((0, 0), (layer.padding, layer.padding)),
+                dimension_numbers=DIMSPEC, feature_group_count=layer.g,
+            )
+            if "b" in p:
+                out = out + p["b"].astype(out.dtype)
+            # inference: BN is elementwise on running stats — no cross-
+            # shard statistics involved (conv_bn_apply order semantics)
+            if layer.order == "act_bn":
+                out = activations.apply(layer.act, out)
+                if layer.bn.enabled:
+                    out, _ = batch_norm_apply(p["bn"], state[name]["bn"],
+                                              out, train=False)
+            else:
+                if layer.bn.enabled:
+                    out, _ = batch_norm_apply(p["bn"], state[name]["bn"],
+                                              out, train=False)
+                out = activations.apply(layer.act, out)
+            outputs[key] = out
+        elif isinstance(layer, cfg.MaxPool):
+            xin = outputs[ik.single_key]
+            tp = layer.total_padding if layer.total_padding is not None else 0
+            if layer.stride_y == layer.size:
+                # aligned windows, lo pad 0 — per-shard == global
+                outputs[key] = simple.max_pool2d(
+                    xin, layer.size, layer.stride_y, layer.stride_x,
+                    layer.padding, layer.total_padding, layer.pool_kind)
+            else:  # stride-1 SPP window
+                halo = layer.size // 2
+                xe = _halo(xin, halo, -jnp.inf, axis_name)
+                outputs[key] = jax.lax.reduce_window(
+                    xe, -jnp.inf, jax.lax.max,
+                    window_dimensions=(1, layer.size, layer.size, 1),
+                    window_strides=(1, 1, 1, 1),
+                    padding=((0, 0), (0, 0), (halo, halo), (0, 0)),
+                )
+        elif isinstance(layer, cfg.UpSample2D):
+            xin = outputs[ik.single_key]
+            if layer.stride is not None and layer.reverse:
+                outputs[key] = simple.downsample2d(xin, layer.stride)
+            else:
+                outputs[key] = simple.upsample2d(xin, layer.scale)
+        elif isinstance(layer, cfg.Concat2D):
+            outputs[key] = simple.concat2d([outputs[k] for k in ik.iter_keys()])
+        elif isinstance(layer, cfg.Sum2D):
+            outputs[key] = simple.sum2d([outputs[k] for k in ik.iter_keys()])
+        elif isinstance(layer, cfg.DarknetRoute):
+            ins = [outputs[k] for k in ik.iter_keys()]
+            ng = layer.num_groups
+            if ng > 1:
+                ins = [t[..., layer.group_id * (t.shape[-1] // ng):
+                          (layer.group_id + 1) * (t.shape[-1] // ng)]
+                       for t in ins]
+            outputs[key] = ins[0] if len(ins) == 1 else simple.concat2d(ins)
+        elif isinstance(layer, cfg.DarknetSam):
+            ins = [outputs[k] for k in ik.iter_keys()]
+            outputs[key] = ins[0] * ins[1]
+        elif isinstance(layer, cfg.DarknetShortcut):
+            ins = [outputs[k] for k in ik.iter_keys()]
+            out = ins[0]
+            for other in ins[1:]:
+                c = min(out.shape[-1], other.shape[-1])
+                out = (out.at[..., :c].add(other[..., :c])
+                       if c < out.shape[-1] else out + other[..., :c])
+            outputs[key] = activations.apply(layer.act, out)
+        else:  # pragma: no cover - planner only admits the types above
+            raise AssertionError(f"unplanned sharded op {type(layer)}")
+    return outputs
+
+
+def make_spatial_infer(model, mesh: Mesh):
+    """Jitted ``(params, state, x_nchw) → MergedDetection`` with the
+    height axis sharded over ``mesh``'s '{space}' axis for the prefix of
+    the network that admits exact halo execution."""
+    n = mesh.devices.size
+    sharded, cut = plan_spatial_prefix(model, n)
+    if not cut:
+        raise ValueError("no shardable prefix (input height not divisible "
+                         f"by {n}?)")
+
+    def worker(params, state, x):  # x: [B, Hl, W, C] local NHWC
+        prefix = _run_prefix(model, params, state, x, sharded, SPACE_AXIS)
+        gathered = {
+            k: jax.lax.all_gather(prefix[k], SPACE_AXIS, axis=1, tiled=True)
+            for k in cut
+        }
+        pred, _ = model.apply(params, state, x, train=False,
+                              data_format="NHWC", node_overrides=gathered)
+        return pred
+
+    mapped = jax.shard_map(
+        worker,
+        mesh=mesh,
+        in_specs=(P(), P(), P(None, SPACE_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    def infer(params, state, x_nchw):
+        x = jnp.transpose(x_nchw, (0, 2, 3, 1))
+        return mapped(params, state, x)
+
+    return jax.jit(infer)
