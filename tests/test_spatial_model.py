@@ -75,6 +75,64 @@ def test_sharded_matches_unsharded(cfg_rel, size_from, size_to, n):
                                np.asarray(ref.class_logit), atol=2e-5)
 
 
+def test_spatial_train_step_matches_single_device():
+    """One train step on a 2×4 (data × space) mesh == single-device step.
+
+    The batch is duplicated across the data axis so per-replica tail BN
+    statistics equal the full-batch statistics (prefix BN is psum-
+    synchronized and exact regardless) — making the whole step exactly
+    comparable."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from yolodl_tpu.parallel.spatial_model import (
+        make_data_space_mesh, make_spatial_train_step, shard_batch_2d,
+    )
+    from yolodl_tpu.train import TrainConfig, make_train_step, train_init
+
+    model, params, state = _build("cfg/darknet/yolov4-tiny.cfg", "416", "128")
+    # SGD: linear in the gradients, so collective reduction-order noise
+    # stays at fp epsilon (Adam's g/√v amplifies 1e-7 grad noise on
+    # near-zero entries to lr-scale param differences)
+    config = TrainConfig(optimizer="sgd")
+    ts, opt = train_init(model, config, seed=0)
+
+    rng = np.random.default_rng(4)
+    half = jnp.asarray(rng.uniform(0, 1, (2, 3, 128, 128)), jnp.float32)
+    images = jnp.concatenate([half, half], axis=0)  # duplicated over data
+    boxes = np.zeros((4, 4, 4), np.float32)
+    boxes[:, 0] = (0.5, 0.5, 0.4, 0.4)
+    classes = np.zeros((4, 4), np.int32)
+    mask = np.zeros((4, 4), bool)
+    mask[:, 0] = True
+    batch = (images, jnp.asarray(boxes), jnp.asarray(classes),
+             jnp.asarray(mask))
+
+    # single-device reference
+    ref_fn = make_train_step(model, opt, config)
+    ref_ts, ref_metrics = ref_fn(ts, *batch)
+
+    # 2-D sharded
+    mesh = make_data_space_mesh(2, 4)
+    sp_fn = make_spatial_train_step(model, opt, config, mesh)
+    ts2, _ = train_init(model, config, seed=0)
+    from yolodl_tpu.parallel.dp import replicate_state
+
+    ts2 = replicate_state(mesh, ts2)
+    sp_ts, sp_metrics = sp_fn(ts2, *shard_batch_2d(mesh, batch))
+
+    assert np.isfinite(float(sp_metrics["total_loss"]))
+    np.testing.assert_allclose(float(sp_metrics["total_loss"]),
+                               float(ref_metrics["total_loss"]), atol=1e-4)
+    # parameters after the step agree
+    for a, b in zip(jax.tree_util.tree_leaves(ref_ts.params),
+                    jax.tree_util.tree_leaves(sp_ts.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    # BN running stats agree (prefix sync + duplicated-batch tail)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_ts.state),
+                    jax.tree_util.tree_leaves(sp_ts.state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
 def test_planner_covers_high_res_stages():
     """The memory-dominant high-resolution layers must be in the sharded
     prefix (that is the point of spatial sharding)."""

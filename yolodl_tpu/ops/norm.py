@@ -84,6 +84,48 @@ def batch_norm_apply(
     return (x * inv.astype(x.dtype) + shift.astype(x.dtype)), new_state
 
 
+def batch_norm_apply_sync(
+    params: Params,
+    state: State,
+    x: Array,
+    train: bool,
+    axis_names,
+    eps: float = DEFAULT_EPS,
+    momentum: float = DEFAULT_MOMENTUM,
+) -> Tuple[Array, State]:
+    """Cross-shard batch norm: statistics are psum-synchronized over the
+    named mesh axes, so training on sharded activations normalizes exactly
+    like the unsharded batch (equal shard sizes assumed).  Used by the
+    spatially-sharded train step for prefix convolutions whose batch AND
+    height axes are distributed."""
+    if not train:
+        return batch_norm_apply(params, state, x, train, eps, momentum)
+    c = x.shape[-1]
+    reduce_axes = tuple(range(x.ndim - 1))
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=reduce_axes)
+    meansq = jnp.mean(jnp.square(x32), axis=reduce_axes)
+    n_shards = 1
+    for ax in axis_names:
+        mean = jax.lax.pmean(mean, ax)
+        meansq = jax.lax.pmean(meansq, ax)
+        n_shards *= jax.lax.axis_size(ax)
+    var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+    n = (x.size // c) * n_shards
+    unbiased = var * (n / max(n - 1, 1))
+    new_state = {
+        "mean": (1.0 - momentum) * state["mean"] + momentum * mean,
+        "var": (1.0 - momentum) * state["var"] + momentum * unbiased,
+    }
+    inv = jax.lax.rsqrt(var + eps)
+    scale = params.get("scale")
+    bias = params.get("bias")
+    if scale is not None:
+        inv = inv * scale
+    shift = -mean * inv + (bias if bias is not None else 0.0)
+    return (x * inv.astype(x.dtype) + shift.astype(x.dtype)), new_state
+
+
 def clamp_running_var(
     state: State, var_min: Optional[float], var_max: Optional[float]
 ) -> State:

@@ -160,9 +160,26 @@ def plan_spatial_prefix(model, n_shards: int) -> Tuple[Set[int], List[int]]:
 
 
 def _run_prefix(model, params, state, x_local, sharded: Set[int],
-                axis_name: str) -> Dict[int, Array]:
+                axis_name: str, train: bool = False,
+                bn_axes=()) -> Tuple[Dict[int, Array], Dict[str, dict]]:
+    """Execute the sharded prefix.  Returns (node outputs, BN state
+    updates).  In training mode BN statistics are psum-synchronized over
+    ``bn_axes`` so sharded normalization equals the unsharded batch's."""
+    from ..ops.norm import batch_norm_apply_sync
+
     graph = model.graph
     outputs: Dict[int, Array] = {}
+    new_states: Dict[str, dict] = {}
+
+    def _bn(name, p, out):
+        if train:
+            out, bn_s = batch_norm_apply_sync(
+                p["bn"], state[name]["bn"], out, True, bn_axes)
+            new_states[name] = {**state.get(name, {}), "bn": bn_s}
+            return out
+        out, _ = batch_norm_apply(p["bn"], state[name]["bn"], out, False)
+        return out
+
     for key in graph.order:
         if key not in sharded:
             continue
@@ -184,17 +201,13 @@ def _run_prefix(model, params, state, x_local, sharded: Set[int],
             )
             if "b" in p:
                 out = out + p["b"].astype(out.dtype)
-            # inference: BN is elementwise on running stats — no cross-
-            # shard statistics involved (conv_bn_apply order semantics)
             if layer.order == "act_bn":
                 out = activations.apply(layer.act, out)
                 if layer.bn.enabled:
-                    out, _ = batch_norm_apply(p["bn"], state[name]["bn"],
-                                              out, train=False)
+                    out = _bn(name, p, out)
             else:
                 if layer.bn.enabled:
-                    out, _ = batch_norm_apply(p["bn"], state[name]["bn"],
-                                              out, train=False)
+                    out = _bn(name, p, out)
                 out = activations.apply(layer.act, out)
             outputs[key] = out
         elif isinstance(layer, cfg.MaxPool):
@@ -245,7 +258,7 @@ def _run_prefix(model, params, state, x_local, sharded: Set[int],
             outputs[key] = activations.apply(layer.act, out)
         else:  # pragma: no cover - planner only admits the types above
             raise AssertionError(f"unplanned sharded op {type(layer)}")
-    return outputs
+    return outputs, new_states
 
 
 def make_spatial_infer(model, mesh: Mesh):
@@ -259,7 +272,7 @@ def make_spatial_infer(model, mesh: Mesh):
                          f"by {n}?)")
 
     def worker(params, state, x):  # x: [B, Hl, W, C] local NHWC
-        prefix = _run_prefix(model, params, state, x, sharded, SPACE_AXIS)
+        prefix, _ = _run_prefix(model, params, state, x, sharded, SPACE_AXIS)
         gathered = {
             k: jax.lax.all_gather(prefix[k], SPACE_AXIS, axis=1, tiled=True)
             for k in cut
@@ -281,3 +294,127 @@ def make_spatial_infer(model, mesh: Mesh):
         return mapped(params, state, x)
 
     return jax.jit(infer)
+
+
+# ----------------------------------------------------------------------
+# 2-D (data × space) training
+
+
+def make_data_space_mesh(n_data: int, n_space: int) -> Mesh:
+    import numpy as np
+
+    devs = np.asarray(jax.devices()[: n_data * n_space]).reshape(
+        n_data, n_space)
+    from .mesh import DATA_AXIS
+
+    return Mesh(devs, (DATA_AXIS, SPACE_AXIS))
+
+
+def shard_batch_2d(mesh: Mesh, batch):
+    """(images_nchw, boxes, classes, mask) placed on a (data, space) mesh:
+    images sharded on batch AND height, targets on batch only."""
+    from jax.sharding import NamedSharding
+    from .mesh import DATA_AXIS
+
+    images, boxes, classes, mask = batch
+    img_s = NamedSharding(mesh, P(DATA_AXIS, None, SPACE_AXIS, None))
+    tgt_s = NamedSharding(mesh, P(DATA_AXIS))
+    return (jax.device_put(images, img_s), jax.device_put(boxes, tgt_s),
+            jax.device_put(classes, tgt_s), jax.device_put(mask, tgt_s))
+
+
+def make_spatial_train_step(model, optimizer, config, mesh: Mesh):
+    """Train step over a 2-D ("data", "space") mesh: batch data-parallel AND
+    image height spatially sharded.
+
+    - the shardable prefix runs on height shards with halo exchange; its
+      batch norms are psum-synchronized over BOTH axes, so normalization
+      equals the full unsharded batch's (stricter than the DP step's
+      per-replica stats);
+    - the tail (post-gather) runs replicated over space, per data replica
+      (same BN semantics as the DP step);
+    - gradients: pmean over "space" (the replicated tail loss makes each
+      space member's prefix cotangent n_space× the true one — the mean
+      restores it exactly, and tail grads are identical across space),
+      then pmean over "data" (batch averaging, as in dp.py).
+
+    Signature matches make_dp_train_step: (TrainState, images_nchw, boxes,
+    classes, mask) → (TrainState, metrics), inputs placed by
+    :func:`shard_batch_2d`.
+    """
+    import optax
+
+    from ..loss import yolo_loss
+    from ..train.ema import ema_update
+    from ..train.loop import TrainState
+    from .mesh import DATA_AXIS
+
+    n_space = mesh.shape[SPACE_AXIS]
+    sharded, cut = plan_spatial_prefix(model, n_space)
+    if not cut:
+        raise ValueError("no shardable prefix for this mesh/input size")
+
+    def shard_step(ts: TrainState, images, gt_boxes, gt_classes, gt_mask):
+        x = jnp.transpose(images, (0, 2, 3, 1))  # local NHWC
+
+        def loss_fn(params, state):
+            prefix, bn_updates = _run_prefix(
+                model, params, state, x, sharded, SPACE_AXIS,
+                train=True, bn_axes=(DATA_AXIS, SPACE_AXIS))
+            gathered = {
+                k: jax.lax.all_gather(prefix[k], SPACE_AXIS, axis=1,
+                                      tiled=True)
+                for k in cut
+            }
+            pred, new_state = model.apply(
+                params, state, x, train=True, data_format="NHWC",
+                node_overrides=gathered)
+            new_state = {**new_state, **bn_updates}
+            out, aux = yolo_loss(pred, gt_boxes, gt_classes, gt_mask,
+                                 config.loss)
+            return out.total_loss, (out, new_state, aux)
+
+        (total, (out, new_state, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(ts.params, ts.state)
+
+        grads = jax.lax.pmean(jax.lax.pmean(grads, SPACE_AXIS), DATA_AXIS)
+        new_state = jax.lax.pmean(
+            jax.lax.pmean(new_state, SPACE_AXIS), DATA_AXIS)
+
+        updates, new_opt_state = optimizer.update(grads, ts.opt_state,
+                                                  ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+        new_state = model.clamp_running_vars(new_state)
+        new_step = ts.step + 1
+        new_ema = (
+            ema_update(ts.ema_params, new_params, new_step, config.ema_decay)
+            if ts.ema_params is not None else None
+        )
+        metrics = {
+            "total_loss": jax.lax.pmean(
+                jax.lax.pmean(out.total_loss, SPACE_AXIS), DATA_AXIS),
+            "iou_loss": jax.lax.pmean(
+                jax.lax.pmean(out.iou_loss, SPACE_AXIS), DATA_AXIS),
+            "classification_loss": jax.lax.pmean(jax.lax.pmean(
+                out.classification_loss, SPACE_AXIS), DATA_AXIS),
+            "objectness_loss": jax.lax.pmean(jax.lax.pmean(
+                out.objectness_loss, SPACE_AXIS), DATA_AXIS),
+            "num_matched": jax.lax.psum(jax.lax.pmean(
+                aux.matching.num_matched(), SPACE_AXIS), DATA_AXIS),
+        }
+        return (
+            TrainState(new_params, new_state, new_opt_state, new_step,
+                       new_ema),
+            metrics,
+        )
+
+    from .mesh import DATA_AXIS as _D
+
+    mapped = jax.shard_map(
+        shard_step,
+        mesh=mesh,
+        in_specs=(P(), P(_D, None, SPACE_AXIS, None), P(_D), P(_D), P(_D)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,))
