@@ -260,9 +260,11 @@ def main(argv=None):
             raise RuntimeError(f"non-finite total loss at step {step}: {total}")
         if os.environ.get("YOLODL_DEBUG_ASSERT"):
             # per-term guard (the reference's debug_assert tier,
-            # loss_.rs:242-255; total-loss ensure is always on above)
+            # loss_.rs:242-255; total-loss ensure is always on above);
+            # skips non-scalar entries (obj_sample is an [N] array)
             for k, v in metrics.items():
-                if not np.isfinite(float(pick(v))):
+                val = pick(v)
+                if np.ndim(val) == 0 and not np.isfinite(float(val)):
                     raise RuntimeError(
                         f"non-finite metric {k!r} at step {step}")
         lr = lr_at_step(config.lr, step)
@@ -284,17 +286,22 @@ def main(argv=None):
                 step, {k: float(pick(metrics[k])) for k in wg_keys})
         if ("obj_sample" in metrics and (step % 200 == 0 or step == 1)
                 and logger_holder.get("logger") is not None
-                and last_batch.get("images") is not None
                 and last_batch.get("infos") is not None):
+            # in scan mode obj_sample[j] belongs to sub-batch j — pair it
+            # with that window batch's image, not the last one
+            if index is not None and last_batch.get("window"):
+                imgs = last_batch["window"][index]
+            else:
+                imgs = last_batch.get("images")
             obj = np.asarray(pick(metrics["obj_sample"]))
             # multi-scale steps at a non-base size have a different flat
             # layout — skip those samples
-            if obj.shape[0] == last_batch["infos"][-1].flat_end:
+            if imgs is not None and \
+                    obj.shape[0] == last_batch["infos"][-1].flat_end:
                 # objectness heatmap over the first training image
                 # (logging.rs:379-422)
                 logger.log_objectness_heatmap(
-                    step, np.asarray(last_batch["images"][0]), obj,
-                    last_batch["infos"])
+                    step, np.asarray(imgs[0]), obj, last_batch["infos"])
         current_step["n"] = step
         batch_rate.add(1)
         record_rate.add(config.batch_size)
@@ -360,6 +367,7 @@ def main(argv=None):
                 if len(pending) < scan_k:
                     continue
                 stacked = tuple(np.stack(parts) for parts in zip(*pending))
+                last_batch["window"] = [p[0] for p in pending]
                 pending.clear()
                 ts, metrics = step_fn(ts, *stacked)
                 # ONE host transfer for the whole metrics dict (each

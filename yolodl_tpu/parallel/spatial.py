@@ -26,10 +26,13 @@ Array = jax.Array
 SPACE_AXIS = "space"
 
 
-def halo_exchange(x_local: Array, halo: int, axis_name: str = SPACE_AXIS) -> Array:
+def halo_exchange(x_local: Array, halo: int, axis_name: str = SPACE_AXIS,
+                  fill: float = 0.0) -> Array:
     """Extend a height-sharded NHWC block with ``halo`` rows from each
-    neighbor (zeros at the global boundary): [B, Hl, W, C] →
-    [B, Hl + 2·halo, W, C]."""
+    neighbor: [B, Hl, W, C] → [B, Hl + 2·halo, W, C].
+
+    ``fill`` is the global-boundary value: 0 for convolution padding,
+    -inf for max pooling."""
     if halo == 0:
         return x_local
     n = jax.lax.axis_size(axis_name)
@@ -44,9 +47,9 @@ def halo_exchange(x_local: Array, halo: int, axis_name: str = SPACE_AXIS) -> Arr
     from_next = jax.lax.ppermute(
         top_rows, axis_name, [(i, (i - 1) % n) for i in range(n)]
     )
-    zero = jnp.zeros_like(from_prev)
-    from_prev = jnp.where(idx == 0, zero, from_prev)
-    from_next = jnp.where(idx == n - 1, zero, from_next)
+    pad = jnp.full_like(from_prev, fill)
+    from_prev = jnp.where(idx == 0, pad, from_prev)
+    from_next = jnp.where(idx == n - 1, pad, from_next)
     return jnp.concatenate([from_prev, x_local, from_next], axis=1)
 
 

@@ -33,7 +33,7 @@ from .. import activations
 from ..config import newslab as cfg
 from ..ops.norm import batch_norm_apply
 from ..ops import simple
-from .spatial import SPACE_AXIS
+from .spatial import SPACE_AXIS, halo_exchange
 
 Array = jax.Array
 
@@ -41,22 +41,7 @@ DIMSPEC = ("NHWC", "HWIO", "NHWC")
 
 
 def _halo(x_local: Array, halo: int, fill: float, axis_name: str) -> Array:
-    """Height halo exchange with a choosable boundary fill (zeros for
-    convolution padding, -inf for max pooling)."""
-    if halo == 0:
-        return x_local
-    n = jax.lax.axis_size(axis_name)
-    idx = jax.lax.axis_index(axis_name)
-    top = x_local[:, :halo]
-    bot = x_local[:, -halo:]
-    from_prev = jax.lax.ppermute(
-        bot, axis_name, [(i, (i + 1) % n) for i in range(n)])
-    from_next = jax.lax.ppermute(
-        top, axis_name, [(i, (i - 1) % n) for i in range(n)])
-    pad = jnp.full_like(from_prev, fill)
-    from_prev = jnp.where(idx == 0, pad, from_prev)
-    from_next = jnp.where(idx == n - 1, pad, from_next)
-    return jnp.concatenate([from_prev, x_local, from_next], axis=1)
+    return halo_exchange(x_local, halo, axis_name, fill=fill)
 
 
 # ----------------------------------------------------------------------
@@ -79,7 +64,11 @@ def _conv_shardable(layer: cfg.ConvBn2D, in_h: int, n: int) -> bool:
     lh = in_h // n
     if layer.d != 1:
         return False
-    pad_ok = layer.padding in (0, (layer.k - 1) // 2)
+    # exact cases: "same"-family pad (k-1)//2 via halo, or zero padding
+    # with k ≤ s (aligned non-overlapping windows; k > s pad 0 would lose
+    # k−1 rows per shard boundary)
+    pad_ok = (layer.padding == (layer.k - 1) // 2
+              or (layer.padding == 0 and layer.k <= layer.s))
     return pad_ok and lh % layer.s == 0 and lh >= max(1, layer.padding)
 
 
@@ -91,14 +80,19 @@ def _pool_shardable(layer: cfg.MaxPool, in_h: int, n: int) -> bool:
     if layer.maxpool_depth:
         return False
     if (layer.stride_y == layer.size == layer.stride_x and tp // 2 == 0
+            and (layer.total_padding is not None or layer.padding == 0)
             and lh % layer.size == 0):
         # aligned non-overlapping windows; darknet's default tp=size−1
         # puts all padding at the hi edge (lo = tp//2 = 0), which only the
-        # last shard can read — and on size-aligned heights it never does
+        # last shard can read — and on size-aligned heights it never does.
+        # (torch-style symmetric `padding` would pad every shard edge.)
         return True
-    if (layer.stride_y == 1 and layer.stride_x == 1 and layer.size % 2 == 1
-            and tp == layer.size - 1):
-        return lh >= layer.size // 2  # SPP window with symmetric halo
+    if (layer.pool_kind == "max"
+            and layer.stride_y == 1 and layer.stride_x == 1
+            and layer.size % 2 == 1 and tp == layer.size - 1):
+        # SPP window with symmetric halo (-inf fill is max-specific; an
+        # avg pool here would need count-aware halos)
+        return lh >= layer.size // 2
     return False
 
 
@@ -135,7 +129,8 @@ def plan_spatial_prefix(model, n_shards: int) -> Tuple[Set[int], List[int]]:
             if layer.stride is not None and layer.reverse:
                 ok = (in_h // n_shards) % layer.stride == 0
             else:
-                ok = True
+                # nearest-upsample is local only for integral scales
+                ok = float(layer.scale).is_integer() and layer.scale >= 1
         elif isinstance(layer, (cfg.Concat2D, cfg.Sum2D, cfg.DarknetRoute,
                                 cfg.DarknetSam)):
             hs = {_static_h(graph.nodes[k]) for k in in_keys}
@@ -265,7 +260,7 @@ def make_spatial_infer(model, mesh: Mesh):
     """Jitted ``(params, state, x_nchw) → MergedDetection`` with the
     height axis sharded over ``mesh``'s '{space}' axis for the prefix of
     the network that admits exact halo execution."""
-    n = mesh.devices.size
+    n = mesh.shape[SPACE_AXIS]
     sharded, cut = plan_spatial_prefix(model, n)
     if not cut:
         raise ValueError("no shardable prefix (input height not divisible "
@@ -372,9 +367,9 @@ def make_spatial_train_step(model, optimizer, config, mesh: Mesh):
             new_state = {**new_state, **bn_updates}
             out, aux = yolo_loss(pred, gt_boxes, gt_classes, gt_mask,
                                  config.loss)
-            return out.total_loss, (out, new_state, aux)
+            return out.total_loss, (out, new_state, aux, pred)
 
-        (total, (out, new_state, aux)), grads = jax.value_and_grad(
+        (total, (out, new_state, aux, pred)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(ts.params, ts.state)
 
         grads = jax.lax.pmean(jax.lax.pmean(grads, SPACE_AXIS), DATA_AXIS)
@@ -390,18 +385,32 @@ def make_spatial_train_step(model, optimizer, config, mesh: Mesh):
             ema_update(ts.ema_params, new_params, new_step, config.ema_decay)
             if ts.ema_params is not None else None
         )
+        def both(v):
+            return jax.lax.pmean(jax.lax.pmean(v, SPACE_AXIS), DATA_AXIS)
+
         metrics = {
-            "total_loss": jax.lax.pmean(
-                jax.lax.pmean(out.total_loss, SPACE_AXIS), DATA_AXIS),
-            "iou_loss": jax.lax.pmean(
-                jax.lax.pmean(out.iou_loss, SPACE_AXIS), DATA_AXIS),
-            "classification_loss": jax.lax.pmean(jax.lax.pmean(
-                out.classification_loss, SPACE_AXIS), DATA_AXIS),
-            "objectness_loss": jax.lax.pmean(jax.lax.pmean(
-                out.objectness_loss, SPACE_AXIS), DATA_AXIS),
+            "total_loss": both(out.total_loss),
+            "iou_loss": both(out.iou_loss),
+            "classification_loss": both(out.classification_loss),
+            "objectness_loss": both(out.objectness_loss),
             "num_matched": jax.lax.psum(jax.lax.pmean(
                 aux.matching.num_matched(), SPACE_AXIS), DATA_AXIS),
         }
+        if config.benchmark_confidence is not None:
+            from ..loss.benchmark import yolo_benchmark
+
+            bench = yolo_benchmark(pred, aux.matching,
+                                   config.benchmark_confidence)
+            metrics.update({
+                "obj_accuracy": both(bench.obj_accuracy),
+                "obj_recall": both(bench.obj_recall),
+                "obj_precision": both(bench.obj_precision),
+                "class_accuracy": both(bench.class_accuracy),
+            })
+        if config.log_weights_and_grads:
+            from ..train.loop import param_maxima
+
+            metrics.update(param_maxima(new_params, grads))
         return (
             TrainState(new_params, new_state, new_opt_state, new_step,
                        new_ema),
