@@ -133,6 +133,49 @@ def test_spatial_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+class TestPlannerAdmissionRules:
+    """The planner must reject ops whose sharded execution would be
+    inexact (wrong values or shapes) rather than admit-and-corrupt."""
+
+    def test_rejects_valid_conv_with_wide_kernel(self):
+        from yolodl_tpu.parallel.spatial_model import _conv_shardable
+        from yolodl_tpu.config import newslab as cfg
+
+        # pad 0, k3 s1 ("valid" conv): each shard would lose k−1 rows
+        layer = cfg.ConvBn2D(name="c", c=8, k=3, s=1, p=0)
+        assert not _conv_shardable(layer, 64, 4)
+        # pad 0, k1: aligned, exact
+        assert _conv_shardable(
+            cfg.ConvBn2D(name="c", c=8, k=1, s=1, p=0), 64, 4)
+        # same-pad k3: halo, exact
+        assert _conv_shardable(
+            cfg.ConvBn2D(name="c", c=8, k=3, s=1, p=1), 64, 4)
+
+    def test_rejects_avg_pool_in_spp_branch(self):
+        from yolodl_tpu.parallel.spatial_model import _pool_shardable
+        from yolodl_tpu.config import newslab as cfg
+
+        avg = cfg.MaxPool(name="p", size=5, stride_y=1, stride_x=1,
+                          total_padding=4, pool_kind="avg")
+        assert not _pool_shardable(avg, 64, 4)
+        mx = cfg.MaxPool(name="p", size=5, stride_y=1, stride_x=1,
+                         total_padding=4, pool_kind="max")
+        assert _pool_shardable(mx, 64, 4)
+
+    def test_rejects_symmetric_padded_aligned_pool(self):
+        from yolodl_tpu.parallel.spatial_model import _pool_shardable
+        from yolodl_tpu.config import newslab as cfg
+
+        # torch-style symmetric padding with no total_padding: each shard
+        # would pad its own edges
+        p = cfg.MaxPool(name="p", size=2, stride_y=2, stride_x=2,
+                        padding=1, total_padding=None)
+        assert not _pool_shardable(p, 64, 4)
+        ok = cfg.MaxPool(name="p", size=2, stride_y=2, stride_x=2,
+                         padding=0, total_padding=None)
+        assert _pool_shardable(ok, 64, 4)
+
+
 def test_planner_covers_high_res_stages():
     """The memory-dominant high-resolution layers must be in the sharded
     prefix (that is the point of spatial sharding)."""
