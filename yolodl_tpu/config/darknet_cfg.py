@@ -121,6 +121,10 @@ class Net:
             # 1-D input (parser.c: params.inputs when h/w/c unset): model it
             # as a 1×1×inputs map so connected/conv layers compose
             return (1, 1, self.inputs)
+        if self.height <= 0 or self.width <= 0 or self.channels <= 0:
+            raise ValueError(
+                f"[net] needs positive width/height/channels (got "
+                f"{self.width}x{self.height}x{self.channels}) or `inputs`")
         return (self.height, self.width, self.channels)
 
 
@@ -224,6 +228,11 @@ class Yolo:
     def masked_anchors(self) -> Tuple[Tuple[float, float], ...]:
         if not self.mask:
             return self.anchors
+        bad = [i for i in self.mask if i >= len(self.anchors) or i < 0]
+        if bad:
+            raise ValueError(
+                f"[yolo] mask indices {bad} out of range for "
+                f"{len(self.anchors)} anchors")
         return tuple(self.anchors[i] for i in self.mask)
 
     def output_shape(self, in_hwc: ShapeHWC) -> ShapeHWC:

@@ -32,6 +32,10 @@ def graph_from_darknet(darknet: dk.Darknet) -> Graph:
         # params.inputs) so connected/recurrent/conv layers compose
         input_shape = Shape(["_", net.inputs, 1, 1])
     else:
+        if net.height <= 0 or net.width <= 0 or net.channels <= 0:
+            raise ValueError(
+                f"[net] needs positive width/height/channels (got "
+                f"{net.width}x{net.height}x{net.channels}) or `inputs`")
         input_shape = Shape(["_", net.channels, net.height, net.width])
     layers: List[cfg.ModuleCfg] = [
         cfg.Input(name="input", shape=input_shape)
