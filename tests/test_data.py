@@ -337,6 +337,22 @@ class TestCaches:
         np.testing.assert_allclose(first.image, second.image, atol=1e-6)
         np.testing.assert_allclose(first.boxes, second.boxes, atol=1e-5)
 
+    def test_file_cache_u8_mode(self, image_dir, tmp_path):
+        """dtype='u8' caches 4x smaller with <=1/510 quantization."""
+        tmp, records = image_dir
+        f32 = FileCache(str(tmp_path / "c32"), (32, 32))
+        u8 = FileCache(str(tmp_path / "c8"), (32, 32), dtype="u8")
+        a = f32.load(records[0])
+        b = u8.load(records[0])           # miss: writes u8
+        b2 = u8.load(records[0])          # hit: reads u8
+        assert np.abs(a.image - b2.image).max() <= 1 / 255 + 1e-6
+        np.testing.assert_allclose(b.boxes, b2.boxes, atol=1e-6)
+        size32 = os.path.getsize(
+            os.path.join(tmp_path / "c32", os.listdir(tmp_path / "c32")[0]))
+        size8 = os.path.getsize(
+            os.path.join(tmp_path / "c8", os.listdir(tmp_path / "c8")[0]))
+        assert size8 < size32 / 3.5
+
     def test_file_cache_invalidation_on_size_mismatch(self, image_dir, tmp_path):
         tmp, records = image_dir
         cache = FileCache(str(tmp_path / "cache"), (32, 32))

@@ -75,7 +75,8 @@ def main(argv=None):
     size = config.dataset.image_size
     pre = config.preprocessor
     if pre.cache_method == "file":
-        loader = FileCache(pre.cache_dir or os.path.join(run_dir, "cache"), (size, size))
+        loader = FileCache(pre.cache_dir or os.path.join(run_dir, "cache"),
+                           (size, size), dtype=pre.cache_dtype)
     elif pre.cache_method == "tfrecord":
         from ..data.tfrecord_cache import TfrecordCache
 

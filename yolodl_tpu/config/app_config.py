@@ -108,6 +108,7 @@ class DatasetConfig:
 class PreprocessorConfig:
     cache_method: str = "none"  # none | memory | file
     cache_dir: str = ""
+    cache_dtype: str = "f32"  # f32 (reference format) | u8 (4x smaller)
     mosaic_prob: float = 0.0
     mixup_prob: float = 0.0
     cutmix_prob: float = 0.0
@@ -160,6 +161,7 @@ class PreprocessorConfig:
         return PreprocessorConfig(
             cache_method=method,
             cache_dir=cache.get("cache_dir", ""),
+            cache_dtype=str(cache.get("dtype", "f32")),
             mosaic_prob=float(mixup.get("mosaic_prob", 0.0)),
             mixup_prob=float(mixup.get("mixup_prob", 0.0)),
             cutmix_prob=float(mixup.get("cutmix_prob", 0.0)),

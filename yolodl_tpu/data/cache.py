@@ -57,26 +57,41 @@ class OnDemandLoader:
 
 
 class FileCache:
-    """Raw-f32 on-disk cache of letterboxed images."""
+    """On-disk cache of letterboxed images.
+
+    ``dtype="f32"`` (default) stores raw float32 — byte-exact with the
+    decode path, the reference's format (file_cache.rs).  ``dtype="u8"``
+    stores uint8 (4× smaller, ≤1/510 quantization — the same payload the
+    TFRecord cache uses), the right trade on network filesystems where
+    cache IO, not CPU, bounds the pipeline.
+    """
 
     MAGIC = b"YDLC\x01"
+    MAGIC_U8 = b"YDLCu8\x01"
 
-    def __init__(self, cache_dir: str, cache_hw: Tuple[int, int]):
+    def __init__(self, cache_dir: str, cache_hw: Tuple[int, int],
+                 dtype: str = "f32"):
+        if dtype not in ("f32", "u8"):
+            raise ValueError(f"cache dtype must be f32|u8, got {dtype!r}")
         self.cache_dir = cache_dir
         self.cache_hw = cache_hw
+        self.dtype = dtype
         os.makedirs(cache_dir, exist_ok=True)
         self._loader = OnDemandLoader(cache_hw)
 
     def _cache_path(self, record: FileRecord) -> str:
         key = urllib.parse.quote(os.path.abspath(record.path), safe="")
         h, w = self.cache_hw
-        return os.path.join(self.cache_dir, f"{h}x{w}-{key}.bin")
+        suffix = ".u8.bin" if self.dtype == "u8" else ".bin"
+        return os.path.join(self.cache_dir, f"{h}x{w}-{key}{suffix}")
 
     def load(self, record: FileRecord) -> DataRecord:
         cache_path = self._cache_path(record)
         src_stat = os.stat(record.path)
         h, w = self.cache_hw
-        expect_bytes = len(self.MAGIC) + 3 * h * w * 4
+        magic_bytes = self.MAGIC_U8 if self.dtype == "u8" else self.MAGIC
+        itemsize = 1 if self.dtype == "u8" else 4
+        expect_bytes = len(magic_bytes) + 3 * h * w * itemsize
 
         if os.path.exists(cache_path):
             st = os.stat(cache_path)
@@ -84,9 +99,13 @@ class FileCache:
             # (file_cache.rs mtime+length check, :55-130)
             if st.st_size == expect_bytes and st.st_mtime >= src_stat.st_mtime:
                 with open(cache_path, "rb") as f:
-                    magic = f.read(len(self.MAGIC))
-                    data = np.frombuffer(f.read(3 * h * w * 4), "<f4")
-                if magic == self.MAGIC and data.size == 3 * h * w:
+                    magic = f.read(len(magic_bytes))
+                    raw = f.read(3 * h * w * itemsize)
+                if self.dtype == "u8":
+                    data = np.frombuffer(raw, np.uint8).astype(np.float32) / 255.0
+                else:
+                    data = np.frombuffer(raw, "<f4")
+                if magic == magic_bytes and data.size == 3 * h * w:
                     image = data.reshape(3, h, w).copy()
                     # boxes are deterministic from record + cache size; use
                     # the same integer-rounded geometry as the decode path
@@ -103,8 +122,13 @@ class FileCache:
         # same image would collide on the tmp path and crash on os.replace
         tmp = cache_path + f".tmp{os.getpid()}-{threading.get_ident()}"
         with open(tmp, "wb") as f:
-            f.write(self.MAGIC)
-            f.write(np.ascontiguousarray(rec.image, "<f4").tobytes())
+            f.write(magic_bytes)
+            if self.dtype == "u8":
+                payload = np.clip(rec.image * 255.0 + 0.5, 0, 255).astype(
+                    np.uint8)
+                f.write(payload.tobytes())
+            else:
+                f.write(np.ascontiguousarray(rec.image, "<f4").tobytes())
         os.replace(tmp, cache_path)  # atomic: no open-vs-write race
         return rec
 
