@@ -4,7 +4,7 @@ Measures the full jitted train step (forward + YOLO loss w/ on-device
 matcher + backward + Adam + BN var clamp) in bf16 compute / f32 params.
 
 Prints ONE JSON line:
-  {"metric": "img/s/chip yolov4-csp-608 train", "value": N, "unit": "img/s",
+  {"metric": f"img/s/chip {MODEL_TAG} train", "value": N, "unit": "img/s",
    "vs_baseline": N}
 
 Baseline note: the reference publishes no numbers (BASELINE.md).  The
@@ -23,6 +23,9 @@ STEPS = int(os.environ.get("BENCH_STEPS", "10"))
 # "train" (default): full train step img/s.  "infer": forward+NMS img/s.
 # "nms": p50 NMS latency in ms (BASELINE.json metric family).
 MODE = os.environ.get("BENCH_MODE", "train")
+_CFG_NAME = os.path.splitext(os.path.basename(
+    os.environ.get("BENCH_CFG", "cfg/darknet/yolov4-csp.cfg")))[0]
+MODEL_TAG = f"{_CFG_NAME}-{SIZE}"
 
 
 def main():
@@ -44,7 +47,9 @@ def main():
     from yolodl_tpu.models import YoloModel
     from yolodl_tpu.train import TrainConfig, make_train_step, train_init
 
-    cfg_path = os.path.join(os.path.dirname(__file__), "cfg/darknet/yolov4-csp.cfg")
+    cfg_rel = os.environ.get("BENCH_CFG", "cfg/darknet/yolov4-csp.cfg")
+    cfg_path = cfg_rel if os.path.isabs(cfg_rel) else os.path.join(
+        os.path.dirname(__file__), cfg_rel)
     model = YoloModel(graph_from_darknet(dk.Darknet.load(cfg_path)),
                       fold_region=os.environ.get("BENCH_FOLD", "off"))
 
@@ -97,7 +102,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "img/s/chip yolov4-csp-608 train",
+                "metric": f"img/s/chip {MODEL_TAG} train",
                 "value": round(img_s, 2),
                 "unit": "img/s",
                 "vs_baseline": round(img_s / V100_X2_IMG_S, 3),
@@ -144,7 +149,7 @@ def _bench_inference(jax, jnp, np, model):
         dt = time.perf_counter() - t0
         img_s = BATCH * STEPS / dt
         print(json.dumps({
-            "metric": "img/s/chip yolov4-csp-608 infer+nms",
+            "metric": f"img/s/chip {MODEL_TAG} infer+nms",
             "value": round(img_s, 2), "unit": "img/s",
             "vs_baseline": round(img_s / V100_X2_IMG_S, 3),
         }))
