@@ -96,6 +96,10 @@ def main():
     for _ in range(calls):
         ts, metrics = step_fn(ts, *batch)
     jax.block_until_ready(metrics["total_loss"])
+    # value readout: on the axon tunnel block_until_ready does NOT fence
+    # device completion (fire-and-forget dispatch) — one float() forces it
+    # (~26 ms; raise BENCH_STEPS for small models so device time dominates)
+    float(metrics["total_loss"].sum())  # [k]-shaped in scan mode
     dt = time.perf_counter() - t0
 
     img_s = BATCH * steps_per_call * calls / dt
