@@ -19,7 +19,8 @@ import time
 V100_X2_IMG_S = 50.0
 BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 SIZE = int(os.environ.get("BENCH_SIZE", "608"))
-STEPS = int(os.environ.get("BENCH_STEPS", "10"))
+STEPS = int(os.environ.get("BENCH_STEPS", "50"))  # enough calls to
+# amortize the end-of-run completion fence (~0.5 s on the dev tunnel)
 # "train" (default): full train step img/s.  "infer": forward+NMS img/s.
 # "nms": p50 NMS latency in ms (BASELINE.json metric family).
 MODE = os.environ.get("BENCH_MODE", "train")
