@@ -151,6 +151,7 @@ def _bench_inference(jax, jnp, np, model):
         for _ in range(STEPS):
             out = fwd_nms(ts.params, ts.state, images)
         jax.block_until_ready(out.valid)
+        float(out.valid.sum())  # completion fence (see the train path)
         dt = time.perf_counter() - t0
         img_s = BATCH * STEPS / dt
         print(json.dumps({
@@ -187,6 +188,7 @@ def _bench_inference(jax, jnp, np, model):
         for _ in range(iters):
             out = fn(ts.params, ts.state, images)
         jax.block_until_ready(out)
+        float(out)  # completion fence: both run() variants return scalars
         return (time.perf_counter() - t0) / iters
 
     iters = max(STEPS, 10)

@@ -59,7 +59,7 @@ def workspace(tmp_path, rng):
         "preprocessor": {
             "mixup": {"mosaic_prob": 0.5, "mosaic_margin": 0.3},
             "color_jitter": {"hue_shift": 0.05, "saturation_shift": 0.1, "value_shift": 0.1},
-            "cleanse": {"out_of_bound_tolerance": 5, "min_bbox_size": 1},
+            "cleanse": {"out_of_bound_tolerance": 5, "min_bbox_size": 0.01},
         },
         "training": {
             "batch_size": 2,

@@ -59,7 +59,9 @@ def test_darknet_parser_fuzz(tmp_path):
             survived += 1
         # anything else (TypeError, AttributeError, ZeroDivisionError,
         # IndexError, RecursionError...) propagates and fails the test
-    assert survived + parsed == 80
+    # distribution sanity: the mutation set must exercise BOTH outcomes —
+    # some mutations parse (e.g. dropped optional lines), some raise
+    assert survived > 10 and parsed > 10, (survived, parsed)
 
 
 def test_json5_model_fuzz(tmp_path):

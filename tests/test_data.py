@@ -304,7 +304,9 @@ class TestDatasets:
 
             classes = ["a", "b", "c"]
 
-        ds = SanitizedDataset(Fake(), out_of_bound_tolerance=2.0, min_bbox_size=1.0)
+        # min_bbox_size is an image RATIO (reference sanitized.rs:22):
+        # 0.05 of a 20px image = 1px — drops the 0.5px box
+        ds = SanitizedDataset(Fake(), out_of_bound_tolerance=2.0, min_bbox_size=0.05)
         out = ds[0]
         assert len(out.boxes_pixel) == 2
         # clamped box: t/l were -1 → 0, so h/w shrink to 3 and center moves to 1.5

@@ -92,8 +92,11 @@ def main(argv=None):
         cutmix_prob=pre.cutmix_prob,
         mosaic=MosaicMixer(mosaic_margin=pre.mosaic_margin),
         color_jitter=pre.color_jitter,
+        color_jitter_prob=pre.color_jitter_prob,
         random_affine=pre.affine,
+        affine_prob=pre.affine_prob,
         bbox_scaling=pre.bbox_scaling,
+        workers=pre.workers,
     )
     stream = TrainingStream(dataset.records(), loader, stream_cfg)
 

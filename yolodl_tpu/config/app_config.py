@@ -106,7 +106,7 @@ class DatasetConfig:
 
 @dataclasses.dataclass(frozen=True)
 class PreprocessorConfig:
-    cache_method: str = "none"  # none | memory | file
+    cache_method: str = "none"  # none | memory | file | tfrecord
     cache_dir: str = ""
     cache_dtype: str = "f32"  # f32 (reference format) | u8 (4x smaller)
     mosaic_prob: float = 0.0
@@ -116,41 +116,55 @@ class PreprocessorConfig:
     affine: Optional[RandomAffine] = None
     color_jitter: Optional[ColorJitter] = None
     bbox_scaling: float = 1.0
-    out_of_bound_tolerance: float = 0.0
-    min_bbox_size: float = 1.0
+    out_of_bound_tolerance: float = 0.0  # pixels (sanitized.rs:45-46)
+    min_bbox_size: float = 0.0  # image ratio in [0,1] (sanitized.rs:22)
     workers: int = 2
+    affine_prob: float = 1.0  # P(apply the whole affine) per record
+    color_jitter_prob: float = 1.0  # P(apply HSV jitter) per record
 
     @staticmethod
     def parse(raw: dict) -> "PreprocessorConfig":
         cache = raw.get("cache", {})
-        method = {
+        method_raw = cache.get("method", "NoCache")
+        methods = {
             "NoCache": "none", "MemoryCache": "memory", "FileCache": "file",
             "TfrecordCache": "tfrecord",
-        }.get(cache.get("method", "NoCache"), "none")
+        }
+        if method_raw not in methods:
+            raise ValueError(
+                f"unknown cache method {method_raw!r}; expected one of "
+                f"{sorted(methods)}")
+        method = methods[method_raw]
 
         mixup = raw.get("mixup", {})
         affine_raw = raw.get("random_affine", {})
         affine = None
+        affine_prob = 1.0
         if affine_raw:
-            prob = float(affine_raw.get("affine_prob", 1.0))
+            # affine_prob gates the WHOLE affine per record (applied in the
+            # pipeline); the sub-probabilities stay independent within an
+            # applied affine — folding prob into each sub-prob would change
+            # the joint distribution (e.g. rotate XOR flip instead of both)
+            affine_prob = float(affine_raw.get("affine_prob", 1.0))
             affine = RandomAffine(
-                rotate_prob=prob * float(affine_raw.get("rotate_prob", 0.0)),
+                rotate_prob=float(affine_raw.get("rotate_prob", 0.0)),
                 rotate_degrees=float(affine_raw.get("rotate_degrees", 0.0)),
-                translation_prob=prob * float(affine_raw.get("translation_prob", 0.0)),
+                translation_prob=float(affine_raw.get("translation_prob", 0.0)),
                 translation=float(affine_raw.get("translation", 0.0)),
-                scale_prob=prob * float(affine_raw.get("scale_prob", 0.0)),
+                scale_prob=float(affine_raw.get("scale_prob", 0.0)),
                 scale=tuple(affine_raw["scale"]) if "scale" in affine_raw else None,
-                horizontal_flip_prob=prob * float(affine_raw.get("horizontal_flip_prob", 0.0)),
-                vertical_flip_prob=prob * float(affine_raw.get("vertical_flip_prob", 0.0)),
+                horizontal_flip_prob=float(affine_raw.get("horizontal_flip_prob", 0.0)),
+                vertical_flip_prob=float(affine_raw.get("vertical_flip_prob", 0.0)),
                 min_bbox_size=raw.get("cleanse", {}).get("min_bbox_size"),
                 min_bbox_cropping_ratio=raw.get("cleanse", {}).get("min_bbox_cropping_ratio"),
             )
 
         jitter_raw = raw.get("color_jitter", {})
         jitter = None
+        jitter_prob = 1.0
         if jitter_raw:
-            jprob = float(jitter_raw.get("color_jitter_prob", 1.0))
-            if jprob > 0:
+            jitter_prob = float(jitter_raw.get("color_jitter_prob", 1.0))
+            if jitter_prob > 0:
                 jitter = ColorJitter(
                     hue_shift=jitter_raw.get("hue_shift"),
                     saturation_shift=jitter_raw.get("saturation_shift"),
@@ -170,7 +184,10 @@ class PreprocessorConfig:
             color_jitter=jitter,
             bbox_scaling=float(cleanse.get("bbox_scaling", 1.0)),
             out_of_bound_tolerance=float(cleanse.get("out_of_bound_tolerance", 0.0)),
-            min_bbox_size=float(cleanse.get("min_bbox_size", 1.0)),
+            min_bbox_size=float(cleanse.get("min_bbox_size", 0.0)),
+            workers=int(raw.get("workers", 2)),
+            affine_prob=affine_prob,
+            color_jitter_prob=jitter_prob,
         )
 
 
@@ -291,8 +308,7 @@ class TrainAppConfig:
         return TrainAppConfig(
             model_kind=kind,
             model_file=model["cfg_file"],
-            dataset=DatasetConfig.parse(raw["dataset"],
-                                        raw["dataset"].get("class_whitelist", ())),
+            dataset=DatasetConfig.parse(raw["dataset"]),
             preprocessor=PreprocessorConfig.parse(raw.get("preprocessor", {})),
             logging=LoggingConfig.parse(raw.get("logging", {})),
             batch_size=int(training["batch_size"]),
@@ -344,8 +360,7 @@ class DetectAppConfig:
             ],
             minibatch_size=int(model.get("minibatch_size", 1)),
             n_devices=max(len(model.get("devices", [0])), 1),
-            dataset=DatasetConfig.parse(raw["input"],
-                                        raw["input"].get("class_whitelist", ())),
+            dataset=DatasetConfig.parse(raw["input"]),
             output_dir=output.get("output_dir", "detect_output"),
             nms_iou_thresh=float(output.get("nms_iou_thresh", 0.6)),
             nms_conf_thresh=float(output.get("nms_conf_thresh", 0.1)),

@@ -230,10 +230,17 @@ class CsvDataset(_ListDataset):
 
 class SanitizedDataset(_ListDataset):
     """Clamp out-of-bound boxes (within tolerance) and drop tiny ones
-    (sanitized.rs:21-148).  Tolerance/min size are in pixels."""
+    (sanitized.rs:21-148).  ``out_of_bound_tolerance`` is in PIXELS
+    (sanitized.rs:45-46 adds it to the pixel extent); ``min_bbox_size`` is
+    an image-RATIO in [0, 1] (sanitized.rs:22,80-81 divides by the image
+    size) — a box is dropped when h/img_h ≤ min or w/img_w ≤ min."""
 
     def __init__(self, inner: _ListDataset, out_of_bound_tolerance: float = 0.0,
-                 min_bbox_size: float = 1.0):
+                 min_bbox_size: float = 0.0):
+        if not 0.0 <= min_bbox_size <= 1.0:
+            raise ValueError(
+                f"min_bbox_size must be in [0, 1] (image ratio), got "
+                f"{min_bbox_size}")
         records = []
         for rec in inner.records():
             boxes = rec.boxes_pixel
@@ -250,7 +257,8 @@ class SanitizedDataset(_ListDataset):
                 t, b = np.clip(t, 0, rec.height), np.clip(b, 0, rec.height)
                 l, r = np.clip(l, 0, rec.width), np.clip(r, 0, rec.width)
                 nh, nw = b - t, r - l
-                keep = (nh >= min_bbox_size) & (nw >= min_bbox_size)
+                keep = ((nh / rec.height > min_bbox_size)
+                        & (nw / rec.width > min_bbox_size))
                 boxes = np.stack([(t + b) / 2, (l + r) / 2, nh, nw], -1)[keep]
                 classes = rec.classes[keep]
             else:

@@ -43,7 +43,9 @@ class TrainingStreamConfig:
     mixup: "MixUpMixer" = None  # type: ignore[assignment]
     cutmix: "CutMixMixer" = None  # type: ignore[assignment]
     color_jitter: Optional[ColorJitter] = None
+    color_jitter_prob: float = 1.0  # P(apply jitter) per record
     random_affine: Optional[RandomAffine] = None
+    affine_prob: float = 1.0  # P(apply the whole affine) per record
     bbox_scaling: float = 1.0  # cleanse.bbox_scaling (training_stream.rs:320-329)
     seed: int = 0
     workers: int = 2
@@ -138,14 +140,19 @@ class TrainingStream:
         if cfg.debug_hook is not None:
             cfg.debug_hook("load", loaded[0])
 
-        if cfg.color_jitter is not None:
+        # probability gates draw from rng only when < 1 so fully-on configs
+        # keep their exact augmentation streams (determinism tests)
+        if cfg.color_jitter is not None and (
+                cfg.color_jitter_prob >= 1.0
+                or rng.random() < cfg.color_jitter_prob):
             with timing.timed("color_jitter"):
                 for rec in loaded:
                     rec.image = cfg.color_jitter(rec.image, rng)
             if cfg.debug_hook is not None:
                 cfg.debug_hook("color_jitter", loaded[0])
 
-        if cfg.random_affine is not None:
+        if cfg.random_affine is not None and (
+                cfg.affine_prob >= 1.0 or rng.random() < cfg.affine_prob):
             with timing.timed("random_affine"):
                 for i, rec in enumerate(loaded):
                     img, boxes, classes = cfg.random_affine(

@@ -9,7 +9,7 @@ the single-shard layout is sequential-read friendly and 4× smaller
 (uint8 payloads).
 
 Single-writer, many-reader; shard writes append, and the index is an
-append-only JSONL (one ``{"k": path, "o": offset}`` line per record) —
+append-only JSONL (one ``{"k": path, "o": offset, "m": mtime}`` line per record) —
 republishing the whole index per miss would rewrite O(n) JSON on every
 cache fill, quadratic over a COCO-scale warmup.  A torn final line (crash
 mid-append) is skipped on load; that record simply re-caches.
@@ -21,7 +21,7 @@ import json
 import os
 import struct
 import threading
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import google_crc32c
 import numpy as np
@@ -72,19 +72,19 @@ class TfrecordCache:
         self.index_path = self.shard_path + ".index.jsonl"
         self._loader = OnDemandLoader(cache_hw)
         self._lock = threading.Lock()
-        self._index: Dict[str, int] = {}
+        self._index: Dict[str, Tuple[int, Optional[float]]] = {}
         if os.path.exists(self.index_path):
             with open(self.index_path) as f:
                 for line in f:
                     try:
                         entry = json.loads(line)
-                        self._index[entry["k"]] = entry["o"]
+                        self._index[entry["k"]] = (entry["o"], entry.get("m"))
                     except (ValueError, KeyError):
                         break  # torn tail from a crash mid-append
         legacy = self.shard_path + ".index.json"
         if not self._index and os.path.exists(legacy):
             with open(legacy) as f:
-                self._index = json.load(f)
+                self._index = {k: (o, None) for k, o in json.load(f).items()}
 
     def _key(self, record: FileRecord) -> str:
         return os.path.abspath(record.path)
@@ -98,8 +98,16 @@ class TfrecordCache:
     def load(self, record: FileRecord) -> DataRecord:
         key = self._key(record)
         h, w = self.cache_hw
+        src_mtime = os.stat(record.path).st_mtime
         with self._lock:
-            offset = self._index.get(key)
+            entry = self._index.get(key)
+        offset = mtime = None
+        if entry is not None:
+            offset, mtime = entry
+        # mtime validation like FileCache: a replaced source image must
+        # re-cache, not serve the stale pixels forever
+        if mtime is not None and src_mtime > mtime:
+            offset = None
         if offset is not None and os.path.exists(self.shard_path):
             try:
                 with open(self.shard_path, "rb") as f:
@@ -114,7 +122,7 @@ class TfrecordCache:
                     image=image, boxes=self._boxes_for(record),
                     classes=record.classes,
                 )
-            except (ValueError, OSError):
+            except (ValueError, OSError, struct.error):
                 pass  # corrupt entry → re-decode below
 
         rec = self._loader.load(record)
@@ -124,7 +132,8 @@ class TfrecordCache:
         with self._lock:
             with open(self.shard_path, "ab") as f:
                 offset, _ = write_tfrecord(f, payload)
-            self._index[key] = offset
+            self._index[key] = (offset, src_mtime)
             with open(self.index_path, "a") as f:
-                f.write(json.dumps({"k": key, "o": offset}) + "\n")
+                f.write(json.dumps(
+                    {"k": key, "o": offset, "m": src_mtime}) + "\n")
         return rec
