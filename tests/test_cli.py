@@ -193,7 +193,7 @@ class TestTrainCli:
 
         cfg = json.loads((workspace / "train.json5").read_text())
         cfg["logging"].update(enable_gradients=True, enable_images=True,
-                              enable_benchmark=True)
+                              enable_benchmark=True, enable_inference=True)
         cfg["logging"]["dir"] = str(workspace / "logs_tel")
         (workspace / "train_tel.json5").write_text(json.dumps(cfg))
         out = run_cli(
@@ -212,6 +212,10 @@ class TestTrainCli:
             "per-parameter maxima missing from TB events"
         assert b"benchmark/obj_accuracy" in data
         assert b"objectness" in data, "heatmap image missing"
+        # enable_inference: training-time NMS detection overlays
+        # (multi_gpu.rs:239-261, logging.rs:379-422)
+        assert b"inference/detections" in data, \
+            "training-time inference image missing"
 
     def test_train_ema_checkpointed(self, workspace):
         """training.ema.enabled produces checkpoints with EMA params that
@@ -413,6 +417,43 @@ class TestReferenceConfigParity:
         assert cfg.preprocessor.cache_method == "file"
         assert cfg.preprocessor.color_jitter is not None
         assert cfg.preprocessor.affine is not None
+
+    def test_nonuniform_minibatch_warns(self, tmp_path, capsys):
+        """NonUniformMultiDevice sizes (config.rs:263-271) are normalized to
+        a uniform SPMD split — with a warning, not silently."""
+        import json
+
+        from yolodl_tpu.config.app_config import TrainAppConfig
+
+        cfg = {
+            "version": "0.1.0",
+            "model": {"kind": "NewslabV1", "cfg_file": "model.json5"},
+            "dataset": {"kind": {"type": "Csv", "image_size": 32,
+                                 "image_dir": ".", "label_file": "l.csv",
+                                 "classes_file": "c.txt"}},
+            "training": {
+                "batch_size": 6,
+                "device_config": {
+                    "type": "NonUniformMultiDevice",
+                    "devices": [
+                        {"device": "tpu:0", "minibatch_size": 4},
+                        {"device": "tpu:1", "minibatch_size": 2},
+                    ],
+                },
+                "optimizer": {"lr": 0.001},
+            },
+        }
+        p = tmp_path / "train_nu.json5"
+        p.write_text(json.dumps(cfg))
+        parsed = TrainAppConfig.load(p)
+        assert parsed.n_devices == 2
+        err = capsys.readouterr().err
+        assert "normalized to a uniform split" in err
+        # uniform sizes → no warning
+        cfg["training"]["device_config"]["devices"][1]["minibatch_size"] = 4
+        p.write_text(json.dumps(cfg))
+        TrainAppConfig.load(p)
+        assert "normalized" not in capsys.readouterr().err
 
     def test_reference_detect_json5_parses(self):
         from yolodl_tpu.config.app_config import DetectAppConfig

@@ -183,6 +183,58 @@ def main(argv=None):
     logger = LoggingWorker(run_dir).start()
     logger_holder["logger"] = logger if config.logging.enable_images else None
     last_batch = {"images": None, "infos": None}
+
+    # training-time inference visualization (logging.enable_inference): the
+    # reference optionally runs NMS inference during training and logs
+    # detection-overlay images (train/src/train/multi_gpu.rs:239-261,
+    # train/src/logging.rs:379-422).  Same two-stage jit discipline as the
+    # detect CLI (NMS fused into the conv program inherits bad layouts).
+    infer_one = None
+    if config.logging.enable_inference:
+        from ..loss import non_max_suppression, yolo_inference
+        from ..loss.inference import to_host_detections
+        from ..train.logging import draw_boxes_on_image as _draw
+
+        @jax.jit
+        def _infer_fwd(params, state, image):
+            pred, _ = model.apply(params, state, image, train=False)
+            return pred
+
+        @jax.jit
+        def _infer_post(pred):
+            nms = non_max_suppression(
+                pred,
+                iou_threshold=config.nms_iou_thresh,
+                confidence_threshold=config.nms_conf_thresh,
+                suppress_by_class=False,
+                class_mode="argmax",
+            )
+            return yolo_inference(nms, pred.num_flats)
+
+        _palette = [
+            (1.0, 0.2, 0.2), (0.2, 1.0, 0.2), (0.2, 0.4, 1.0),
+            (1.0, 0.6, 0.1), (0.8, 0.2, 1.0), (0.1, 0.9, 0.9),
+        ]
+
+        def infer_one(step, image_chw, gt_boxes, gt_mask):
+            """Run inference on one training image and log the overlay:
+            GT yellow, predictions per-class colors (detect-CLI taxonomy)."""
+            out = _infer_post(
+                _infer_fwd(ts.params, ts.state, jnp.asarray(image_chw[None]))
+            )
+            dets = to_host_detections(out)[0]
+            canvas = np.asarray(image_chw, np.float32).copy()
+            gt = np.asarray(gt_boxes)[np.asarray(gt_mask)]
+            if len(gt):
+                cy, cx, h, w = (gt[:, k] for k in range(4))
+                gt_tlbr = np.stack(
+                    [cy - h / 2, cx - w / 2, cy + h / 2, cx + w / 2], -1)
+                canvas = _draw(canvas, gt_tlbr, color=(1.0, 1.0, 0.0))
+            for det in dets:
+                color = _palette[det["class"] % len(_palette)]
+                canvas = _draw(canvas, np.asarray([det["tlbr"]]), color=color)
+            logger.log_image(step, "inference/detections",
+                             np.clip(canvas, 0, 1))
     if config.logging.enable_images:
         # static per-head layout for the objectness heatmap, via an
         # abstract trace (no device work)
@@ -316,6 +368,17 @@ def main(argv=None):
             )
         if not final:
             return False
+        if (infer_one is not None
+                and (step <= window or step % 200 < window)
+                and last_batch.get("images") is not None
+                and last_batch.get("gt") is not None):
+            # only at window ends: ts then holds the weights matching `step`;
+            # multi-scale steps at a non-base size are skipped (the decode
+            # program is compiled for the base size)
+            imgs = last_batch["images"]
+            if imgs.shape[-1] == config.dataset.image_size:
+                gt_boxes, gt_mask = last_batch["gt"]
+                infer_one(step, imgs[0], gt_boxes[0], gt_mask[0])
         save = config.checkpoint.save_steps
         saved = False
         if save and (step // save) > ((step - window) // save):
@@ -368,6 +431,7 @@ def main(argv=None):
                 pending.append((record.images, record.boxes,
                                 record.classes, record.mask))
                 last_batch["images"] = record.images
+                last_batch["gt"] = (record.boxes, record.mask)
                 if len(pending) < scan_k:
                     continue
                 stacked = tuple(np.stack(parts) for parts in zip(*pending))
@@ -391,6 +455,7 @@ def main(argv=None):
             images, gt_boxes, gt_classes, gt_mask = arrays
             images = maybe_rescale(images, host_step)
             last_batch["images"] = record.images
+            last_batch["gt"] = (record.boxes, record.mask)
             batch = place((images, gt_boxes, gt_classes, gt_mask))
             ts, metrics = step_fn(ts, *batch)
             metrics = jax.device_get(metrics)  # one transfer per step

@@ -299,6 +299,24 @@ class TrainAppConfig:
         elif dtype in ("multidevice", "nonuniformmultidevice"):
             devices = device_cfg.get("devices", []) or device_cfg.get("minibatch_sizes", [])
             n_devices = max(len(devices), 1)
+            # NonUniformMultiDevice carries a per-device minibatch_size
+            # (train/src/config.rs:263-271); SPMD shards the batch uniformly,
+            # so non-uniform sizes are normalized — warn instead of silently
+            # changing behavior (documented divergence, README)
+            sizes = [
+                int(d["minibatch_size"]) for d in devices
+                if isinstance(d, dict) and "minibatch_size" in d
+            ]
+            if sizes and len(set(sizes)) > 1:
+                import sys
+
+                print(
+                    f"warning: {path}: NonUniformMultiDevice minibatch sizes "
+                    f"{sizes} are normalized to a uniform split of "
+                    f"training.batch_size over {n_devices} devices (SPMD "
+                    f"shards the batch axis evenly)",
+                    file=sys.stderr,
+                )
         else:
             raise ValueError(f"unknown device_config type {dtype!r}")
 
