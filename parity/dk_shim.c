@@ -20,6 +20,13 @@ network *dk_load(const char *cfg, const char *weights, int batch) {
     return load_network_custom((char *)cfg, (char *)weights, /*clear=*/1, batch);
 }
 
+/* training-capable load: parse_network_cfg_custom(cfg, 0, 0) allocates the
+ * delta/weight_updates buffers (parser.c:1342-1343 sets params.train=1 only
+ * when batch==0); batch comes from the cfg's [net] batch/subdivisions */
+network *dk_load_train(const char *cfg, const char *weights) {
+    return load_network((char *)cfg, (char *)weights, /*clear=*/1);
+}
+
 void dk_free(network *net) { free_network_ptr(net); }
 
 int dk_num_layers(network *net) { return net->n; }
@@ -45,6 +52,72 @@ int dk_layer_output(network *net, int i, float *out, int capacity) {
     if (n > capacity) return -1;
     memcpy(out, l->output, (size_t)n * sizeof(float));
     return n;
+}
+
+/* ---- training oracle ----------------------------------------------------
+ * Role of darknet-test extended to the backward pass: run real darknet-C
+ * SGD training steps on a fixed batch and expose per-layer weights so the
+ * framework's gradients + optimizer semantics can be compared value-for-
+ * value (training-side analogue of darknet-test/src/main.rs:112-195).
+ * These symbols are exported by libdarknet.so but not declared in darknet.h.
+ */
+float train_network(network net, data d);
+float get_current_rate(network net);
+
+/* One darknet training iteration: rows/net->batch forward+backward
+ * sub-batches accumulating weight_updates, then one SGD update
+ * (network.c train_network_waitkey).  X: rows x x_cols (CHW f32),
+ * y: rows x y_cols truth.  Returns darknet's reported cost. */
+float dk_train(network *net, float *X, float *y, int rows, int x_cols,
+               int y_cols) {
+    data d;
+    memset(&d, 0, sizeof(d));
+    d.shallow = 1;
+    d.X.rows = rows;
+    d.X.cols = x_cols;
+    d.y.rows = rows;
+    d.y.cols = y_cols;
+    float **xr = (float **)calloc(rows, sizeof(float *));
+    float **yr = (float **)calloc(rows, sizeof(float *));
+    for (int i = 0; i < rows; ++i) {
+        xr[i] = X + (size_t)i * x_cols;
+        yr[i] = y + (size_t)i * y_cols;
+    }
+    d.X.vals = xr;
+    d.y.vals = yr;
+    float err = train_network(*net, d);
+    free(xr);
+    free(yr);
+    return err;
+}
+
+float dk_current_rate(network *net) { return get_current_rate(*net); }
+long dk_seen(network *net) { return (long)(*net->seen); }
+
+int dk_layer_nweights(network *net, int i) { return net->layers[i].nweights; }
+int dk_layer_nfilters(network *net, int i) { return net->layers[i].n; }
+
+static int copy_buf(float *src, int n, float *out, int capacity) {
+    if (!src || n > capacity) return -1;
+    memcpy(out, src, (size_t)n * sizeof(float));
+    return n;
+}
+
+int dk_layer_weights(network *net, int i, float *out, int cap) {
+    return copy_buf(net->layers[i].weights, net->layers[i].nweights, out, cap);
+}
+int dk_layer_biases(network *net, int i, float *out, int cap) {
+    return copy_buf(net->layers[i].biases, net->layers[i].n, out, cap);
+}
+int dk_layer_scales(network *net, int i, float *out, int cap) {
+    return copy_buf(net->layers[i].scales, net->layers[i].n, out, cap);
+}
+int dk_layer_rolling_mean(network *net, int i, float *out, int cap) {
+    return copy_buf(net->layers[i].rolling_mean, net->layers[i].n, out, cap);
+}
+int dk_layer_rolling_variance(network *net, int i, float *out, int cap) {
+    return copy_buf(net->layers[i].rolling_variance, net->layers[i].n, out,
+                    cap);
 }
 
 /* final detections through darknet's own decode + NMS-free extraction.

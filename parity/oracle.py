@@ -31,7 +31,8 @@ LAYER_TYPES = [
 
 
 class DarknetOracle:
-    def __init__(self, cfg_path: str, weights_path: str):
+    def __init__(self, cfg_path: str, weights_path: str, batch: int = 1,
+                 train: bool = False):
         self.lib = ctypes.CDLL(os.path.join(_DIR, "dk_shim.so"))
         self.lib.dk_load.restype = ctypes.c_void_p
         self.lib.dk_load.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
@@ -55,9 +56,43 @@ class DarknetOracle:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int,
         ]
 
-        self.net = ctypes.c_void_p(
-            self.lib.dk_load(cfg_path.encode(), weights_path.encode(), 1)
-        )
+        # training oracle additions (network.c train path)
+        self.lib.dk_train.restype = ctypes.c_float
+        self.lib.dk_train.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+        ]
+        self.lib.dk_current_rate.restype = ctypes.c_float
+        self.lib.dk_current_rate.argtypes = [ctypes.c_void_p]
+        self.lib.dk_seen.restype = ctypes.c_long
+        self.lib.dk_seen.argtypes = [ctypes.c_void_p]
+        for name in ("dk_layer_nweights", "dk_layer_nfilters"):
+            fn = getattr(self.lib, name)
+            fn.restype = ctypes.c_int
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        for name in ("dk_layer_weights", "dk_layer_biases", "dk_layer_scales",
+                     "dk_layer_rolling_mean", "dk_layer_rolling_variance"):
+            fn = getattr(self.lib, name)
+            fn.restype = ctypes.c_int
+            fn.argtypes = [
+                ctypes.c_void_p, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ]
+
+        self.lib.dk_load_train.restype = ctypes.c_void_p
+        self.lib.dk_load_train.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+
+        if train:
+            # batch comes from the cfg's [net] batch/subdivisions; only this
+            # load path allocates darknet's training buffers
+            self.net = ctypes.c_void_p(
+                self.lib.dk_load_train(cfg_path.encode(), weights_path.encode())
+            )
+        else:
+            self.net = ctypes.c_void_p(
+                self.lib.dk_load(cfg_path.encode(), weights_path.encode(), batch)
+            )
         if not self.net:
             raise RuntimeError(f"darknet failed to load {cfg_path} + {weights_path}")
         self.num_layers = self.lib.dk_num_layers(self.net)
@@ -91,6 +126,60 @@ class DarknetOracle:
         if c * h * w == n:
             return out.reshape(c, h, w)
         return out  # 1-D layers (connected/rnn/softmax) leave out_* at 0
+
+    # ---- training oracle ------------------------------------------------
+
+    def train(self, images_chw: np.ndarray, truth: np.ndarray) -> float:
+        """One darknet training iteration (rows/batch fwd+bwd accumulations
+        then one SGD update — network.c train_network).  ``images_chw``:
+        [rows, c, h, w]; ``truth``: [rows, y_cols].  Returns the reported
+        cost (sum of cost-layer outputs / (n_subbatches * batch))."""
+        rows = images_chw.shape[0]
+        x = np.ascontiguousarray(images_chw.reshape(rows, -1), np.float32)
+        y = np.ascontiguousarray(truth.reshape(rows, -1), np.float32)
+        return float(self.lib.dk_train(
+            self.net,
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            y.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            rows, x.shape[1], y.shape[1],
+        ))
+
+    def current_rate(self) -> float:
+        return float(self.lib.dk_current_rate(self.net))
+
+    def seen(self) -> int:
+        return int(self.lib.dk_seen(self.net))
+
+    def _read_layer_array(self, fn_name: str, i: int, n: int) -> Optional[np.ndarray]:
+        if n <= 0:
+            return None
+        out = np.zeros((n,), np.float32)
+        got = getattr(self.lib, fn_name)(
+            self.net, i, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n
+        )
+        return out if got == n else None
+
+    def layer_weights(self, i: int) -> Optional[np.ndarray]:
+        """Conv layer i's kernel, flat [n, c, kh, kw] row-major."""
+        return self._read_layer_array(
+            "dk_layer_weights", i, self.lib.dk_layer_nweights(self.net, i))
+
+    def layer_biases(self, i: int) -> Optional[np.ndarray]:
+        return self._read_layer_array(
+            "dk_layer_biases", i, self.lib.dk_layer_nfilters(self.net, i))
+
+    def layer_scales(self, i: int) -> Optional[np.ndarray]:
+        return self._read_layer_array(
+            "dk_layer_scales", i, self.lib.dk_layer_nfilters(self.net, i))
+
+    def layer_rolling_mean(self, i: int) -> Optional[np.ndarray]:
+        return self._read_layer_array(
+            "dk_layer_rolling_mean", i, self.lib.dk_layer_nfilters(self.net, i))
+
+    def layer_rolling_variance(self, i: int) -> Optional[np.ndarray]:
+        return self._read_layer_array(
+            "dk_layer_rolling_variance", i,
+            self.lib.dk_layer_nfilters(self.net, i))
 
     def detections(self, img_w: int, img_h: int, thresh: float = 0.25,
                    capacity: int = 4096) -> np.ndarray:
