@@ -1,0 +1,178 @@
+"""Double-buffered Pallas conv weight-gradient kernel (TPU).
+
+Round-2 rework of ``wgrad_pallas.py`` per VERDICT #3: the round-1 kernel
+was DMA-latency-bound by construction — one *synchronous* halo copy per
+grid step (cp.start(); cp.wait() back-to-back) stalled the MXU for the
+full HBM round trip × every row block.  This version pipelines: at grid
+step s it starts the DMA for step s+1's row block into the other half of a
+double buffer, then waits on the copy issued one step earlier, so the halo
+load of block s+1 overlaps the matmul of block s (pallas_guide.md
+"Patterns: Double Buffering", adapted to cross-grid-step scratch
+persistence).
+
+Second round-1 failure fixed: the k>1 path concatenated k² tap slices of
+ci=64 lanes — a non-128-aligned lane concat that Mosaic rejects (opaque
+HTTP 500 through the axon tunnel).  Here each tap contracts separately
+into its own ``out_ref[t]`` slab ([k², ci, co] accumulator, leading-dim
+indexing only), so no lane-axis concatenation ever happens.
+
+dW math (stride-1 dense conv, pre-padded input):
+
+    dW[u, v, ci, co] = Σ_{b,h,w} xp[b, h+u, w+v, ci] · g[b, h, w, co]
+
+i.e. per tap a [S, ci]ᵀ[S, co] GEMM with S = rows·W streamed over row
+blocks, f32 accumulation in VMEM.
+
+The cotangent ``g`` streams through the normal Pallas pipeline (which the
+compiler double-buffers itself); only the halo-overlapped ``xp`` needs the
+manual DMA.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _pick_rows(h: int) -> int:
+    for rows in (16, 8, 4, 2):
+        if h % rows == 0:
+            return rows
+    return 1
+
+
+def _wgrad_db_kernel(x_hbm, g_ref, out_ref, xbuf, sems, *, k, rows, w_in, ci):
+    b = pl.program_id(0)
+    r = pl.program_id(1)
+    n_b = pl.num_programs(0)
+    n_r = pl.num_programs(1)
+    step = b * n_r + r
+    total = n_b * n_r
+    slot = jax.lax.rem(step, 2)
+    nslot = jax.lax.rem(step + 1, 2)
+
+    def dma(dst_slot, bb, rr):
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(rr * rows, rows + k - 1)],
+            xbuf.at[dst_slot], sems.at[dst_slot])
+
+    @pl.when(step == 0)
+    def _warmup():
+        dma(slot, b, r).start()
+
+    @pl.when(step + 1 < total)
+    def _prefetch():
+        nxt = step + 1
+        dma(nslot, nxt // n_r, jax.lax.rem(nxt, n_r)).start()
+
+    dma(slot, b, r).wait()
+
+    xv = xbuf[slot]                   # [rows+k-1, w_in, ci] bf16
+    ow = w_in - (k - 1)
+    g2 = g_ref[0].reshape(rows * ow, g_ref.shape[-1])
+
+    for u in range(k):
+        for v in range(k):
+            tap = jax.lax.slice(xv, (u, v, 0), (u + rows, v + ow, ci))
+            p2 = tap.reshape(rows * ow, ci)
+            acc = jax.lax.dot_general(
+                p2, g2, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            t = u * k + v
+
+            @pl.when(step == 0)
+            def _init(t=t, acc=acc):
+                out_ref[t] = acc
+
+            @pl.when(step > 0)
+            def _accum(t=t, acc=acc):
+                out_ref[t] = out_ref[t] + acc
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def wgrad_db(xp: Array, g: Array, k: int, interpret=None) -> Array:
+    """dW for a stride-1 dense conv from pre-padded input (double-buffered).
+
+    xp: [B, H + k−1, W + k−1, Ci] (already zero-padded by (k−1)/2 per side)
+    g:  [B, H, W, Co] cotangent
+    → [k, k, Ci, Co] f32
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    b, hp, wp, ci = xp.shape
+    _, h, w, co = g.shape
+    assert hp == h + k - 1 and wp == w + k - 1
+    rows = _pick_rows(h)
+
+    out = pl.pallas_call(
+        functools.partial(_wgrad_db_kernel, k=k, rows=rows, w_in=wp, ci=ci),
+        grid=(b, h // rows),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # xp in HBM; manual DMA
+            pl.BlockSpec((1, rows, w, co), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k * k, ci, co), lambda i, j: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k * k, ci, co), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows + k - 1, wp, ci), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w * k * k * ci * co,
+            bytes_accessed=xp.size * xp.dtype.itemsize
+            + g.size * g.dtype.itemsize + 4 * k * k * ci * co,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, g)
+    return out.reshape(k, k, ci, co)
+
+
+# ----------------------------------------------------------------------
+# custom-vjp conv wrapper: XLA forward + XLA dX + double-buffered Pallas dW
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv2d_db(x: Array, w: Array, k: int) -> Array:
+    """Dense stride-1 'same' conv whose dW uses the double-buffered kernel."""
+    pad = (k - 1) // 2
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _conv2d_db_fwd(x: Array, w: Array, k: int):
+    pad = (k - 1) // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0))) if pad else x
+    y = jax.lax.conv_general_dilated(
+        xp, w.astype(x.dtype), (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y, (xp, w)
+
+
+def _conv2d_db_bwd(k: int, res: Tuple[Array, Array], g: Array):
+    xp, w = res
+    pad = (k - 1) // 2
+    wt = jnp.flip(w, (0, 1)).swapaxes(2, 3).astype(g.dtype)
+    dxp = jax.lax.conv_general_dilated(
+        g, wt, (1, 1), ((k - 1, k - 1), (k - 1, k - 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    dx = dxp[:, pad:dxp.shape[1] - pad, pad:dxp.shape[2] - pad, :] if pad \
+        else dxp
+    dw = wgrad_db(xp, g, k).astype(w.dtype)
+    return dx, dw
+
+
+conv2d_db.defvjp(_conv2d_db_fwd, _conv2d_db_bwd)
