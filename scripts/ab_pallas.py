@@ -13,6 +13,21 @@ round 1, Weak #2):
 Device time via jax.profiler traces (wall timing is meaningless under the
 axon tunnel for sub-26ms programs — CLAUDE.md).
 
+MEASURED (2026-08-17, v5e, yolov4-csp-608-shaped inputs):
+
+    NMS b16: xla 1.270 ms  pallas 1.303 ms  (keep agreement 1.000000)
+    NMS b64: xla 4.761 ms  pallas 4.622 ms  (keep agreement 1.000000)
+    1x1 152p 128->64: fwd fused 1.416 / xla 0.478 ; fwd+bwd 1.791 / 1.017
+    1x1  76p 256->128: fwd fused 0.592 / xla 0.383 ; fwd+bwd 0.812 / 0.299
+    1x1  38p 512->256: fwd fused 0.390 / xla 0.198 ; fwd+bwd 0.410 / 0.180
+
+Consequences: the Pallas IoU NMS backend is a statistical wash (-2.6% at
+b16, +2.9% at b64, bit-identical keep decisions) — it stays available via
+``backend="pallas"`` with XLA as default.  ``fused_conv1x1_mish`` lost
+1.5-4.5x to XLA's own epilogue fusion on every shape and was DELETED
+(git history has it); XLA fuses conv-BN-Mish by itself, better.  Part 2
+of this script is therefore skipped unless the kernel is restored.
+
 Run: python scripts/ab_pallas.py
 """
 
@@ -104,9 +119,12 @@ def make_pred(batch, rng):
 
 
 def main():
-    from yolodl_tpu.kernels import pairwise_iou_pallas
-    from yolodl_tpu.kernels.fused_conv1x1 import fused_conv1x1_mish
     from yolodl_tpu.loss import non_max_suppression, yolo_inference
+
+    try:
+        from yolodl_tpu.kernels.fused_conv1x1 import fused_conv1x1_mish
+    except ImportError:
+        fused_conv1x1_mish = None  # deleted after the measured negative
 
     rng = np.random.default_rng(0)
 
@@ -135,6 +153,10 @@ def main():
               f"(keep agreement {agree:.6f})", flush=True)
 
     # ---- 2. fused 1x1 conv-BN-Mish A/B ------------------------------------
+    if fused_conv1x1_mish is None:
+        print("fused_conv1x1_mish deleted (measured 1.5-4.5x slower than "
+              "XLA's own fusion; see docstring) — part 2 skipped")
+        return
     shapes = [
         (16, 152, 152, 128, 64),
         (16, 76, 76, 256, 128),

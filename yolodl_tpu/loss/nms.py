@@ -66,7 +66,11 @@ def _suppress(tlbr: Array, scores: Array, group: Array, valid: Array,
 
     tlbr [K,4], scores [K] (descending), group [K], valid [K] → keep [K].
     ``backend="pallas"`` computes the IoU matrix with the tiled TPU kernel
-    (kernels/iou_pallas.py) — the tch-nms replacement path.
+    (kernels/iou_pallas.py) — the tch-nms replacement path.  Measured A/B
+    inside the full postprocess (scripts/ab_pallas.py, 2026-08-17, v5e,
+    csp-608 shapes): xla 1.270 / pallas 1.303 ms at b16, 4.761 / 4.622 ms
+    at b64, bit-identical keep decisions — a wash, so XLA stays the
+    default and the kernel remains an explicit opt-in.
     ``kind="diou"`` subtracts the normalized center distance raised to
     ``beta`` from the IoU before thresholding, matching darknet's
     box_diou: iou − (d²/c²)^β with β = beta_nms (default 0.6)
