@@ -28,6 +28,8 @@ from collections import defaultdict
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from _trace_util import device_op_ms
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir",
@@ -60,29 +62,6 @@ def conv_shapes():
         c_in = d.net.channels if i == 0 else shapes[i - 1][2]
         counts[(h, w, c_in, l.filters, l.size, l.stride_x, l.groups)] += 1
     return counts
-
-
-def device_op_ms(trace_dir):
-    """Sum of device-track leaf op durations (ms) in the newest trace."""
-    files = glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz"))
-    data = json.loads(gzip.open(sorted(files)[-1]).read())
-    events = data.get("traceEvents", [])
-    pid_names = {}
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pid_names[e["pid"]] = e.get("args", {}).get("name", "")
-    device_pids = {p for p, n in pid_names.items()
-                   if "TPU" in n or "/device:" in n}
-    total = 0.0
-    import re
-    for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in device_pids:
-            continue
-        base = e.get("name", "?").split(".")[0].split("(")[0]
-        if base == "jit_run" or re.fullmatch(r"\d+", base):
-            continue  # program/step envelopes
-        total += e.get("dur", 0) / 1e3
-    return total
 
 
 def main():

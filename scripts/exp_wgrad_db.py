@@ -11,15 +11,12 @@ Run under axon: python scripts/exp_wgrad_db.py
 Env: EXP_BATCH (16), EXP_REPS (8).
 """
 
-import glob
-import gzip
-import json
 import os
-import re
 import sys
-import tempfile
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from _trace_util import device_op_ms, timed as _timed
 
 import jax
 
@@ -34,37 +31,8 @@ BATCH = int(os.environ.get("EXP_BATCH", "16"))
 REPS = int(os.environ.get("EXP_REPS", "8"))
 
 
-def device_op_ms(trace_dir):
-    files = glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz"))
-    data = json.loads(gzip.open(sorted(files)[-1]).read())
-    events = data.get("traceEvents", [])
-    pid_names = {}
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pid_names[e["pid"]] = e.get("args", {}).get("name", "")
-    device_pids = {p for p, n in pid_names.items()
-                   if "TPU" in n or "/device:" in n}
-    total = 0.0
-    for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in device_pids:
-            continue
-        base = e.get("name", "?").split(".")[0].split("(")[0]
-        if base == "jit_run" or re.fullmatch(r"\d+", base):
-            continue
-        total += e.get("dur", 0) / 1e3
-    return total
-
-
 def timed(fn, args):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    float(jnp.sum(out.astype(jnp.float32) ** 2))
-    tmp = tempfile.mkdtemp(prefix="expdb_")
-    with jax.profiler.trace(tmp):
-        vals = [fn(*args) for _ in range(REPS)]
-        _ = float(jnp.sum(vals[-1].astype(jnp.float32) ** 2))
-        jax.block_until_ready(vals)
-    return device_op_ms(tmp) / REPS
+    return _timed(fn, args, reps=REPS)
 
 
 def main():

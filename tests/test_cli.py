@@ -454,6 +454,13 @@ class TestReferenceConfigParity:
         p.write_text(json.dumps(cfg))
         TrainAppConfig.load(p)
         assert "normalized" not in capsys.readouterr().err
+        # bare minibatch_sizes list form must warn too
+        cfg["training"]["device_config"] = {
+            "type": "NonUniformMultiDevice", "minibatch_sizes": [4, 2]}
+        p.write_text(json.dumps(cfg))
+        parsed = TrainAppConfig.load(p)
+        assert parsed.n_devices == 2
+        assert "normalized to a uniform split" in capsys.readouterr().err
 
     def test_reference_detect_json5_parses(self):
         from yolodl_tpu.config.app_config import DetectAppConfig

@@ -195,6 +195,16 @@ def main(argv=None):
         from ..loss.inference import to_host_detections
         from ..train.logging import draw_boxes_on_image as _draw
 
+        # honor the model cfg's nms_kind + beta_nms like the detect CLI —
+        # the overlays must preview what detect would actually keep
+        nms_kind, nms_beta = "greedy", 0.6
+        if config.model_kind == "darknet":
+            from ..config import darknet_cfg as dk
+            from ..loss.nms import nms_options_from_darknet
+
+            nms_kind, nms_beta = nms_options_from_darknet(
+                dk.Darknet.load(model_path))
+
         @jax.jit
         def _infer_fwd(params, state, image):
             pred, _ = model.apply(params, state, image, train=False)
@@ -208,6 +218,8 @@ def main(argv=None):
                 confidence_threshold=config.nms_conf_thresh,
                 suppress_by_class=False,
                 class_mode="argmax",
+                kind=nms_kind,
+                beta=nms_beta,
             )
             return yolo_inference(nms, pred.num_flats)
 
@@ -223,16 +235,20 @@ def main(argv=None):
                 _infer_fwd(ts.params, ts.state, jnp.asarray(image_chw[None]))
             )
             dets = to_host_detections(out)[0]
-            canvas = np.asarray(image_chw, np.float32).copy()
+            canvas = np.asarray(image_chw, np.float32)
             gt = np.asarray(gt_boxes)[np.asarray(gt_mask)]
             if len(gt):
                 cy, cx, h, w = (gt[:, k] for k in range(4))
                 gt_tlbr = np.stack(
                     [cy - h / 2, cx - w / 2, cy + h / 2, cx + w / 2], -1)
                 canvas = _draw(canvas, gt_tlbr, color=(1.0, 1.0, 0.0))
+            # one draw call (= one canvas copy) per palette color, not per box
+            by_color = {}
             for det in dets:
-                color = _palette[det["class"] % len(_palette)]
-                canvas = _draw(canvas, np.asarray([det["tlbr"]]), color=color)
+                by_color.setdefault(det["class"] % len(_palette), []).append(
+                    det["tlbr"])
+            for ci, boxes in by_color.items():
+                canvas = _draw(canvas, np.asarray(boxes), color=_palette[ci])
             logger.log_image(step, "inference/detections",
                              np.clip(canvas, 0, 1))
     if config.logging.enable_images:
@@ -372,13 +388,13 @@ def main(argv=None):
                 and (step <= window or step % 200 < window)
                 and last_batch.get("images") is not None
                 and last_batch.get("gt") is not None):
-            # only at window ends: ts then holds the weights matching `step`;
-            # multi-scale steps at a non-base size are skipped (the decode
-            # program is compiled for the base size)
+            # only at window ends: ts then holds the weights matching `step`.
+            # last_batch always holds the base-size host batch (multi-scale
+            # rescaling happens on the device copy only), so the inference
+            # program compiles once at the base size.
             imgs = last_batch["images"]
-            if imgs.shape[-1] == config.dataset.image_size:
-                gt_boxes, gt_mask = last_batch["gt"]
-                infer_one(step, imgs[0], gt_boxes[0], gt_mask[0])
+            gt_boxes, gt_mask = last_batch["gt"]
+            infer_one(step, imgs[0], gt_boxes[0], gt_mask[0])
         save = config.checkpoint.save_steps
         saved = False
         if save and (step // save) > ((step - window) // save):

@@ -304,8 +304,10 @@ class TrainAppConfig:
             # so non-uniform sizes are normalized — warn instead of silently
             # changing behavior (documented divergence, README)
             sizes = [
-                int(d["minibatch_size"]) for d in devices
-                if isinstance(d, dict) and "minibatch_size" in d
+                int(d["minibatch_size"]) if isinstance(d, dict) else int(d)
+                for d in devices
+                if (isinstance(d, dict) and "minibatch_size" in d)
+                or isinstance(d, (int, float))
             ]
             if sizes and len(set(sizes)) > 1:
                 import sys

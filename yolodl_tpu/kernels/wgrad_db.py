@@ -148,7 +148,7 @@ def wgrad_db(xp: Array, g: Array, k: int, interpret=None) -> Array:
     if ci_pad != ci or wp_pad != wp:
         xp = jnp.pad(xp, ((0, 0), (0, 0), (0, wp_pad - wp),
                           (0, ci_pad - ci)))
-    rows = _pick_rows(h, wp_pad, ci_pad)
+    rows = _pick_rows(h, wp_pad, ci_pad, itemsize=xp.dtype.itemsize)
 
     out = pl.pallas_call(
         functools.partial(_wgrad_db_kernel, k=k, rows=rows, ow=w, ci=ci_pad),
