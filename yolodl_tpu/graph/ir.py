@@ -137,10 +137,18 @@ class Graph:
     # -- reports ------------------------------------------------------------
 
     def info_table(self) -> str:
-        """Per-node table like `yolo-tool info` (yolo-tool/src/main.rs:38-60)."""
-        rows = [("key", "kind", "path", "inputs", "output shape")]
+        """Per-node table like `yolo-tool info` (yolo-tool/src/main.rs:38-60),
+        plus per-node params and forward GFLOPs (darknet's BF column)."""
+        from .cost import graph_cost, node_cost
+
+        def gf(f) -> str:
+            return "-" if f is None else f"{f / 1e9:.3f}"
+
+        rows = [("key", "kind", "path", "inputs", "output shape",
+                 "params", "GFLOPs")]
         for key in self.order:
             n = self.nodes[key]
+            p, f = node_cost(self, n)
             rows.append(
                 (
                     str(key),
@@ -148,12 +156,17 @@ class Graph:
                     n.path or "",
                     ",".join(map(str, n.input_keys.iter_keys())),
                     repr(n.output_shape),
+                    str(p) if p else "",
+                    gf(f) if (p or f) else "",
                 )
             )
-        widths = [max(len(r[i]) for r in rows) for i in range(5)]
-        return "\n".join(
+        widths = [max(len(r[i]) for r in rows) for i in range(len(rows[0]))]
+        table = "\n".join(
             "  ".join(col.ljust(w) for col, w in zip(row, widths)) for row in rows
         )
+        total_p, total_f = graph_cost(self)
+        return (f"{table}\ntotal: {total_p:,} params, "
+                f"{gf(total_f)} GFLOPs/sample (fwd)")
 
     def to_dot(self) -> str:
         """Graphviz DOT export (model-graph/src/graphviz.rs equivalent)."""
