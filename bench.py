@@ -62,7 +62,7 @@ def main():
     ts, opt = train_init(model, config, seed=0)
     # scan SCAN_K steps into one XLA program (train.make_multi_step):
     # amortizes per-step dispatch, ~96 → ~90 ms/step at b16
-    scan_k = int(os.environ.get("BENCH_SCAN", "5"))
+    scan_k = int(os.environ.get("BENCH_SCAN", "10"))
 
     rng = np.random.default_rng(0)
     max_gt = 32

@@ -1,0 +1,165 @@
+"""Serving subsystem: micro-batching DetectionService + HTTP front-end.
+
+The reference has no serving path (its detect crate is batch-only,
+detect/src/main.rs) — these tests pin the deployment surface: fixed-shape
+batching, concurrent submission, original-pixel coordinate mapping,
+error isolation, and the HTTP endpoints.
+"""
+
+import io
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from yolodl_tpu.config import newslab as cfg
+from yolodl_tpu.graph import Graph
+from yolodl_tpu.models import YoloModel
+from yolodl_tpu.serve import DetectionService, make_http_server
+
+TOY = {
+    "main_group": "m",
+    "groups": {
+        "m": [
+            {"name": "input", "kind": "Input", "shape": ["_", 3, 32, 32]},
+            {"kind": "ConvBn2D", "c": 8, "k": 3, "s": 2},
+            {"name": "head", "kind": "ConvBn2D", "c": 6, "k": 1,
+             "act": "linear", "bn": {"enabled": False}},
+            {"name": "det", "kind": "Detect2D", "classes": 1,
+             "anchors": [[0.4, 0.4]]},
+            {"name": "output", "kind": "MergeDetect2D", "from": ["det"]},
+        ]
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def service():
+    graph = Graph.from_model(cfg.parse_model_dict(TOY))
+    model = YoloModel(graph)
+    params, state = model.init(jax.random.PRNGKey(0))
+    svc = DetectionService(
+        model, params, state,
+        image_size=32, batch_size=4, window_ms=20.0,
+        nms_conf_thresh=0.01, class_names=["square"],
+    )
+    svc.warmup()
+    svc.start()
+    yield svc
+    svc.shutdown()
+
+
+def _image(h=48, w=64, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(0, 1, (3, h, w)).astype(np.float32)
+
+
+class TestService:
+    def test_single_request(self, service):
+        dets = service.submit_array(_image())
+        assert isinstance(dets, list)
+        for d in dets:
+            assert set(d) >= {"class", "score", "bbox", "class_name"}
+            x, y, w, h = d["bbox"]
+            # original-pixel frame of the 48x64 input
+            assert 0 <= x <= 64 and 0 <= y <= 48  # clipped to the image
+            assert 0 <= w <= 64 and 0 <= h <= 48
+            assert d["class_name"] == "square"
+
+    def test_concurrent_requests_micro_batch(self, service):
+        before = service.stats.batches
+        results = [None] * 8
+        def worker(i):
+            results[i] = service.submit_array(_image(seed=i))
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(r is not None for r in results)
+        # 8 requests with a 20 ms window and batch 4 must take < 8 batches
+        assert service.stats.batches - before < 8
+        snap = service.stats.snapshot(service.batch_size)
+        assert snap["images_done"] >= 8
+        assert 0 < snap["mean_batch_fill"] <= 1
+        assert "latency_ms" in snap
+
+    def test_deterministic_across_batch_position(self, service):
+        """A request's result must not depend on its batch neighbors."""
+        img = _image(seed=42)
+        solo = service.submit_array(img)
+        # submit alongside 3 other images
+        results = {}
+        def worker(name, arr):
+            results[name] = service.submit_array(arr)
+        threads = [threading.Thread(target=worker, args=("x", img))] + [
+            threading.Thread(target=worker, args=(f"o{i}", _image(seed=i)))
+            for i in range(3)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert json.dumps(solo) == json.dumps(results["x"])
+
+    def test_bytes_roundtrip(self, service):
+        arr = (_image() * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(np.transpose(arr, (1, 2, 0))).save(buf, format="PNG")
+        dets = service.submit_bytes(buf.getvalue())
+        assert isinstance(dets, list)
+
+    def test_bad_shape_rejected(self, service):
+        with pytest.raises(ValueError):
+            service.submit_array(np.zeros((48, 64, 3), np.float32))
+
+    def test_bad_bytes_rejected(self, service):
+        with pytest.raises(Exception):
+            service.submit_bytes(b"not an image")
+
+
+class TestHttp:
+    @pytest.fixture(scope="class")
+    def server(self, service):
+        httpd = make_http_server(service, "127.0.0.1", 0)
+        port = httpd.server_address[1]
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+        yield f"http://127.0.0.1:{port}"
+        httpd.shutdown()
+        httpd.server_close()
+
+    def test_healthz(self, server):
+        with urllib.request.urlopen(f"{server}/healthz") as r:
+            assert json.load(r) == {"ok": True}
+
+    def test_detect_roundtrip(self, server):
+        arr = (np.random.default_rng(0).uniform(0, 255, (40, 56, 3))).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG")
+        req = urllib.request.Request(
+            f"{server}/detect", data=buf.getvalue(),
+            headers={"Content-Type": "image/jpeg"})
+        with urllib.request.urlopen(req) as r:
+            payload = json.load(r)
+        assert "detections" in payload and "latency_ms" in payload
+
+    def test_stats(self, server):
+        with urllib.request.urlopen(f"{server}/stats") as r:
+            snap = json.load(r)
+        assert snap["requests"] >= 1
+
+    def test_bad_body_400(self, server):
+        req = urllib.request.Request(f"{server}/detect", data=b"junk")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 400
+
+    def test_unknown_route_404(self, server):
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(f"{server}/nope")
+        assert exc.value.code == 404

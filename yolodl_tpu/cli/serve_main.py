@@ -1,0 +1,110 @@
+"""Detection serving CLI:
+
+    python -m yolodl_tpu.cli.serve_main --config-file detect.json5 \\
+        --port 8650 --batch-size 8 --window-ms 5
+
+Long-lived deployment surface the reference lacks (its ``detect`` crate
+is batch-only, detect/src/main.rs): loads the model once, compiles the
+fixed-batch forward+NMS program, warms it, then serves HTTP requests with
+micro-batching (yolodl_tpu/serve/).  Model/NMS configuration reuses the
+``detect.json5`` schema; the ``input`` dataset block supplies the image
+size and (when present) class names.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="yolodl_tpu detection server")
+    parser.add_argument("--config-file", required=True,
+                        help="detect.json5 (model + NMS config)")
+    parser.add_argument("--weights", default="", help="darknet .weights file")
+    parser.add_argument("--checkpoint", default="", help="framework .ckpt file")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8650)
+    parser.add_argument("--batch-size", type=int, default=8,
+                        help="device batch (compiled shape)")
+    parser.add_argument("--window-ms", type=float, default=5.0,
+                        help="micro-batching window")
+    parser.add_argument("--classes-file", default="",
+                        help="one class name per line (overrides dataset)")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from ..config.app_config import DetectAppConfig
+    from ..graph import Graph
+    from ..graph.from_darknet import load_darknet_graph
+    from ..models import YoloModel
+    from ..serve import DetectionService, make_http_server
+    from ..train.checkpoint import load_checkpoint
+
+    config = DetectAppConfig.load(args.config_file)
+    base_dir = os.path.dirname(os.path.abspath(args.config_file))
+    model_path = os.path.join(base_dir, config.model_file)
+
+    weights = args.weights or config.weights_file
+    if config.model_kind == "darknet":
+        if weights:
+            from ..models.zoo import load_darknet_model
+
+            model, params, state = load_darknet_model(model_path, weights)
+        else:
+            model = YoloModel(load_darknet_graph(model_path))
+            params, state = model.init(jax.random.PRNGKey(0))
+    else:
+        model = YoloModel(Graph.load_newslab_v1_json(model_path))
+        params, state = model.init(jax.random.PRNGKey(0))
+    if args.checkpoint:
+        params, state, _, _ = load_checkpoint(args.checkpoint, params, state)
+
+    nms_kind, nms_beta = "greedy", 0.6
+    if config.model_kind == "darknet":
+        from ..config import darknet_cfg as dk
+        from ..loss.nms import nms_options_from_darknet
+
+        nms_kind, nms_beta = nms_options_from_darknet(dk.Darknet.load(model_path))
+
+    class_names = None
+    if args.classes_file:
+        with open(args.classes_file) as f:
+            class_names = [ln.strip() for ln in f if ln.strip()]
+
+    service = DetectionService(
+        model, params, state,
+        image_size=config.dataset.image_size,
+        batch_size=args.batch_size,
+        window_ms=args.window_ms,
+        nms_iou_thresh=config.nms_iou_thresh,
+        nms_conf_thresh=config.nms_conf_thresh,
+        nms_kind=nms_kind,
+        nms_beta=nms_beta,
+        class_names=class_names,
+    )
+    print(f"compiling batch={args.batch_size} size={config.dataset.image_size} ...",
+          flush=True)
+    secs = service.warmup()
+    service.start()
+    server = make_http_server(service, args.host, args.port)
+    print(f"warm in {secs:.1f}s; serving on http://{args.host}:{args.port} "
+          f"(POST /detect, GET /healthz, GET /stats)", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+        service.shutdown()
+
+
+def cli():
+    """Console-script entry (pyproject [project.scripts]): guarded main."""
+    from ._guard import run
+    run(main)
+
+
+if __name__ == "__main__":
+    cli()

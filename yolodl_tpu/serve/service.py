@@ -1,0 +1,293 @@
+"""Micro-batching detection service.
+
+TPU-first serving design: the model is compiled ONCE for a fixed batch
+shape [B, 3, S, S]; a single dispatcher thread drains a request queue,
+packs up to B requests arriving within ``window_ms`` into one device
+batch (padding the tail by repeating the last image — fixed shapes, no
+recompiles), runs the two-stage forward→NMS program, and fans results
+back to the per-request events.  Decode + letterbox run in the *caller's*
+thread (the HTTP server is threaded), so host preprocessing parallelizes
+while device work stays single-stream.
+
+Coordinates are mapped back to original-image pixels with the inverse
+letterbox transform, exactly like the batch detect CLI
+(reference semantics: detect/src/main.rs:169 Transform::from_sizes_letterbox).
+"""
+
+from __future__ import annotations
+
+import io
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class ServiceStats:
+    """Monotonic counters + latency quantiles (thread-safe via the lock)."""
+
+    requests: int = 0
+    images_done: int = 0
+    batches: int = 0
+    batch_fill_sum: int = 0  # Σ real images per batch, for mean fill ratio
+    errors: int = 0
+    _lat_ms: List[float] = field(default_factory=list)  # ring buffer
+    _lock: threading.Lock = field(default_factory=threading.Lock)
+    _RING = 2048
+
+    def record(self, latency_ms: float) -> None:
+        with self._lock:
+            self.images_done += 1
+            self._lat_ms.append(latency_ms)
+            if len(self._lat_ms) > self._RING:
+                del self._lat_ms[: -self._RING]
+
+    def snapshot(self, batch_size: int) -> Dict:
+        with self._lock:
+            lat = np.asarray(self._lat_ms, np.float64)
+        out = {
+            "requests": self.requests,
+            "images_done": self.images_done,
+            "batches": self.batches,
+            "errors": self.errors,
+            "mean_batch_fill": (
+                round(self.batch_fill_sum / (self.batches * batch_size), 3)
+                if self.batches else 0.0
+            ),
+        }
+        if len(lat):
+            out["latency_ms"] = {
+                "p50": round(float(np.percentile(lat, 50)), 2),
+                "p95": round(float(np.percentile(lat, 95)), 2),
+                "p99": round(float(np.percentile(lat, 99)), 2),
+                "max": round(float(lat.max()), 2),
+            }
+        return out
+
+
+class _Pending:
+    __slots__ = ("image", "src_hw", "event", "result", "error", "t_submit")
+
+    def __init__(self, image: np.ndarray, src_hw: Tuple[int, int]):
+        self.image = image
+        self.src_hw = src_hw
+        self.event = threading.Event()
+        self.result: Optional[List[dict]] = None
+        self.error: Optional[Exception] = None
+        self.t_submit = time.perf_counter()
+
+
+class DetectionService:
+    """Keeps a compiled detector warm and serves micro-batched requests.
+
+    Parameters mirror the detect CLI's knobs; ``window_ms`` bounds how long
+    the dispatcher waits to fill a batch (tail latency vs MXU efficiency).
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        state,
+        *,
+        image_size: int,
+        batch_size: int = 8,
+        window_ms: float = 5.0,
+        nms_iou_thresh: float = 0.45,
+        nms_conf_thresh: float = 0.25,
+        nms_kind: str = "greedy",
+        nms_beta: float = 0.6,
+        class_names: Optional[List[str]] = None,
+        max_queue: int = 256,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from ..loss import non_max_suppression, yolo_inference
+
+        self.image_size = int(image_size)
+        self.batch_size = int(batch_size)
+        self.window_s = window_ms / 1e3
+        self.class_names = class_names
+        self.stats = ServiceStats()
+        self._params = params
+        self._state = state
+        self._queue: "queue.Queue[_Pending]" = queue.Queue(maxsize=max_queue)
+        self._stop = threading.Event()
+        self._jnp = jnp
+
+        # two-stage jit (NMS fused into the conv program inherits layouts
+        # that send XLA's TopK down a slow path — see detect CLI)
+        @jax.jit
+        def forward(params, state, images):
+            pred, _ = model.apply(params, state, images, train=False)
+            return pred
+
+        @jax.jit
+        def postprocess(pred):
+            nms = non_max_suppression(
+                pred,
+                iou_threshold=nms_iou_thresh,
+                confidence_threshold=nms_conf_thresh,
+                suppress_by_class=False,
+                class_mode="argmax",
+                kind=nms_kind,
+                beta=nms_beta,
+            )
+            return yolo_inference(nms, pred.num_flats)
+
+        self._forward = forward
+        self._postprocess = postprocess
+        self._thread = threading.Thread(
+            target=self._dispatch_loop, name="detection-dispatcher", daemon=True
+        )
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def warmup(self) -> float:
+        """Compile + run one dummy batch; returns seconds spent."""
+        import jax
+
+        t0 = time.perf_counter()
+        dummy = self._jnp.zeros(
+            (self.batch_size, 3, self.image_size, self.image_size),
+            self._jnp.bfloat16,
+        )
+        out = self._postprocess(self._forward(self._params, self._state, dummy))
+        jax.block_until_ready(out.valid)
+        np.asarray(out.valid)  # value readout = true completion fence
+        return time.perf_counter() - t0
+
+    def start(self) -> None:
+        self._thread.start()
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=10)
+
+    # -- request path ------------------------------------------------------
+
+    def submit_bytes(self, data: bytes, timeout: float = 30.0) -> List[dict]:
+        """Decode an encoded image (JPEG/PNG/...), run detection, return
+        per-detection dicts with original-pixel COCO-style boxes."""
+        from PIL import Image
+
+        with Image.open(io.BytesIO(data)) as im:
+            rgb = im.convert("RGB")
+            arr = np.asarray(rgb, np.float32) / 255.0
+        return self.submit_array(np.transpose(arr, (2, 0, 1)), timeout=timeout)
+
+    def submit_array(self, image_chw: np.ndarray, timeout: float = 30.0) -> List[dict]:
+        """Submit a [3,H,W] float32 image in [0,1]; blocks for the result."""
+        from ..data.letterbox import letterbox_resize
+
+        if image_chw.ndim != 3 or image_chw.shape[0] != 3:
+            raise ValueError(f"expected [3,H,W] image, got {image_chw.shape}")
+        src_hw = image_chw.shape[1:]
+        boxed, _, _ = letterbox_resize(
+            image_chw, (self.image_size, self.image_size)
+        )
+        pending = _Pending(boxed, src_hw)
+        with self.stats._lock:
+            self.stats.requests += 1
+        try:
+            self._queue.put(pending, timeout=timeout)
+        except queue.Full:
+            with self.stats._lock:
+                self.stats.errors += 1
+            raise RuntimeError("service overloaded: request queue full")
+        if not pending.event.wait(timeout):
+            with self.stats._lock:
+                self.stats.errors += 1
+            raise TimeoutError("detection timed out")
+        if pending.error is not None:
+            raise pending.error
+        self.stats.record((time.perf_counter() - pending.t_submit) * 1e3)
+        return pending.result
+
+    # -- dispatcher --------------------------------------------------------
+
+    def _collect_batch(self) -> List[_Pending]:
+        """Block for the first request, then fill up to batch_size within
+        the window."""
+        try:
+            first = self._queue.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.perf_counter() + self.window_s
+        while len(batch) < self.batch_size:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _dispatch_loop(self) -> None:
+        from ..loss.inference import to_host_detections
+
+        while not self._stop.is_set():
+            batch = self._collect_batch()
+            if not batch:
+                continue
+            try:
+                images = [p.image for p in batch]
+                while len(images) < self.batch_size:  # fixed-shape pad
+                    images.append(images[-1])
+                dev = self._jnp.asarray(
+                    np.stack(images), self._jnp.bfloat16
+                )
+                out = self._postprocess(
+                    self._forward(self._params, self._state, dev)
+                )
+                dets = to_host_detections(out)
+                with self.stats._lock:
+                    self.stats.batches += 1
+                    self.stats.batch_fill_sum += len(batch)
+                for i, p in enumerate(batch):
+                    p.result = self._to_original_pixels(dets[i], p.src_hw)
+                    p.event.set()
+            except Exception as e:  # deliver the failure, don't kill the loop
+                with self.stats._lock:
+                    self.stats.errors += len(batch)
+                for p in batch:
+                    p.error = e
+                    p.event.set()
+
+    def _to_original_pixels(self, dets: List[dict], src_hw) -> List[dict]:
+        from ..data.letterbox import letterbox_unit_transform
+
+        src_h, src_w = src_hw
+        inv = letterbox_unit_transform(
+            (src_h, src_w), (self.image_size, self.image_size)
+        ).inverse()
+        out = []
+        for det in dets:
+            t, l, b, r = det["tlbr"]
+            (ot, ol), (ob, orr) = inv.apply_points(
+                np.asarray([[t, l], [b, r]])
+            )
+            # clip to the image (an API consumer should never see
+            # out-of-frame coordinates; decoded boxes can overhang)
+            x0 = min(max(float(ol * src_w), 0.0), src_w)
+            y0 = min(max(float(ot * src_h), 0.0), src_h)
+            x1 = min(max(float(orr * src_w), 0.0), src_w)
+            y1 = min(max(float(ob * src_h), 0.0), src_h)
+            entry = {
+                "class": det["class"],
+                "score": round(det["confidence"], 5),
+                # COCO-style [x, y, w, h] in original-image pixels
+                "bbox": [round(x0, 2), round(y0, 2),
+                         round(x1 - x0, 2), round(y1 - y0, 2)],
+            }
+            if self.class_names and 0 <= det["class"] < len(self.class_names):
+                entry["class_name"] = self.class_names[det["class"]]
+            out.append(entry)
+        return out
