@@ -193,7 +193,8 @@ class TestTrainCli:
 
         cfg = json.loads((workspace / "train.json5").read_text())
         cfg["logging"].update(enable_gradients=True, enable_images=True,
-                              enable_benchmark=True, enable_inference=True)
+                              enable_benchmark=True, enable_inference=True,
+                              enable_debug_stat=True)
         cfg["logging"]["dir"] = str(workspace / "logs_tel")
         (workspace / "train_tel.json5").write_text(json.dumps(cfg))
         out = run_cli(
@@ -216,6 +217,9 @@ class TestTrainCli:
         # (multi_gpu.rs:239-261, logging.rs:379-422)
         assert b"inference/detections" in data, \
             "training-time inference image missing"
+        # enable_debug_stat: mean decoded box stats (logging.rs:135-146)
+        assert b"debug/cy_mean" in data and b"debug/w_mean" in data, \
+            "debug_stat scalars missing"
 
     def test_train_ema_checkpointed(self, workspace):
         """training.ema.enabled produces checkpoints with EMA params that

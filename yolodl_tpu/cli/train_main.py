@@ -139,6 +139,7 @@ def main(argv=None):
         ),
         log_weights_and_grads=config.logging.enable_gradients,
         return_obj_sample=config.logging.enable_images,
+        debug_stat=config.logging.enable_debug_stat,
     )
     ts, optimizer = train_init(model, train_cfg, seed=0)
 

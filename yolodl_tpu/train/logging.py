@@ -114,6 +114,9 @@ class LoggingWorker:
         }
         if benchmark:
             scalars.update({f"benchmark/{k}": v for k, v in benchmark.items()})
+        # enable_debug_stat box statistics (logging.rs:135-146,307-320)
+        scalars.update({k: v for k, v in metrics.items()
+                        if k.startswith("debug/")})
         self.log_scalars(step, scalars)
 
     def log_weights_and_grads(self, step: int, params, grads=None) -> None:

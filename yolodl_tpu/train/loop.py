@@ -52,6 +52,9 @@ class TrainConfig:
     # include the first image's objectness probabilities in the metrics
     # (metrics["obj_sample"], [N]) for the TB heatmap (logging.rs:379-422)
     return_obj_sample: bool = False
+    # mean decoded cy/cx/h/w scalars per step (logging.rs:135-146
+    # enable_debug_stat statistics)
+    debug_stat: bool = False
 
 
 @jax.tree_util.register_pytree_node_class
@@ -181,6 +184,13 @@ def make_train_step(
             })
         if config.log_weights_and_grads:
             metrics.update(param_maxima(new_params, grads))
+        if config.debug_stat:
+            # mean decoded box stats (logging.rs:135-146 debug_stat tuple)
+            mean = jnp.mean(pred.cycxhw, axis=(0, 1))
+            metrics.update({
+                "debug/cy_mean": mean[0], "debug/cx_mean": mean[1],
+                "debug/h_mean": mean[2], "debug/w_mean": mean[3],
+            })
         if config.return_obj_sample:
             metrics["obj_sample"] = pred.obj_prob()[0]
         return (
