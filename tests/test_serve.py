@@ -106,6 +106,20 @@ class TestService:
             t.join()
         assert json.dumps(solo) == json.dumps(results["x"])
 
+    def test_u8_fast_path_matches_float_path(self, service):
+        """submit_u8 (serving fast path) == submit_array of the same pixels:
+        both route through the identical uint8 letterbox + device batch."""
+        u8 = np.rint(_image(seed=7) * 255).astype(np.uint8)  # [3,H,W]
+        via_u8 = service.submit_u8(np.transpose(u8, (1, 2, 0)))
+        via_f32 = service.submit_array(u8.astype(np.float32) / 255.0)
+        assert json.dumps(via_u8) == json.dumps(via_f32)
+
+    def test_u8_bad_input_rejected(self, service):
+        with pytest.raises(ValueError):
+            service.submit_u8(np.zeros((48, 64, 3), np.float32))  # not u8
+        with pytest.raises(ValueError):
+            service.submit_u8(np.zeros((3, 48, 64), np.uint8))  # CHW
+
     def test_bytes_roundtrip(self, service):
         arr = (_image() * 255).astype(np.uint8)
         buf = io.BytesIO()

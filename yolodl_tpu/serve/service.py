@@ -211,8 +211,9 @@ class DetectionService:
         """Submit a [3,H,W] float32 image in [0,1]; blocks for the result."""
         if image_chw.ndim != 3 or image_chw.shape[0] != 3:
             raise ValueError(f"expected [3,H,W] image, got {image_chw.shape}")
-        u8 = (np.clip(np.transpose(image_chw, (1, 2, 0)), 0, 1) * 255
-              ).astype(np.uint8)
+        u8 = np.rint(
+            np.clip(np.transpose(image_chw, (1, 2, 0)), 0, 1) * 255
+        ).astype(np.uint8)
         return self.submit_u8(u8, timeout=timeout)
 
     def _submit_pil(self, pil_img, src_hw, timeout: float) -> List[dict]:
