@@ -35,6 +35,13 @@ def run(main) -> None:
         sys.exit(rc if isinstance(rc, int) else 0)
     except KeyboardInterrupt:
         sys.exit(130)
+    except BrokenPipeError:
+        # stdout consumer (e.g. `| head`) went away: the Unix convention is
+        # a silent exit, not a traceback.  Redirect stdout to devnull so the
+        # interpreter's shutdown flush doesn't re-raise.
+        devnull = os.open(os.devnull, os.O_WRONLY)
+        os.dup2(devnull, sys.stdout.fileno())
+        sys.exit(141)  # 128 + SIGPIPE
     except _USER_ERRORS as e:
         if os.environ.get("YOLODL_DEBUG"):
             raise

@@ -37,10 +37,24 @@ def main(argv=None):
     anchors.add_argument("--num", type=int, default=9)
     anchors.add_argument("--iters", type=int, default=100)
 
+    fold = sub.add_parser(
+        "fold-weights",
+        help="fold BN into conv weights: BN-free deployment cfg+weights pair",
+    )
+    fold.add_argument("cfg_file")
+    fold.add_argument("weights_file")
+    fold.add_argument("--out-cfg", default="",
+                      help="default: <cfg stem>-folded.cfg")
+    fold.add_argument("--out-weights", default="",
+                      help="default: <weights stem>-folded.weights")
+
     args = parser.parse_args(argv)
 
     if args.command == "anchors":
         _calc_anchors(args)
+        return
+    if args.command == "fold-weights":
+        _fold_weights(args)
         return
 
     graph = _load_graph(args.model_file)
@@ -107,6 +121,25 @@ def _calc_anchors(args):
     for h, w in centers:
         print(f"  [{h:.4f}, {w:.4f}]")
     print(f"mean best-IoU fitness: {fitness:.4f} over {len(sizes)} boxes")
+
+
+def _fold_weights(args):
+    """BN-folding export (models/fold.py): host-side numpy, no device."""
+    import os
+
+    from ..models.fold import fold_darknet_files
+
+    stem_c, _ = os.path.splitext(args.cfg_file)
+    stem_w, _ = os.path.splitext(args.weights_file)
+    out_cfg = args.out_cfg or f"{stem_c}-folded.cfg"
+    out_weights = args.out_weights or f"{stem_w}-folded.weights"
+    n_folded, n_kept = fold_darknet_files(
+        args.cfg_file, args.weights_file, out_cfg, out_weights
+    )
+    print(f"folded {n_folded} conv BN layer(s)"
+          + (f", kept {n_kept} non-conv BN block(s)" if n_kept else ""))
+    print(f"wrote {out_cfg}")
+    print(f"wrote {out_weights}")
 
 
 def cli():

@@ -154,9 +154,10 @@ def fold_batch_norm(
     ``conv(x, fw) + fb == bn(conv(x, w) + b)`` in eval mode.
 
     Note the reference applies activation *between* conv and BN
-    (conv_bn_2d.rs:88-101), so folding is only valid for linear activation;
-    the model builder uses this for export paths that re-order, and for
-    parity with darknet checkpoints where BN follows conv directly.
+    (conv_bn_2d.rs:88-101), so folding is only valid for the darknet
+    conv→BN→act order.  Consumed by the BN-folding export
+    (:mod:`yolodl_tpu.models.fold`, ``yolo-tool fold-weights``), whose
+    numpy mirror ``fold_conv_bn_arrays`` is lockstep-tested against this.
     """
     inv = jax.lax.rsqrt(state["var"] + eps)
     scale = params.get("scale")
