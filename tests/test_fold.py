@@ -191,6 +191,59 @@ num=1
     assert fp == params and fs == state
 
 
+SHIM = os.path.join(REPO, "parity", "dk_shim.so")
+
+
+@pytest.mark.skipif(not os.path.exists(SHIM), reason="darknet oracle not built")
+def test_darknet_c_loads_and_matches_folded_artifact(tmp_path):
+    """The deployment claim, proven against the real consumer: darknet-C
+    loads the folded cfg+weights pair and its per-layer feature maps match
+    our folded model (pure conv parity — no BN left on either side)."""
+    sys.path.insert(0, os.path.join(REPO, "parity"))
+    from oracle import DarknetOracle
+
+    d = dk.Darknet.load(os.path.join(REPO, "cfg/darknet/yolov4-tiny.cfg"))
+    model = YoloModel(graph_from_darknet(d))
+    params, state = model.init(jax.random.PRNGKey(3))
+    params, state = _randomized_bn_tree(params, state, seed=11)
+
+    src_c = tmp_path / "tiny.cfg"
+    src_c.write_text(dk.to_cfg_string(d))
+    src_w = tmp_path / "tiny.weights"
+    save_darknet_weights(d, params, state, src_w)
+    out_c = tmp_path / "tiny-folded.cfg"
+    out_w = tmp_path / "tiny-folded.weights"
+    fold_darknet_files(src_c, src_w, out_c, out_w)
+
+    d2 = dk.Darknet.load(out_c)
+    folded_model = YoloModel(graph_from_darknet(d2))
+    lp, ls, _ = load_darknet_weights(d2, out_w)
+    ip, is_ = folded_model.init(jax.random.PRNGKey(1))
+    fp, fs = merge_into_model_tree(lp, ls, ip, is_)
+
+    oracle = DarknetOracle(str(out_c), str(out_w))
+    rng = np.random.default_rng(0)
+    image = rng.uniform(0.0, 1.0, (3, 416, 416)).astype(np.float32)
+    oracle.forward(image)
+    _, _, ours = folded_model.apply(
+        fp, fs, jnp.asarray(image[None]), train=False,
+        return_intermediates=True,
+    )
+
+    comparable = {"convolutional", "maxpool", "upsample", "route", "shortcut"}
+    compared = 0
+    for i in range(oracle.num_layers):
+        if oracle.layer_type(i) not in comparable:
+            continue
+        ref = oracle.layer_output(i)  # CHW
+        mine = np.transpose(np.asarray(ours[f"layer{i}"][0]), (2, 0, 1))
+        assert mine.shape == ref.shape
+        mse = float(np.mean((mine - ref) ** 2) / (np.mean(ref**2) + 1e-12))
+        assert mse < 1e-5, f"layer {i} ({oracle.layer_type(i)}): rel MSE {mse:.3e}"
+        compared += 1
+    assert compared > 20
+
+
 def test_cli_fold_weights(tmp_path):
     d = dk.Darknet.load(os.path.join(REPO, "cfg/darknet/yolov4-tiny.cfg"))
     model = YoloModel(graph_from_darknet(d))
