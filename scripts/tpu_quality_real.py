@@ -16,11 +16,14 @@ checkpoint → eval inference → NMS → COCO AP) runs on real photographs and
 the mAP goes 0 → ~1.
 
 Run under axon: python scripts/tpu_quality_real.py
-Knobs: QLR_STEPS (default 400), QLR_SIZE (320), QLR_BATCH (6).
+Knobs: QLR_STEPS (default 400), QLR_SIZE (320), QLR_BATCH (6),
+QLR_CFG (cfg/darknet/yolov4-tiny.cfg — any detection cfg works, e.g.
+yolov4-csp.cfg for the flagship).
 """
 
 import json
 import os
+import re
 import subprocess
 import sys
 import tempfile
@@ -32,17 +35,18 @@ FIXTURE = "/root/reference/yolo-dl/tests/csv_dataset"
 STEPS = int(os.environ.get("QLR_STEPS", "400"))
 SIZE = int(os.environ.get("QLR_SIZE", "320"))
 BATCH = int(os.environ.get("QLR_BATCH", "6"))
+CFG = os.environ.get("QLR_CFG", "cfg/darknet/yolov4-tiny.cfg")
 
 
 def make_cfg(ws: str) -> str:
-    """yolov4-tiny rewritten to 3 classes at SIZE (filters=(5+3)*3=24)."""
-    text = open(os.path.join(REPO, "cfg/darknet/yolov4-tiny.cfg")).read()
-    text = text.replace("width=416", f"width={SIZE}").replace(
-        "height=416", f"height={SIZE}")
+    """The chosen cfg rewritten to 3 classes at SIZE (filters=(5+3)*3=24)."""
+    text = open(os.path.join(REPO, CFG)).read()
+    text = re.sub(r"(?m)^width=\d+", f"width={SIZE}", text)
+    text = re.sub(r"(?m)^height=\d+", f"height={SIZE}", text)
     text = text.replace("classes=80", "classes=3")
     # the conv feeding each [yolo] head must emit (5+3)*3 channels
     text = text.replace("filters=255", "filters=24")
-    path = os.path.join(ws, "tiny3.cfg")
+    path = os.path.join(ws, "model3.cfg")
     open(path, "w").write(text)
     return path
 
@@ -140,7 +144,8 @@ def main():
     print(eval_out.strip(), flush=True)
     print(json.dumps({
         "metric": "real-photo overfit mAP@0.5 via train+eval CLIs "
-                  f"(yolov4-tiny-{SIZE}, 3 classes, {STEPS} steps)",
+                  f"({os.path.splitext(os.path.basename(CFG))[0]}-{SIZE}, "
+                  f"3 classes, {STEPS} steps)",
         "before": map_before, "after": map_after,
         "seconds": round(time.time() - t0, 1),
     }), flush=True)
