@@ -77,13 +77,18 @@ def main():
     stop = time.perf_counter() + SECONDS
     counts = [0] * CLIENTS
 
+    client_errors = []
+
     def client(i):
         while time.perf_counter() < stop:
             try:
                 svc.submit_u8(pool[i % len(pool)], timeout=60)
                 counts[i] += 1
-            except RuntimeError:
+            except (RuntimeError, TimeoutError):
                 time.sleep(0.005)  # overloaded: back off like a real client
+            except Exception as e:  # device fault: fail loudly, not silently
+                client_errors.append(repr(e))
+                return
 
     threads = [threading.Thread(target=client, args=(i,)) for i in range(CLIENTS)]
     t0 = time.perf_counter()
@@ -108,8 +113,12 @@ def main():
         letterbox_u8_pil(Image.fromarray(pool[i % len(pool)]), (SIZE, SIZE))
         for i in range(BATCH)])
     dev = jax.block_until_ready(jax.numpy.asarray(boxed))
-    core = lambda: jax.block_until_ready(
-        svc._postprocess(svc._forward(svc._params, svc._state, dev)).valid)
+    # value readout = true completion fence: on the axon tunnel
+    # block_until_ready does NOT synchronize with device completion
+    # (see CLAUDE.md / bench.py), so each rep reads a scalar back.
+    core = lambda: np.asarray(
+        svc._postprocess(svc._forward(svc._params, svc._state, dev)).valid
+    ).sum()
     core()
     reps = 10
     t0 = time.perf_counter()
@@ -125,6 +134,7 @@ def main():
         "latency_ms": snap.get("latency_ms"),
         "mean_batch_fill": snap.get("mean_batch_fill"),
         "errors": snap.get("errors"),
+        "client_thread_errors": client_errors,
         "core_ms_per_batch": round(core_ms, 1),
         "core_img_s": round(BATCH / core_ms * 1e3, 1),
         "note": "e2e bound by the axon tunnel's ~38 MB/s host->device wire; "

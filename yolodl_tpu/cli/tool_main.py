@@ -137,7 +137,8 @@ def _fold_weights(args):
         args.cfg_file, args.weights_file, out_cfg, out_weights
     )
     print(f"folded {n_folded} conv BN layer(s)"
-          + (f", kept {n_kept} non-conv BN block(s)" if n_kept else ""))
+          + (f", kept {n_kept} BN layer(s) (shared-weight convs, crnn or "
+             "connected blocks stay unfolded)" if n_kept else ""))
     print(f"wrote {out_cfg}")
     print(f"wrote {out_weights}")
 

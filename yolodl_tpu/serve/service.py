@@ -277,17 +277,37 @@ class DetectionService:
                 out = self._postprocess(
                     self._forward(self._params, self._state, dev)
                 )
-                self._inflight.put((batch, out))  # backpressure at depth 2
+                if not self._put_inflight((batch, out)):
+                    self._fail_batch(batch, RuntimeError("service shut down"))
             except Exception as e:  # deliver the failure, don't kill the loop
                 self._fail_batch(batch, e)
-        self._inflight.put(None)  # unblock the completer
+        self._put_inflight(None)  # unblock the completer
+
+    def _put_inflight(self, item) -> bool:
+        """Bounded put that keeps observing _stop: a wedged completer (e.g.
+        a device readout that never returns) must not be able to hang
+        shutdown() behind a full in-flight queue."""
+        while True:
+            try:
+                self._inflight.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                if self._stop.is_set():
+                    return False
 
     def _complete_loop(self) -> None:
         """Stage 2: host-side unpack + coordinate mapping + fan-out."""
         from ..loss.inference import to_host_detections
 
         while True:
-            item = self._inflight.get()
+            try:
+                item = self._inflight.get(timeout=0.2)
+            except queue.Empty:
+                # normal exit is the dispatcher's None sentinel; this guards
+                # the case where the dispatcher died without delivering it
+                if self._stop.is_set() and not self._thread.is_alive():
+                    return
+                continue
             if item is None:
                 return
             batch, out = item
