@@ -9,6 +9,7 @@ error isolation, and the HTTP endpoints.
 import io
 import json
 import threading
+import time
 import urllib.request
 
 import jax
@@ -126,6 +127,48 @@ class TestService:
         Image.fromarray(np.transpose(arr, (1, 2, 0))).save(buf, format="PNG")
         dets = service.submit_bytes(buf.getvalue())
         assert isinstance(dets, list)
+
+    def test_shutdown_with_wedged_completer(self, monkeypatch):
+        """A completer stuck in a device readout (hung-tunnel mode) must not
+        wedge shutdown() behind the full in-flight queue: the dispatcher
+        keeps observing _stop and fails the batches it cannot hand off."""
+        import yolodl_tpu.loss.inference as inference_mod
+
+        graph = Graph.from_model(cfg.parse_model_dict(TOY))
+        model = YoloModel(graph)
+        params, state = model.init(jax.random.PRNGKey(0))
+        svc = DetectionService(
+            model, params, state, image_size=32, batch_size=2, window_ms=1.0,
+            nms_conf_thresh=0.01,
+        )
+        svc.warmup()
+        wedge = threading.Event()
+        monkeypatch.setattr(
+            inference_mod, "to_host_detections",
+            lambda out: wedge.wait(30) and [],
+        )
+        svc.start()
+
+        outcomes = []
+        def submit(i):
+            try:
+                svc.submit_array(_image(32, 32, seed=i), timeout=8)
+                outcomes.append("ok")
+            except Exception as e:
+                outcomes.append(type(e).__name__)
+        threads = [threading.Thread(target=submit, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        time.sleep(1.0)  # dispatcher fills the depth-2 in-flight queue
+
+        t0 = time.perf_counter()
+        svc.shutdown(timeout=3)
+        assert time.perf_counter() - t0 < 8
+        assert not svc._thread.is_alive()  # dispatcher exited despite the wedge
+        wedge.set()  # release the stuck completer
+        for t in threads:
+            t.join(timeout=10)
+        assert len(outcomes) == 8  # every caller resolved (error or result)
 
     def test_bad_shape_rejected(self, service):
         with pytest.raises(ValueError):

@@ -177,10 +177,10 @@ class DetectionService:
         self._thread.start()
         self._completer.start()
 
-    def shutdown(self) -> None:
+    def shutdown(self, timeout: float = 10.0) -> None:
         self._stop.set()
-        self._thread.join(timeout=10)
-        self._completer.join(timeout=10)
+        self._thread.join(timeout=timeout)
+        self._completer.join(timeout=timeout)
 
     # -- request path ------------------------------------------------------
 
