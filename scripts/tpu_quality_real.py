@@ -36,6 +36,11 @@ STEPS = int(os.environ.get("QLR_STEPS", "400"))
 SIZE = int(os.environ.get("QLR_SIZE", "320"))
 BATCH = int(os.environ.get("QLR_BATCH", "6"))
 CFG = os.environ.get("QLR_CFG", "cfg/darknet/yolov4-tiny.cfg")
+LR = float(os.environ.get("QLR_LR", "0.001"))
+# decay lr 10x at this fraction of the run (deep flagships need the decay
+# to settle box regression; 0 disables)
+DECAY_AT = float(os.environ.get("QLR_DECAY_AT", "0.7"))
+MOSAIC = float(os.environ.get("QLR_MOSAIC", "0.25"))
 
 
 def make_cfg(ws: str) -> str:
@@ -70,7 +75,7 @@ def main():
         "dataset": dataset,
         "preprocessor": {
             "cache": {"method": "MemoryCache"},
-            "mixup": {"mosaic_prob": 0.25},
+            "mixup": {"mosaic_prob": MOSAIC},
             "color_jitter": {"hue_shift": 0.02, "saturation_shift": 0.2,
                              "value_shift": 0.2},
             "random_affine": {"horizontal_flip_prob": 0.5,
@@ -81,8 +86,14 @@ def main():
         "logging": {"dir": os.path.join(ws, "logs")},
         "training": {
             "batch_size": BATCH,
-            "optimizer": {"type": "adam", "lr": 0.001, "momentum": 0.937,
-                          "weight_decay": 0.0},
+            "optimizer": {
+                "type": "adam", "momentum": 0.937, "weight_decay": 0.0,
+                "lr_schedule": (
+                    {"type": "StepWise",
+                     "steps": [[0, LR], [int(STEPS * DECAY_AT), LR / 10]]}
+                    if DECAY_AT else {"type": "Constant", "lr": LR}
+                ),
+            },
             "save_checkpoint_steps": STEPS,
             "loss": {"box_metric": "CIoU",
                      "match_grid_method": "Rect4",

@@ -137,6 +137,42 @@ class TestTrainCli:
         # tensorboard event file written
         assert any(name.startswith("events.out") for name in os.listdir(run_dir))
 
+    def test_train_accumulation_steps(self, workspace):
+        """training.accumulation_steps=2 splits each batch into two
+        sequential micro-batches with one optimizer step per logical batch
+        (darknet batch/subdivisions semantics)."""
+        import json
+
+        cfg = json.loads((workspace / "train.json5").read_text())
+        cfg["training"]["accumulation_steps"] = 2
+        cfg["logging"]["dir"] = str(workspace / "logs_accum")
+        (workspace / "train_accum.json5").write_text(json.dumps(cfg))
+        out = run_cli(
+            "yolodl_tpu.cli.train_main",
+            "--config-file", str(workspace / "train_accum.json5"),
+            "--max-steps", "4",
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        # one optimizer step per logical batch: max-steps counts optimizer
+        # steps, so the final checkpoint lands at step 4
+        runs = os.listdir(workspace / "logs_accum")
+        ckpts = os.listdir(workspace / "logs_accum" / runs[0] / "checkpoints")
+        assert any("_000004_" in n for n in ckpts), ckpts
+
+    def test_accumulation_must_divide_batch(self, workspace):
+        import json
+
+        cfg = json.loads((workspace / "train.json5").read_text())
+        cfg["training"]["accumulation_steps"] = 3  # batch_size=2 — invalid
+        (workspace / "train_bad_accum.json5").write_text(json.dumps(cfg))
+        out = run_cli(
+            "yolodl_tpu.cli.train_main",
+            "--config-file", str(workspace / "train_bad_accum.json5"),
+            "--max-steps", "1",
+        )
+        assert out.returncode == 1
+        assert "divisible" in out.stderr
+
     def test_train_steps_per_call_scan(self, workspace):
         """training.steps_per_call=2 scans two optimizer steps per XLA call;
         logging/checkpoint cadence still sees every step."""

@@ -118,6 +118,66 @@ class TestTrainStep:
         assert np.isfinite(last)
         assert last < first, f"{last} !< {first}"
 
+    def test_accum_matches_sequential_micro_batches(self, rng):
+        """Gradient accumulation (accum=2) must equal averaging the two
+        micro-batch gradients computed sequentially with BN state threaded
+        through — darknet's batch/subdivisions semantics."""
+        from yolodl_tpu.train.loop import make_batch_grads
+
+        model = tiny_model()
+        config = TrainConfig(lr=LrScheduleConfig(kind="constant", lr=5e-3))
+        ts, _ = train_init(model, config, seed=0)
+        images, boxes, classes, mask = fake_batch(rng, batch=4)
+
+        one = jax.jit(make_batch_grads(model, config))
+        acc = jax.jit(make_batch_grads(model, config, accum=2))
+
+        g_acc, st_acc, m_acc = acc(ts.params, ts.state, images, boxes,
+                                   classes, mask)
+        g1, st1, m1 = one(ts.params, ts.state, images[:2], boxes[:2],
+                          classes[:2], mask[:2])
+        g2, st2, m2 = one(ts.params, st1, images[2:], boxes[2:],
+                          classes[2:], mask[2:])
+
+        expect = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, g1, g2)
+        for a, b in zip(jax.tree_util.tree_leaves(g_acc),
+                        jax.tree_util.tree_leaves(expect)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, rtol=1e-5)
+        # BN running stats = the second sequential micro-batch's state
+        for a, b in zip(jax.tree_util.tree_leaves(st_acc),
+                        jax.tree_util.tree_leaves(st2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, rtol=1e-5)
+        # losses are micro-batch means; num_matched sums over the batch
+        np.testing.assert_allclose(
+            float(m_acc["total_loss"]),
+            (float(m1["total_loss"]) + float(m2["total_loss"])) / 2, rtol=1e-5)
+        assert int(m_acc["num_matched"]) == \
+            int(m1["num_matched"]) + int(m2["num_matched"])
+
+    def test_accum_step_trains(self, rng):
+        model = tiny_model()
+        config = TrainConfig(lr=LrScheduleConfig(kind="constant", lr=5e-3))
+        ts, opt = train_init(model, config, seed=0)
+        step_fn = make_train_step(model, opt, config, accum=2)
+        batch = fake_batch(rng, batch=4)
+        first = None
+        for _ in range(10):
+            ts, metrics = step_fn(ts, *batch)
+            if first is None:
+                first = float(metrics["total_loss"])
+        assert int(ts.step) == 10  # one optimizer step per logical batch
+        assert float(metrics["total_loss"]) < first
+
+    def test_accum_rejects_indivisible_batch(self, rng):
+        model = tiny_model()
+        config = TrainConfig()
+        ts, opt = train_init(model, config)
+        step_fn = make_train_step(model, opt, config, accum=3)
+        with pytest.raises(ValueError, match="not divisible"):
+            step_fn(ts, *fake_batch(rng, batch=4))
+
     def test_ema_tracks_params(self, rng):
         model = tiny_model()
         config = TrainConfig(use_ema=True, ema_decay=0.5,
@@ -215,6 +275,33 @@ class TestDataParallel:
             jax.tree_util.tree_leaves(ts_single.params),
             jax.tree_util.tree_leaves(ts_dp.params),
         ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+    def test_dp_accum_matches_single_accum(self, rng, devices8):
+        """DP composed with gradient accumulation (each shard split into 2
+        sequential micro-batches) tracks the single-device accumulated step
+        on a BN-free model."""
+        model = tiny_model(bn=False)
+        config = TrainConfig(lr=LrScheduleConfig(kind="constant", lr=1e-3))
+        ts, opt = train_init(model, config, seed=0)
+        batch = fake_batch(rng, batch=16)
+
+        single_fn = make_train_step(model, opt, config, accum=2)
+        ts_single = jax.tree_util.tree_map(jnp.copy, ts)
+        ts_single, m_single = single_fn(ts_single, *batch)
+
+        mesh = make_mesh(8)
+        dp_fn = make_dp_train_step(model, opt, config, mesh, accum=2)
+        ts_dp = replicate_state(mesh, jax.tree_util.tree_map(jnp.copy, ts))
+        ts_dp, m_dp = dp_fn(ts_dp, *shard_batch(mesh, batch))
+
+        np.testing.assert_allclose(
+            float(m_single["total_loss"]), float(m_dp["total_loss"]), rtol=2e-4)
+        # Rect4 matching assigns up to 3 cells per GT — just require the two
+        # paths to count identically over the same global batch
+        assert int(m_dp["num_matched"]) == int(m_single["num_matched"]) > 0
+        for a, b in zip(jax.tree_util.tree_leaves(ts_single.params),
+                        jax.tree_util.tree_leaves(ts_dp.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
     def test_dp_multiple_steps_stable(self, rng, devices8):

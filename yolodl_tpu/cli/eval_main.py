@@ -27,6 +27,8 @@ def main(argv=None):
                         help="confidence floor for candidate detections")
     parser.add_argument("--ema", action="store_true",
                         help="evaluate the EMA parameters from the checkpoint")
+    parser.add_argument("--per-class", action="store_true",
+                        help="include per-class AP@0.5 in the report")
     args = parser.parse_args(argv)
 
     import jax
@@ -144,6 +146,12 @@ def main(argv=None):
         "mAP@0.5": round(ap50["mAP"], 4),
         "mAP@0.5:0.95": round(map5095, 4),
     }
+    if args.per_class:
+        names = list(dataset.classes)
+        result["AP@0.5_per_class"] = {
+            (names[cid] if cid < len(names) else str(cid)): round(ap, 4)
+            for cid, ap in sorted(ap50["per_class"].items())
+        }
     print(json.dumps(result))
     return result
 

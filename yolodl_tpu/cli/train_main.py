@@ -172,13 +172,15 @@ def main(argv=None):
                           ts.ema_params)
 
     # device placement
+    accum = config.accumulation_steps
     if config.n_devices > 1:
         mesh = make_mesh(config.n_devices)
-        step_fn = make_dp_train_step(model, optimizer, train_cfg, mesh)
+        step_fn = make_dp_train_step(model, optimizer, train_cfg, mesh,
+                                     accum=accum)
         ts = replicate_state(mesh, ts)
         place = lambda batch: shard_batch(mesh, batch)
     else:
-        step_fn = make_train_step(model, optimizer, train_cfg)
+        step_fn = make_train_step(model, optimizer, train_cfg, accum=accum)
         place = lambda batch: batch
 
     logger = LoggingWorker(run_dir).start()
@@ -297,7 +299,8 @@ def main(argv=None):
     if scan_k > 1:
         from ..train import make_multi_step
 
-        step_fn = make_multi_step(model, optimizer, train_cfg, scan_k)
+        step_fn = make_multi_step(model, optimizer, train_cfg, scan_k,
+                                  accum=accum)
 
     # graceful preemption: SIGTERM/SIGINT request a checkpoint + clean exit
     # at the next step boundary (TPU maintenance events deliver SIGTERM);

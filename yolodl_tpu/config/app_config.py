@@ -278,6 +278,12 @@ class TrainAppConfig:
     # scan this many optimizer steps into one XLA program
     # (train.make_multi_step); 1 = classic per-step dispatch
     steps_per_call: int = 1
+    # split each (per-device) batch into this many sequential micro-batches
+    # whose gradients are averaged before one optimizer update — darknet's
+    # batch/subdivisions semantics ([net] subdivisions, which the reference
+    # parses, darknet-config/src/net.rs, but never uses to bound memory).
+    # Activation memory scales with batch/(devices*accumulation_steps).
+    accumulation_steps: int = 1
 
     @staticmethod
     def load(path) -> "TrainAppConfig":
@@ -325,14 +331,24 @@ class TrainAppConfig:
         opt = training.get("optimizer", {})
         benchmark = raw.get("benchmark", {})
         ms = training.get("multi_scale", {})
+        batch_size = int(training["batch_size"])
+        accum = int(training.get("accumulation_steps", 1))
+        if accum < 1:
+            raise ValueError(
+                f"{path}: training.accumulation_steps must be >= 1, got {accum}")
+        if batch_size % (n_devices * accum):
+            raise ValueError(
+                f"{path}: training.batch_size ({batch_size}) must be divisible "
+                f"by devices x accumulation_steps ({n_devices} x {accum})")
         return TrainAppConfig(
             model_kind=kind,
             model_file=model["cfg_file"],
             dataset=DatasetConfig.parse(raw["dataset"]),
             preprocessor=PreprocessorConfig.parse(raw.get("preprocessor", {})),
             logging=LoggingConfig.parse(raw.get("logging", {})),
-            batch_size=int(training["batch_size"]),
+            batch_size=batch_size,
             n_devices=n_devices,
+            accumulation_steps=accum,
             lr=LrScheduleConfig.parse(opt.get("lr_schedule", opt.get("lr"))),
             optimizer=str(opt.get("type", "adam")).lower(),
             momentum=float(opt.get("momentum", 0.937)),

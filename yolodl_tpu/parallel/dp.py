@@ -25,7 +25,6 @@ import optax
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
-from ..loss import yolo_loss
 from ..models.builder import YoloModel
 from ..train.ema import ema_update
 from ..train.loop import TrainConfig, TrainState
@@ -48,24 +47,32 @@ def make_dp_train_step(
     config: TrainConfig,
     mesh: Mesh,
     data_format: str = "NCHW",
+    accum: int = 1,
 ) -> Callable:
     """Data-parallel train step over ``mesh``.
 
     Signature: (TrainState, images, gt_boxes, gt_classes, gt_mask)
     → (TrainState, metrics); state replicated, batch sharded on axis 0.
-    """
 
-    def loss_fn(params, state, images, gt_boxes, gt_classes, gt_mask):
-        pred, new_state = model.apply(params, state, images, train=True,
-                                      data_format=data_format)
-        out, aux = yolo_loss(pred, gt_boxes, gt_classes, gt_mask, config.loss)
-        return out.total_loss, (out, new_state, aux, pred)
+    ``accum > 1`` composes gradient accumulation with DP: each replica's
+    shard is further split into ``accum`` sequential micro-batches (see
+    ``train.loop.make_batch_grads``), so the logical batch is
+    ``n_devices × accum`` micro-batches while only ``batch/(n·accum)``
+    activations live at once per chip.
+    """
+    import dataclasses as _dc
+
+    from ..train.loop import make_batch_grads
+
+    # obj_sample is per-shard data (an [N] activation sample) and cannot be
+    # emitted through a replicated out_spec — the DP path never returns it
+    shard_cfg = _dc.replace(config, return_obj_sample=False)
+    batch_grads = make_batch_grads(model, shard_cfg, data_format, accum)
 
     def shard_step(ts: TrainState, images, gt_boxes, gt_classes, gt_mask):
-        # per-shard forward/backward on the local micro-batch
-        (total, (out, new_state, aux, pred)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(ts.params, ts.state, images, gt_boxes, gt_classes, gt_mask)
+        # per-shard forward/backward on the local micro-batch(es)
+        grads, new_state, metrics = batch_grads(
+            ts.params, ts.state, images, gt_boxes, gt_classes, gt_mask)
 
         # gradient + metric all-reduce over ICI (the entire multi_gpu.rs
         # scatter/gather/broadcast choreography collapses to this psum)
@@ -85,22 +92,10 @@ def make_dp_train_step(
         )
 
         metrics = {
-            "total_loss": jax.lax.pmean(out.total_loss, DATA_AXIS),
-            "iou_loss": jax.lax.pmean(out.iou_loss, DATA_AXIS),
-            "classification_loss": jax.lax.pmean(out.classification_loss, DATA_AXIS),
-            "objectness_loss": jax.lax.pmean(out.objectness_loss, DATA_AXIS),
-            "num_matched": jax.lax.psum(aux.matching.num_matched(), DATA_AXIS),
+            k: (jax.lax.psum(v, DATA_AXIS) if k == "num_matched"
+                else jax.lax.pmean(v, DATA_AXIS))
+            for k, v in metrics.items()
         }
-        if config.benchmark_confidence is not None:
-            from ..loss.benchmark import yolo_benchmark
-
-            bench = yolo_benchmark(pred, aux.matching, config.benchmark_confidence)
-            metrics.update({
-                "obj_accuracy": jax.lax.pmean(bench.obj_accuracy, DATA_AXIS),
-                "obj_recall": jax.lax.pmean(bench.obj_recall, DATA_AXIS),
-                "obj_precision": jax.lax.pmean(bench.obj_precision, DATA_AXIS),
-                "class_accuracy": jax.lax.pmean(bench.class_accuracy, DATA_AXIS),
-            })
         if config.log_weights_and_grads:
             # params/grads are identical across replicas post-pmean
             from ..train.loop import param_maxima

@@ -129,19 +129,29 @@ def train_init(
     )
 
 
-def make_train_step(
+def make_batch_grads(
     model: YoloModel,
-    optimizer: optax.GradientTransformation,
     config: TrainConfig,
     data_format: str = "NCHW",
-    jit: bool = True,
+    accum: int = 1,
 ) -> Callable:
-    """Build the jitted train step:
-    (TrainState, images, gt_boxes, gt_classes, gt_mask) → (TrainState, metrics).
+    """(params, state, images, boxes, classes, mask) → (grads, new_state,
+    metrics) for one logical batch.
 
-    ``jit=False`` returns the raw traced function (used by
-    :func:`make_multi_step` to scan several steps into one program).
+    ``accum > 1`` is gradient accumulation with darknet's
+    ``batch``/``subdivisions`` semantics ([net] subdivisions — the reference
+    parses it, darknet-config/src/net.rs, but tch always holds the whole
+    batch): the logical batch is split into ``accum`` sequential
+    micro-batches under ``lax.scan``, each running forward+backward before
+    the next starts, so activation memory scales with ``batch/accum`` while
+    the gradient is the average over the full batch.  BN running stats
+    thread through the micro-batches sequentially, exactly like darknet's
+    per-subdivision forward.  Loss metrics are micro-batch means (the same
+    masked-mean-of-means the DP path produces per replica); ``num_matched``
+    is the sum over the logical batch.
     """
+    if accum < 1:
+        raise ValueError(f"accum must be >= 1, got {accum}")
 
     def loss_fn(params, state, images, gt_boxes, gt_classes, gt_mask):
         pred, new_state = model.apply(params, state, images, train=True,
@@ -149,22 +159,9 @@ def make_train_step(
         out, aux = yolo_loss(pred, gt_boxes, gt_classes, gt_mask, config.loss)
         return out.total_loss, (out, new_state, aux, pred)
 
-    def step(ts: TrainState, images, gt_boxes, gt_classes, gt_mask):
-        (total, (out, new_state, aux, pred)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(ts.params, ts.state, images, gt_boxes, gt_classes, gt_mask)
+    vag = jax.value_and_grad(loss_fn, has_aux=True)
 
-        updates, new_opt_state = optimizer.update(grads, ts.opt_state, ts.params)
-        new_params = optax.apply_updates(ts.params, updates)
-        new_state = model.clamp_running_vars(new_state)
-
-        new_step = ts.step + 1
-        new_ema = (
-            ema_update(ts.ema_params, new_params, new_step, config.ema_decay)
-            if ts.ema_params is not None
-            else None
-        )
-
+    def step_metrics(out, aux, pred):
         metrics = {
             "total_loss": out.total_loss,
             "iou_loss": out.iou_loss,
@@ -182,8 +179,6 @@ def make_train_step(
                 "obj_precision": bench.obj_precision,
                 "class_accuracy": bench.class_accuracy,
             })
-        if config.log_weights_and_grads:
-            metrics.update(param_maxima(new_params, grads))
         if config.debug_stat:
             # mean decoded box stats (logging.rs:135-146 debug_stat tuple)
             mean = jnp.mean(pred.cycxhw, axis=(0, 1))
@@ -193,6 +188,78 @@ def make_train_step(
             })
         if config.return_obj_sample:
             metrics["obj_sample"] = pred.obj_prob()[0]
+        return metrics
+
+    def batch_grads(params, state, images, gt_boxes, gt_classes, gt_mask):
+        if accum == 1:
+            (_, (out, new_state, aux, pred)), grads = vag(
+                params, state, images, gt_boxes, gt_classes, gt_mask)
+            return grads, new_state, step_metrics(out, aux, pred)
+
+        batch = images.shape[0]
+        if batch % accum:
+            raise ValueError(
+                f"batch size {batch} is not divisible by "
+                f"accumulation_steps {accum}")
+        mb = batch // accum
+        split = lambda x: x.reshape((accum, mb) + x.shape[1:])
+
+        def body(carry, xs):
+            state, grad_acc = carry
+            (_, (out, new_state, aux, pred)), grads = vag(params, state, *xs)
+            grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
+            return (new_state, grad_acc), step_metrics(out, aux, pred)
+
+        zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+        (new_state, grads), ys = jax.lax.scan(
+            body, (state, zero),
+            tuple(split(x) for x in (images, gt_boxes, gt_classes, gt_mask)))
+        grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+        metrics = {
+            k: (jnp.sum(v, 0) if k == "num_matched"
+                else v[0] if k == "obj_sample"  # first image overall
+                else jnp.mean(v, 0))
+            for k, v in ys.items()
+        }
+        return grads, new_state, metrics
+
+    return batch_grads
+
+
+def make_train_step(
+    model: YoloModel,
+    optimizer: optax.GradientTransformation,
+    config: TrainConfig,
+    data_format: str = "NCHW",
+    jit: bool = True,
+    accum: int = 1,
+) -> Callable:
+    """Build the jitted train step:
+    (TrainState, images, gt_boxes, gt_classes, gt_mask) → (TrainState, metrics).
+
+    ``jit=False`` returns the raw traced function (used by
+    :func:`make_multi_step` to scan several steps into one program).
+    ``accum`` enables gradient accumulation — see :func:`make_batch_grads`.
+    """
+    batch_grads = make_batch_grads(model, config, data_format, accum)
+
+    def step(ts: TrainState, images, gt_boxes, gt_classes, gt_mask):
+        grads, new_state, metrics = batch_grads(
+            ts.params, ts.state, images, gt_boxes, gt_classes, gt_mask)
+
+        updates, new_opt_state = optimizer.update(grads, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+        new_state = model.clamp_running_vars(new_state)
+
+        new_step = ts.step + 1
+        new_ema = (
+            ema_update(ts.ema_params, new_params, new_step, config.ema_decay)
+            if ts.ema_params is not None
+            else None
+        )
+
+        if config.log_weights_and_grads:
+            metrics.update(param_maxima(new_params, grads))
         return (
             TrainState(new_params, new_state, new_opt_state, new_step, new_ema),
             metrics,
@@ -223,6 +290,7 @@ def make_multi_step(
     config: TrainConfig,
     k: int,
     data_format: str = "NCHW",
+    accum: int = 1,
 ) -> Callable:
     """``k`` train steps scanned into ONE XLA program.
 
@@ -236,7 +304,8 @@ def make_multi_step(
     sequential ``make_train_step`` calls — the LR schedule reads the optax
     step count, which advances inside the scan.
     """
-    step = make_train_step(model, optimizer, config, data_format, jit=False)
+    step = make_train_step(model, optimizer, config, data_format, jit=False,
+                           accum=accum)
 
     def multi(ts: TrainState, images, gt_boxes, gt_classes, gt_mask):
         def body(carry, xs):
