@@ -137,6 +137,24 @@ class TestTrainCli:
         # tensorboard event file written
         assert any(name.startswith("events.out") for name in os.listdir(run_dir))
 
+    def test_train_periodic_evaluation(self, workspace):
+        """evaluation.interval=2 reports dataset mAP through the full
+        inference path every 2 optimizer steps."""
+        import json
+
+        cfg = json.loads((workspace / "train.json5").read_text())
+        cfg["evaluation"] = {"interval": 2, "limit": 4, "conf_thresh": 0.05}
+        cfg["logging"] = {"dir": str(workspace / "logs_eval")}
+        (workspace / "train_eval.json5").write_text(json.dumps(cfg))
+        out = run_cli(
+            "yolodl_tpu.cli.train_main",
+            "--config-file", str(workspace / "train_eval.json5"),
+            "--max-steps", "4",
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        val_lines = [l for l in out.stdout.splitlines() if "val mAP@0.5" in l]
+        assert len(val_lines) == 2, out.stdout  # steps 2 and 4
+
     def test_train_accumulation_steps(self, workspace):
         """training.accumulation_steps=2 splits each batch into two
         sequential micro-batches with one optimizer step per logical batch

@@ -32,19 +32,14 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
     from ..config.app_config import DetectAppConfig
     from ..data import OnDemandLoader, SanitizedDataset
     from ..graph import Graph
     from ..graph.from_darknet import load_darknet_graph
-    from ..loss import non_max_suppression, yolo_inference
-    from ..loss.average_precision import (
-        Detection, GroundTruth, average_precision, coco_map_50_95,
-    )
     from ..models import YoloModel
     from ..train.checkpoint import load_checkpoint
+    from ..train.evaluation import DatasetEvaluator
 
     config = DetectAppConfig.load(args.config_file)
     base_dir = os.path.dirname(os.path.abspath(args.config_file))
@@ -72,12 +67,6 @@ def main(argv=None):
     size = config.dataset.image_size
     loader = OnDemandLoader((size, size))
 
-    # two-stage jit (see detect_main: fused-TopK layout pathology on TPU)
-    @jax.jit
-    def forward(params, state, images):
-        pred, _ = model.apply(params, state, images, train=False)
-        return pred
-
     # honor the model cfg's nms_kind + beta_nms (detect_main does the same)
     nms_kind, nms_beta = "greedy", 0.6
     if config.model_kind == "darknet":
@@ -86,71 +75,26 @@ def main(argv=None):
 
         nms_kind, nms_beta = nms_options_from_darknet(dk.Darknet.load(model_path))
 
-    @jax.jit
-    def postprocess(pred):
-        # class_mode="argmax": yolo_inference keeps only each instance's
-        # best class anyway, and the full N·C top-k hits XLA's TPU TopK
-        # slow path on near-degenerate confidences (see non_max_suppression)
-        nms = non_max_suppression(
-            pred,
-            iou_threshold=config.nms_iou_thresh,
-            confidence_threshold=args.conf_thresh,
-            suppress_by_class=True,
-            class_mode="argmax",
-            kind=nms_kind,
-            beta=nms_beta,
-        )
-        return yolo_inference(nms, pred.num_flats)
-
-    def infer(params, state, images):
-        return postprocess(forward(params, state, images))
-
     records = dataset.records()
     if args.limit:
         records = records[: args.limit]
-    batch_size = config.minibatch_size
 
-    dets, gts = [], []
-    for start in range(0, len(records), batch_size):
-        chunk = records[start : start + batch_size]
-        decoded = [loader.load(r) for r in chunk]
-        while len(decoded) < batch_size:
-            decoded.append(decoded[-1])
-        images = jnp.asarray(np.stack([d.image for d in decoded]))
-        out = infer(params, state, images)
-        tlbr = np.asarray(out.tlbr)
-        conf = np.asarray(out.confidence)
-        classes = np.asarray(out.classes)
-        valid = np.asarray(out.valid)
-        for i, _rec in enumerate(chunk):
-            img_id = start + i
-            boxes = decoded[i].boxes
-            for (cy, cx, h, w), cls in zip(boxes, decoded[i].classes):
-                gts.append(
-                    GroundTruth(img_id, int(cls),
-                                (cy - h / 2, cx - w / 2, cy + h / 2, cx + w / 2))
-                )
-            for k in np.nonzero(valid[i])[0]:
-                dets.append(
-                    Detection(img_id, int(classes[i, k]), float(conf[i, k]),
-                              tuple(tlbr[i, k]))
-                )
-
-    ap50 = average_precision(dets, gts, iou_threshold=0.5,
-                             num_classes=len(dataset.classes))
-    map5095 = coco_map_50_95(dets, gts, num_classes=len(dataset.classes))
-    result = {
-        "images": len(records),
-        "detections": len(dets),
-        "ground_truths": len(gts),
-        "mAP@0.5": round(ap50["mAP"], 4),
-        "mAP@0.5:0.95": round(map5095, 4),
-    }
+    evaluator = DatasetEvaluator(
+        model, records, loader,
+        num_classes=len(dataset.classes),
+        batch_size=config.minibatch_size,
+        iou_threshold=config.nms_iou_thresh,
+        confidence_threshold=args.conf_thresh,
+        nms_kind=nms_kind,
+        nms_beta=nms_beta,
+    )
+    result = evaluator(params, state)
+    per_class = result.pop("per_class")
     if args.per_class:
         names = list(dataset.classes)
         result["AP@0.5_per_class"] = {
             (names[cid] if cid < len(names) else str(cid)): round(ap, 4)
-            for cid, ap in sorted(ap50["per_class"].items())
+            for cid, ap in sorted(per_class.items())
         }
     print(json.dumps(result))
     return result

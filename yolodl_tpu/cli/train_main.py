@@ -192,21 +192,21 @@ def main(argv=None):
     # detection-overlay images (train/src/train/multi_gpu.rs:239-261,
     # train/src/logging.rs:379-422).  Same two-stage jit discipline as the
     # detect CLI (NMS fused into the conv program inherits bad layouts).
+    # honor the model cfg's nms_kind + beta_nms like the detect CLI — any
+    # in-training inference must preview what detect would actually keep
+    nms_kind, nms_beta = "greedy", 0.6
+    if config.model_kind == "darknet":
+        from ..config import darknet_cfg as dk
+        from ..loss.nms import nms_options_from_darknet
+
+        nms_kind, nms_beta = nms_options_from_darknet(
+            dk.Darknet.load(model_path))
+
     infer_one = None
     if config.logging.enable_inference:
         from ..loss import non_max_suppression, yolo_inference
         from ..loss.inference import to_host_detections
         from ..train.logging import draw_boxes_on_image as _draw
-
-        # honor the model cfg's nms_kind + beta_nms like the detect CLI —
-        # the overlays must preview what detect would actually keep
-        nms_kind, nms_beta = "greedy", 0.6
-        if config.model_kind == "darknet":
-            from ..config import darknet_cfg as dk
-            from ..loss.nms import nms_options_from_darknet
-
-            nms_kind, nms_beta = nms_options_from_darknet(
-                dk.Darknet.load(model_path))
 
         @jax.jit
         def _infer_fwd(params, state, image):
@@ -254,6 +254,32 @@ def main(argv=None):
                 canvas = _draw(canvas, np.asarray(boxes), color=_palette[ci])
             logger.log_image(step, "inference/detections",
                              np.clip(canvas, 0, 1))
+    # periodic in-training validation (evaluation.interval): dataset mAP
+    # through the full inference path, logged as val/* scalars
+    evaluator = None
+    if config.eval_interval:
+        from ..train.evaluation import DatasetEvaluator
+
+        ev_cfg = config.eval_dataset or config.dataset
+        ev_ds = SanitizedDataset(
+            ev_cfg.open(base_dir),
+            out_of_bound_tolerance=config.preprocessor.out_of_bound_tolerance,
+            min_bbox_size=config.preprocessor.min_bbox_size,
+        )
+        ev_records = ev_ds.records()
+        if config.eval_limit:
+            ev_records = ev_records[: config.eval_limit]
+        ev_size = ev_cfg.image_size
+        evaluator = DatasetEvaluator(
+            model, ev_records, OnDemandLoader((ev_size, ev_size)),
+            num_classes=len(ev_ds.classes),
+            batch_size=config.eval_batch_size or config.batch_size,
+            iou_threshold=config.nms_iou_thresh,
+            confidence_threshold=config.eval_conf_thresh,
+            nms_kind=nms_kind,
+            nms_beta=nms_beta,
+        )
+
     if config.logging.enable_images:
         # static per-head layout for the objectness heatmap, via an
         # abstract trace (no device work)
@@ -399,6 +425,16 @@ def main(argv=None):
             imgs = last_batch["images"]
             gt_boxes, gt_mask = last_batch["gt"]
             infer_one(step, imgs[0], gt_boxes[0], gt_mask[0])
+        if (evaluator is not None and (step // config.eval_interval)
+                > ((step - window) // config.eval_interval)):
+            # window-end only: ts holds the params matching `step`
+            report = evaluator(ts.params, ts.state)
+            logger.log_scalars(step, {
+                "val/mAP@0.5": report["mAP@0.5"],
+                "val/mAP@0.5:0.95": report["mAP@0.5:0.95"],
+            })
+            print(f"step {step}  val mAP@0.5 {report['mAP@0.5']:.4f}  "
+                  f"mAP@0.5:0.95 {report['mAP@0.5:0.95']:.4f}")
         save = config.checkpoint.save_steps
         saved = False
         if save and (step // save) > ((step - window) // save):

@@ -278,6 +278,16 @@ class TrainAppConfig:
     # scan this many optimizer steps into one XLA program
     # (train.make_multi_step); 1 = classic per-step dispatch
     steps_per_call: int = 1
+    # periodic in-training validation: every eval_interval optimizer steps,
+    # run full inference+NMS+COCO-AP over the evaluation dataset (default:
+    # the training dataset) and log val/mAP to TensorBoard + console.
+    # Beyond-reference: the reference has only per-step benchmark telemetry
+    # (benchmark.rs), never dataset mAP during training.
+    eval_interval: int = 0          # 0 = disabled
+    eval_limit: int = 0             # cap the number of evaluated records
+    eval_conf_thresh: float = 0.005
+    eval_batch_size: int = 0        # 0 = training batch size
+    eval_dataset: Optional[DatasetConfig] = None
     # split each (per-device) batch into this many sequential micro-batches
     # whose gradients are averaged before one optimizer update — darknet's
     # batch/subdivisions semantics ([net] subdivisions, which the reference
@@ -330,6 +340,7 @@ class TrainAppConfig:
 
         opt = training.get("optimizer", {})
         benchmark = raw.get("benchmark", {})
+        evaluation = raw.get("evaluation", {})
         ms = training.get("multi_scale", {})
         batch_size = int(training["batch_size"])
         accum = int(training.get("accumulation_steps", 1))
@@ -363,6 +374,12 @@ class TrainAppConfig:
             nms_conf_thresh=float(benchmark.get("nms_conf_thresh", 0.1)),
             multi_scale_sizes=tuple(int(x) for x in ms.get("sizes", ())),
             steps_per_call=int(training.get("steps_per_call", 1)),
+            eval_interval=int(evaluation.get("interval", 0)),
+            eval_limit=int(evaluation.get("limit", 0)),
+            eval_conf_thresh=float(evaluation.get("conf_thresh", 0.005)),
+            eval_batch_size=int(evaluation.get("batch_size", 0)),
+            eval_dataset=(DatasetConfig.parse(evaluation["dataset"])
+                          if "dataset" in evaluation else None),
             multi_scale_interval=int(ms.get("interval", 10)),
             use_ema=bool(training.get("ema", {}).get("enabled", False)),
             ema_decay=float(training.get("ema", {}).get("decay", 0.9999)),

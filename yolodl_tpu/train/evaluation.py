@@ -1,0 +1,114 @@
+"""Dataset mAP evaluation, reusable from the eval CLI and the train loop.
+
+The reference has only in-training benchmark telemetry (obj/class accuracy
+at a confidence threshold, yolo-dl/src/loss/benchmark.rs:33-101) and an AP
+calculator library (average_precision.rs) — it never wires dataset mAP
+into anything.  This module runs the full inference path (forward → NMS →
+class selection → COCO 101-point AP) over a record list, compiled once and
+reused across calls with fresh parameters, so the training loop can report
+validation mAP every N optimizer steps at the cost of the forwards alone.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..loss import non_max_suppression, yolo_inference
+from ..loss.average_precision import (
+    Detection, GroundTruth, average_precision, coco_map_50_95,
+)
+
+
+class DatasetEvaluator:
+    """Callable (params, state) → mAP report over a fixed record list.
+
+    The forward and NMS programs are jitted separately (NMS fused into the
+    conv program inherits bad layouts on TPU — see detect_main) and reused
+    across invocations; only parameters change between calls.
+    """
+
+    def __init__(
+        self,
+        model,
+        records: List,
+        loader,
+        num_classes: int,
+        batch_size: int = 4,
+        iou_threshold: float = 0.45,
+        confidence_threshold: float = 0.005,
+        nms_kind: str = "greedy",
+        nms_beta: float = 0.6,
+    ):
+        self.records = list(records)
+        self.loader = loader
+        self.batch_size = max(1, int(batch_size))
+        self.num_classes = num_classes
+
+        @jax.jit
+        def forward(params, state, images):
+            pred, _ = model.apply(params, state, images, train=False)
+            return pred
+
+        @jax.jit
+        def postprocess(pred):
+            nms = non_max_suppression(
+                pred,
+                iou_threshold=iou_threshold,
+                confidence_threshold=confidence_threshold,
+                suppress_by_class=True,
+                class_mode="argmax",
+                kind=nms_kind,
+                beta=nms_beta,
+            )
+            return yolo_inference(nms, pred.num_flats)
+
+        self._forward = forward
+        self._postprocess = postprocess
+        # decoded images + GT are reused verbatim on every call
+        self._decoded: Optional[list] = None
+
+    def _decode_all(self):
+        if self._decoded is None:
+            self._decoded = [self.loader.load(r) for r in self.records]
+        return self._decoded
+
+    def __call__(self, params, state) -> Dict:
+        decoded = self._decode_all()
+        dets, gts = [], []
+        bs = self.batch_size
+        for start in range(0, len(decoded), bs):
+            chunk = decoded[start : start + bs]
+            n_real = len(chunk)
+            while len(chunk) < bs:
+                chunk.append(chunk[-1])  # pad — extra rows are dropped below
+            images = jnp.asarray(np.stack([d.image for d in chunk]))
+            out = self._postprocess(self._forward(params, state, images))
+            tlbr = np.asarray(out.tlbr)
+            conf = np.asarray(out.confidence)
+            classes = np.asarray(out.classes)
+            valid = np.asarray(out.valid)
+            for i in range(n_real):
+                img_id = start + i
+                for (cy, cx, h, w), cls in zip(chunk[i].boxes, chunk[i].classes):
+                    gts.append(GroundTruth(
+                        img_id, int(cls),
+                        (cy - h / 2, cx - w / 2, cy + h / 2, cx + w / 2)))
+                for k in np.nonzero(valid[i])[0]:
+                    dets.append(Detection(
+                        img_id, int(classes[i, k]), float(conf[i, k]),
+                        tuple(tlbr[i, k])))
+        ap50 = average_precision(dets, gts, iou_threshold=0.5,
+                                 num_classes=self.num_classes)
+        map5095 = coco_map_50_95(dets, gts, num_classes=self.num_classes)
+        return {
+            "images": len(self.records),
+            "detections": len(dets),
+            "ground_truths": len(gts),
+            "mAP@0.5": round(ap50["mAP"], 4),
+            "mAP@0.5:0.95": round(map5095, 4),
+            "per_class": ap50["per_class"],
+        }
