@@ -137,6 +137,28 @@ class TestTrainCli:
         # tensorboard event file written
         assert any(name.startswith("events.out") for name in os.listdir(run_dir))
 
+    def test_train_zero1_on_mesh(self, workspace):
+        """training.zero_optimizer shards Adam state over an 8-device mesh;
+        the run trains, checkpoints, and resumes params."""
+        import json
+
+        cfg = json.loads((workspace / "train.json5").read_text())
+        cfg["training"]["device_config"] = {
+            "type": "MultiDevice", "devices": [f"tpu:{i}" for i in range(8)]}
+        cfg["training"]["batch_size"] = 8
+        cfg["training"]["zero_optimizer"] = True
+        cfg["logging"] = {"dir": str(workspace / "logs_zero")}
+        (workspace / "train_zero.json5").write_text(json.dumps(cfg))
+        out = run_cli(
+            "yolodl_tpu.cli.train_main",
+            "--config-file", str(workspace / "train_zero.json5"),
+            "--max-steps", "4",
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        runs = os.listdir(workspace / "logs_zero")
+        ckpts = os.listdir(workspace / "logs_zero" / runs[0] / "checkpoints")
+        assert any("_000004_" in n for n in ckpts), ckpts
+
     def test_train_periodic_evaluation(self, workspace):
         """evaluation.interval=2 reports dataset mAP through the full
         inference path every 2 optimizer steps."""

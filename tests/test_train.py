@@ -304,6 +304,56 @@ class TestDataParallel:
                         jax.tree_util.tree_leaves(ts_dp.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
+    def test_zero1_matches_dp(self, rng, devices8):
+        """ZeRO-1 (reduce_scatter grads → shard-local Adam → all_gather
+        params) must track plain DP: the elementwise optimizer on a slice
+        equals the optimizer on the full vector."""
+        from yolodl_tpu.parallel import (
+            make_zero_train_step, place_zero_state, zero_init,
+        )
+
+        model = tiny_model(bn=False)
+        config = TrainConfig(lr=LrScheduleConfig(kind="constant", lr=1e-3))
+        batch = fake_batch(rng, batch=8)
+        mesh = make_mesh(8)
+
+        ts_dp, opt = train_init(model, config, seed=0)
+        dp_fn = make_dp_train_step(model, opt, config, mesh)
+        ts_dp = replicate_state(mesh, ts_dp)
+
+        ts_z, opt_z = zero_init(model, config, mesh, seed=0)
+        # optimizer state per shard: Adam mu/nu leaves are 1/8 of the params
+        n_params = sum(int(np.size(l))
+                       for l in jax.tree_util.tree_leaves(ts_z.params))
+        vec_leaves = [l for l in jax.tree_util.tree_leaves(ts_z.opt_state)
+                      if getattr(l, "ndim", 0)]
+        assert all(l.shape[0] % 8 == 0 for l in vec_leaves)
+        assert all(l.shape[0] >= n_params for l in vec_leaves)
+        z_fn = make_zero_train_step(model, opt_z, config, mesh)
+        ts_z = place_zero_state(mesh, ts_z)
+
+        sharded = shard_batch(mesh, batch)
+        for _ in range(3):
+            ts_dp, m_dp = dp_fn(ts_dp, *sharded)
+            ts_z, m_z = z_fn(ts_z, *sharded)
+
+        np.testing.assert_allclose(
+            float(m_dp["total_loss"]), float(m_z["total_loss"]), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(ts_dp.params),
+                        jax.tree_util.tree_leaves(ts_z.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+        assert int(ts_z.step) == 3
+
+    def test_zero1_rejects_global_norm_clip(self):
+        from yolodl_tpu.parallel import zero_init
+
+        model = tiny_model(bn=False)
+        config = TrainConfig(clip_grad_norm=1.0)
+        mesh = make_mesh(8)
+        with pytest.raises(ValueError, match="global gradient norm"):
+            zero_init(model, config, mesh)
+
     def test_dp_multiple_steps_stable(self, rng, devices8):
         model = tiny_model()
         config = TrainConfig()

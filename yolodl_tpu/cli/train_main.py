@@ -141,7 +141,17 @@ def main(argv=None):
         return_obj_sample=config.logging.enable_images,
         debug_stat=config.logging.enable_debug_stat,
     )
-    ts, optimizer = train_init(model, train_cfg, seed=0)
+    use_zero = config.zero_optimizer and config.n_devices > 1
+    if config.zero_optimizer and config.n_devices <= 1:
+        print("zero_optimizer requires a MultiDevice config; ignoring "
+              "(optimizer-state sharding is a no-op on one device)")
+    mesh = make_mesh(config.n_devices) if config.n_devices > 1 else None
+    if use_zero:
+        from ..parallel import zero_init
+
+        ts, optimizer = zero_init(model, train_cfg, mesh, seed=0)
+    else:
+        ts, optimizer = train_init(model, train_cfg, seed=0)
 
     # checkpoint restore (utils/checkpoint.rs:24-81 semantics)
     restored = None
@@ -174,10 +184,16 @@ def main(argv=None):
     # device placement
     accum = config.accumulation_steps
     if config.n_devices > 1:
-        mesh = make_mesh(config.n_devices)
-        step_fn = make_dp_train_step(model, optimizer, train_cfg, mesh,
-                                     accum=accum)
-        ts = replicate_state(mesh, ts)
+        if use_zero:
+            from ..parallel import make_zero_train_step, place_zero_state
+
+            step_fn = make_zero_train_step(model, optimizer, train_cfg, mesh,
+                                           accum=accum)
+            ts = place_zero_state(mesh, ts)
+        else:
+            step_fn = make_dp_train_step(model, optimizer, train_cfg, mesh,
+                                         accum=accum)
+            ts = replicate_state(mesh, ts)
         place = lambda batch: shard_batch(mesh, batch)
     else:
         step_fn = make_train_step(model, optimizer, train_cfg, accum=accum)

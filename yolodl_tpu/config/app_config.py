@@ -288,6 +288,10 @@ class TrainAppConfig:
     eval_conf_thresh: float = 0.005
     eval_batch_size: int = 0        # 0 = training batch size
     eval_dataset: Optional[DatasetConfig] = None
+    # ZeRO-1: shard the optimizer state over the data axis
+    # (reduce_scatter grads → per-shard update → all_gather params);
+    # Adam state per chip drops from 2·P to 2·P/n. MultiDevice only.
+    zero_optimizer: bool = False
     # split each (per-device) batch into this many sequential micro-batches
     # whose gradients are averaged before one optimizer update — darknet's
     # batch/subdivisions semantics ([net] subdivisions, which the reference
@@ -380,6 +384,7 @@ class TrainAppConfig:
             eval_batch_size=int(evaluation.get("batch_size", 0)),
             eval_dataset=(DatasetConfig.parse(evaluation["dataset"])
                           if "dataset" in evaluation else None),
+            zero_optimizer=bool(training.get("zero_optimizer", False)),
             multi_scale_interval=int(ms.get("interval", 10)),
             use_ema=bool(training.get("ema", {}).get("enabled", False)),
             ema_decay=float(training.get("ema", {}).get("decay", 0.9999)),
