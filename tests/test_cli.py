@@ -176,6 +176,14 @@ class TestTrainCli:
         assert out.returncode == 0, out.stderr[-3000:]
         val_lines = [l for l in out.stdout.splitlines() if "val mAP@0.5" in l]
         assert len(val_lines) == 2, out.stdout  # steps 2 and 4
+        # best-checkpoint tracking: best.json records the best-mAP step and
+        # a checkpoint exists at that step
+        runs = os.listdir(workspace / "logs_eval")
+        run_dir = workspace / "logs_eval" / runs[0]
+        best = json.loads((run_dir / "best.json").read_text())
+        assert best["mAP@0.5"] >= 0
+        ckpts = os.listdir(run_dir / "checkpoints")
+        assert any(f"_{best['step']:06d}_" in n for n in ckpts), (best, ckpts)
 
     def test_train_accumulation_steps(self, workspace):
         """training.accumulation_steps=2 splits each batch into two

@@ -1,0 +1,106 @@
+"""AOT StableHLO export artifacts (models/export.py + yolo-tool export)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolodl_tpu.models.export import export_inference, load_exported
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def tiny_model():
+    from yolodl_tpu.config import newslab
+    from yolodl_tpu.graph import Graph
+    from yolodl_tpu.models import YoloModel
+
+    model_dict = {
+        "main_group": "m",
+        "groups": {
+            "m": [
+                {"name": "input", "kind": "Input", "shape": ["_", 3, 32, 32]},
+                {"kind": "ConvBn2D", "c": 8, "k": 3, "s": 2},
+                {"kind": "ConvBn2D", "c": 16, "k": 3, "s": 2},
+                {"name": "head", "kind": "ConvBn2D", "c": 7 * 2, "k": 1,
+                 "act": "linear", "bn": {"enabled": False}},
+                {"name": "det", "kind": "Detect2D", "classes": 2,
+                 "anchors": [[0.3, 0.3], [0.6, 0.6]]},
+                {"name": "output", "kind": "MergeDetect2D", "from": ["det"]},
+            ]
+        },
+    }
+    return YoloModel(Graph.from_model(newslab.parse_model_dict(model_dict)))
+
+
+class TestExportRoundTrip:
+    def test_artifact_matches_live_model(self, rng, tmp_path):
+        model = tiny_model()
+        params, state = model.init(jax.random.PRNGKey(0))
+        out_dir = str(tmp_path / "artifact")
+        export_inference(model, params, state, out_dir,
+                         batch_size=2, image_size=32)
+        assert os.path.exists(os.path.join(out_dir, "model.stablehlo"))
+
+        infer, meta = load_exported(out_dir)
+        assert meta["num_classes"] == 2
+        images = jnp.asarray(rng.normal(size=(2, 3, 32, 32)), jnp.float32)
+        pred_live, _ = model.apply(params, state, images, train=False)
+        pred_art = infer(images)
+        np.testing.assert_allclose(np.asarray(pred_art.cycxhw),
+                                   np.asarray(pred_live.cycxhw), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(pred_art.obj_logit),
+                                   np.asarray(pred_live.obj_logit), atol=1e-5)
+        # static head layout survives the round trip
+        assert pred_art.infos == pred_live.infos
+
+    def test_artifact_feeds_nms(self, rng, tmp_path):
+        from yolodl_tpu.loss import non_max_suppression, yolo_inference
+
+        model = tiny_model()
+        params, state = model.init(jax.random.PRNGKey(1))
+        out_dir = str(tmp_path / "artifact")
+        export_inference(model, params, state, out_dir,
+                         batch_size=1, image_size=32)
+        infer, _ = load_exported(out_dir)
+        images = jnp.asarray(rng.normal(size=(1, 3, 32, 32)), jnp.float32)
+        pred = infer(images)
+        nms = non_max_suppression(pred, iou_threshold=0.5,
+                                  confidence_threshold=0.001)
+        out = yolo_inference(nms, pred.num_flats)
+        assert np.asarray(out.valid).shape[0] == 1
+
+    def test_version_mismatch_rejected(self, tmp_path):
+        model = tiny_model()
+        params, state = model.init(jax.random.PRNGKey(0))
+        out_dir = str(tmp_path / "artifact")
+        export_inference(model, params, state, out_dir,
+                         batch_size=1, image_size=32)
+        meta_path = os.path.join(out_dir, "meta.json")
+        meta = json.load(open(meta_path))
+        meta["format_version"] = 999
+        json.dump(meta, open(meta_path, "w"))
+        with pytest.raises(ValueError, match="format"):
+            load_exported(out_dir)
+
+
+class TestExportCli:
+    def test_tool_export_darknet_cfg(self, tmp_path):
+        env = dict(os.environ)
+        env.update(JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+                   PYTHONPATH=REPO)
+        out = subprocess.run(
+            [sys.executable, "-m", "yolodl_tpu.cli.tool_main", "export",
+             os.path.join(REPO, "cfg/darknet/yolov4-tiny.cfg"),
+             str(tmp_path / "art"), "--size", "160"],
+            env=env, capture_output=True, text=True)
+        assert out.returncode == 0, out.stderr[-3000:]
+        infer, meta = load_exported(str(tmp_path / "art"))
+        assert meta["input_shape"] == [1, 3, 160, 160]
+        pred = infer(jnp.zeros((1, 3, 160, 160), jnp.float32))
+        assert np.isfinite(np.asarray(pred.cycxhw)).all()

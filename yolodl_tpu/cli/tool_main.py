@@ -48,6 +48,24 @@ def main(argv=None):
     fold.add_argument("--out-weights", default="",
                       help="default: <weights stem>-folded.weights")
 
+    export = sub.add_parser(
+        "export",
+        help="AOT StableHLO deployment artifact (weights baked in) via "
+             "jax.export; runs on cpu or tpu with no model-building code",
+    )
+    export.add_argument("model_file", help=".cfg or NEWSLABv1 .json5")
+    export.add_argument("output_dir")
+    export.add_argument("--weights", default="",
+                        help="darknet .weights (darknet cfgs only; "
+                             "default: random init)")
+    export.add_argument("--checkpoint", default="",
+                        help="framework .ckpt to load params from")
+    export.add_argument("--batch", type=int, default=1)
+    export.add_argument("--size", type=int, default=0,
+                        help="input size (default: the cfg net height)")
+    export.add_argument("--dtype", default="float32",
+                        choices=["float32", "bfloat16"])
+
     args = parser.parse_args(argv)
 
     if args.command == "anchors":
@@ -55,6 +73,9 @@ def main(argv=None):
         return
     if args.command == "fold-weights":
         _fold_weights(args)
+        return
+    if args.command == "export":
+        _export(args)
         return
 
     graph = _load_graph(args.model_file)
@@ -121,6 +142,46 @@ def _calc_anchors(args):
     for h, w in centers:
         print(f"  [{h:.4f}, {w:.4f}]")
     print(f"mean best-IoU fitness: {fitness:.4f} over {len(sizes)} boxes")
+
+
+def _export(args):
+    import jax
+
+    from ..models import YoloModel
+    from ..models.export import export_inference
+
+    size = args.size
+    if args.model_file.endswith(".cfg"):
+        from ..config import darknet_cfg as dk
+
+        darknet = dk.Darknet.load(args.model_file)
+        size = size or darknet.net.height
+        if args.weights:
+            from ..models.zoo import load_darknet_model
+
+            model, params, state = load_darknet_model(
+                args.model_file, args.weights)
+        else:
+            from ..graph.from_darknet import graph_from_darknet
+
+            model = YoloModel(graph_from_darknet(darknet))
+            params, state = model.init(jax.random.PRNGKey(0))
+    else:
+        from ..graph import Graph
+
+        model = YoloModel(Graph.load_newslab_v1_json(args.model_file))
+        params, state = model.init(jax.random.PRNGKey(0))
+        if not size:
+            raise SystemExit("--size is required for NEWSLABv1 models")
+    if args.checkpoint:
+        from ..train.checkpoint import load_checkpoint
+
+        params, state, _, _ = load_checkpoint(args.checkpoint, params, state)
+    export_inference(model, params, state, args.output_dir,
+                     batch_size=args.batch, image_size=size,
+                     dtype=args.dtype)
+    print(f"wrote {args.output_dir}/model.stablehlo + meta.json "
+          f"(batch {args.batch}, {size}x{size}, {args.dtype}, cpu+tpu)")
 
 
 def _fold_weights(args):

@@ -360,6 +360,7 @@ def main(argv=None):
 
     saver = AsyncCheckpointer()
     save_checkpoint = saver.save
+    best_eval = {"map": -1.0}
 
     def handle_step(step, metrics, index=None, final=True, window=1):
         """Per-optimizer-step host work: finite check, TB logging, rates,
@@ -451,6 +452,18 @@ def main(argv=None):
             })
             print(f"step {step}  val mAP@0.5 {report['mAP@0.5']:.4f}  "
                   f"mAP@0.5:0.95 {report['mAP@0.5:0.95']:.4f}")
+            if report["mAP@0.5"] > best_eval["map"]:
+                # keep a checkpoint of the best validation mAP so far and
+                # point best.json at it (production early-stop artifact)
+                best_eval["map"] = report["mAP@0.5"]
+                save_checkpoint(ckpt_dir, step, total, ts.params, ts.state,
+                                ts.opt_state, ema_params=ts.ema_params)
+                import json as _json
+
+                with open(os.path.join(run_dir, "best.json"), "w") as bf:
+                    _json.dump({"step": step,
+                                "mAP@0.5": report["mAP@0.5"],
+                                "mAP@0.5:0.95": report["mAP@0.5:0.95"]}, bf)
         save = config.checkpoint.save_steps
         saved = False
         if save and (step // save) > ((step - window) // save):

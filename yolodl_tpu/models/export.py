@@ -1,0 +1,129 @@
+"""AOT deployment artifacts via ``jax.export`` (StableHLO).
+
+A deployment problem the reference cannot solve: its models exist only as
+a live libtorch module graph — serving requires the whole Rust stack.
+Here the jitted inference function (weights baked in as constants) is
+serialized to a **portable StableHLO artifact** that any JAX runtime can
+deserialize and run with zero model-building code, plus a ``meta.json``
+carrying the static head layout needed to reconstruct a
+:class:`~yolodl_tpu.ops.detect.MergedDetection` for NMS.
+
+Artifact layout (a directory):
+
+    model.stablehlo   — serialized jax.export artifact (cpu+tpu lowerings)
+    meta.json         — input shape/dtype, class count, per-head
+                        DetectionInfo fields, format version
+
+Produced by ``yolo-tool export`` and consumed by :func:`load_exported`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.detect import DetectionInfo, MergedDetection
+
+_FORMAT_VERSION = 1
+
+
+def export_inference(
+    model,
+    params,
+    state,
+    path: str,
+    batch_size: int = 1,
+    image_size: int = 0,
+    dtype: str = "float32",
+    data_format: str = "NCHW",
+) -> str:
+    """Serialize ``model.apply(params, state, ·, train=False)`` to ``path``.
+
+    Weights are baked into the program as constants: the artifact is the
+    whole deployable model.  Lowering targets both cpu and tpu so the same
+    file serves local smoke tests and fleet deployment.
+    """
+    from jax import export as jax_export
+
+    if not image_size:
+        raise ValueError("image_size is required (e.g. the cfg net height)")
+    in_shape = (batch_size, 3, image_size, image_size)
+    in_dtype = jnp.dtype(dtype)
+
+    def fn(images):
+        pred, _ = model.apply(params, state, images, train=False,
+                              data_format=data_format)
+        outs = (pred.cycxhw, pred.obj_logit, pred.class_logit)
+        if pred.uncertainty is not None:
+            outs = outs + (pred.uncertainty,)
+        return outs
+
+    # probe infos (static) with an abstract trace — no device work
+    spec = jax.eval_shape(
+        lambda p, s, x: model.apply(p, s, x, train=False,
+                                    data_format=data_format)[0],
+        params, state, jax.ShapeDtypeStruct(in_shape, in_dtype))
+    infos = spec.infos
+
+    exp = jax_export.export(
+        jax.jit(fn), platforms=("cpu", "tpu"))(
+        jax.ShapeDtypeStruct(in_shape, in_dtype))
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "model.stablehlo"), "wb") as f:
+        f.write(exp.serialize())
+    meta = {
+        "format_version": _FORMAT_VERSION,
+        "input_shape": list(in_shape),
+        "input_dtype": str(in_dtype),
+        "data_format": data_format,
+        "num_classes": spec.class_logit.shape[-1],
+        "has_uncertainty": spec.uncertainty is not None,
+        "infos": [dataclasses.asdict(i) for i in infos],
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    return path
+
+
+def load_exported(path: str) -> Tuple[Callable, dict]:
+    """Load an exported artifact: (infer, meta).
+
+    ``infer(images) -> MergedDetection`` — feed the result straight to
+    ``non_max_suppression`` / ``yolo_inference`` like a live model's output.
+    """
+    from jax import export as jax_export
+
+    with open(os.path.join(path, "model.stablehlo"), "rb") as f:
+        exp = jax_export.deserialize(f.read())
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("format_version") != _FORMAT_VERSION:
+        raise ValueError(
+            f"{path}: artifact format {meta.get('format_version')} != "
+            f"supported {_FORMAT_VERSION}")
+    infos = tuple(
+        DetectionInfo(
+            feature_h=i["feature_h"], feature_w=i["feature_w"],
+            anchors=tuple(tuple(a) for a in i["anchors"]),
+            flat_begin=i["flat_begin"], flat_end=i["flat_end"],
+            class_act=i.get("class_act", "sigmoid"),
+        )
+        for i in meta["infos"]
+    )
+
+    call = jax.jit(exp.call)
+
+    def infer(images) -> MergedDetection:
+        outs = call(images)
+        uncertainty = outs[3] if meta["has_uncertainty"] else None
+        return MergedDetection(
+            cycxhw=outs[0], obj_logit=outs[1], class_logit=outs[2],
+            infos=infos, uncertainty=uncertainty)
+
+    return infer, meta
