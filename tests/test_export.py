@@ -89,6 +89,81 @@ class TestExportRoundTrip:
             load_exported(out_dir)
 
 
+class TestDetectArtifact:
+    def test_detect_runs_exported_artifact(self, tmp_path, rng):
+        """detect --artifact draws boxes from a deserialized StableHLO
+        artifact with no model-building code on the inference path."""
+        import json as json_mod
+
+        from PIL import Image
+
+        img_dir = tmp_path / "images"
+        img_dir.mkdir()
+        for i in range(2):
+            arr = rng.uniform(0, 255, (48, 48, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(img_dir / f"i{i}.png")
+        (tmp_path / "classes.txt").write_text("thing\n")
+        (tmp_path / "label.csv").write_text(
+            "image_file,class_name,cy,cx,h,w\n"
+            "i0.png,thing,20,20,20,20\ni1.png,thing,20,20,20,20\n")
+        model_dict = {
+            "main_group": "m",
+            "groups": {"m": [
+                {"name": "input", "kind": "Input", "shape": ["_", 3, 32, 32]},
+                {"kind": "ConvBn2D", "c": 8, "k": 3, "s": 2},
+                {"name": "head", "kind": "ConvBn2D", "c": 6, "k": 1,
+                 "act": "linear", "bn": {"enabled": False}},
+                {"name": "det", "kind": "Detect2D", "classes": 1,
+                 "anchors": [[0.4, 0.4]]},
+                {"name": "output", "kind": "MergeDetect2D", "from": ["det"]},
+            ]},
+        }
+        (tmp_path / "model.json5").write_text(json_mod.dumps(model_dict))
+        detect_cfg = {
+            "version": "0.1.0",
+            "model": {"kind": "NewslabV1", "cfg_file": "model.json5",
+                      "minibatch_size": 4},
+            "input": {"kind": {
+                "type": "Csv", "image_size": 32, "input_channels": 3,
+                "image_dir": str(img_dir),
+                "label_file": str(tmp_path / "label.csv"),
+                "classes_file": str(tmp_path / "classes.txt")}},
+            "output": {"output_dir": str(tmp_path / "out"),
+                       "nms_iou_thresh": 0.5, "nms_conf_thresh": 0.05},
+        }
+        (tmp_path / "detect.json5").write_text(json_mod.dumps(detect_cfg))
+
+        env = dict(os.environ)
+        env.update(JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+                   PYTHONPATH=REPO)
+        out = subprocess.run(
+            [sys.executable, "-m", "yolodl_tpu.cli.tool_main", "export",
+             str(tmp_path / "model.json5"), str(tmp_path / "art"),
+             "--size", "32", "--batch", "2"],
+            env=env, capture_output=True, text=True)
+        assert out.returncode == 0, out.stderr[-3000:]
+        out = subprocess.run(
+            [sys.executable, "-m", "yolodl_tpu.cli.detect_main",
+             "--config-file", str(tmp_path / "detect.json5"),
+             "--artifact", str(tmp_path / "art")],
+            env=env, capture_output=True, text=True)
+        assert out.returncode == 0, out.stderr[-3000:]
+        assert "overrides minibatch_size" in out.stdout
+        written = os.listdir(tmp_path / "out")
+        assert len(written) == 2, written
+
+    def test_artifact_rejects_checkpoint_combo(self, tmp_path):
+        env = dict(os.environ)
+        env.update(JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+                   PYTHONPATH=REPO)
+        out = subprocess.run(
+            [sys.executable, "-m", "yolodl_tpu.cli.detect_main",
+             "--config-file", "nonexistent.json5",
+             "--artifact", "x", "--checkpoint", "y"],
+            env=env, capture_output=True, text=True)
+        assert out.returncode == 1
+
+
 class TestExportCli:
     def test_tool_export_darknet_cfg(self, tmp_path):
         env = dict(os.environ)

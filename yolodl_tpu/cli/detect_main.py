@@ -24,6 +24,11 @@ def main(argv=None):
     parser.add_argument("--save-json", default="",
                         help="also write COCO-format detections (original "
                              "pixel coordinates) to this file")
+    parser.add_argument("--artifact", default="",
+                        help="run an exported StableHLO artifact dir "
+                             "(yolo-tool export) instead of building the "
+                             "model; --weights/--checkpoint/--devices do "
+                             "not apply")
     args = parser.parse_args(argv)
 
     import jax
@@ -46,7 +51,22 @@ def main(argv=None):
     base_dir = os.path.dirname(os.path.abspath(args.config_file))
     model_path = os.path.join(base_dir, config.model_file)
 
-    if config.model_kind == "darknet":
+    artifact_infer = None
+    params = state = model = None
+    if args.artifact:
+        if args.weights or args.checkpoint or args.devices:
+            raise ValueError(
+                "--artifact bakes the weights in and fixes the device "
+                "program; --weights/--checkpoint/--devices do not apply")
+        from ..models.export import load_exported
+
+        artifact_infer, meta = load_exported(args.artifact)
+        if meta["input_shape"][-1] != config.dataset.image_size:
+            raise ValueError(
+                f"artifact expects {meta['input_shape'][-1]}px input but the "
+                f"config dataset is {config.dataset.image_size}px")
+        artifact_dtype = jnp.dtype(meta["input_dtype"])
+    elif config.model_kind == "darknet":
         if args.weights:
             from ..models.zoo import load_darknet_model
 
@@ -58,7 +78,7 @@ def main(argv=None):
         graph = Graph.load_newslab_v1_json(model_path)
         model = YoloModel(graph)
         params, state = model.init(jax.random.PRNGKey(0))
-    if args.checkpoint:
+    if args.checkpoint and not args.artifact:
         params, state, _, _ = load_checkpoint(args.checkpoint, params, state)
 
     dataset = SanitizedDataset(config.dataset.open(base_dir))
@@ -68,15 +88,20 @@ def main(argv=None):
 
     # two-stage jit: NMS fused into the conv program inherits layouts that
     # send XLA's TopK down a slow path on TPU (see CLAUDE.md perf ledger)
-    @jax.jit
-    def forward(params, state, images):
-        pred, _ = model.apply(params, state, images, train=False)
-        return pred
+    if artifact_infer is None:
+        @jax.jit
+        def forward(params, state, images):
+            pred, _ = model.apply(params, state, images, train=False)
+            return pred
+    else:
+        def forward(params, state, images):
+            return artifact_infer(images.astype(artifact_dtype))
 
     # honor the model cfg's nms_kind + beta_nms (yolo.rs NmsKind; e.g.
     # yolov4-csp, cspx-p7 declare nms_kind=diounms)
     nms_kind, nms_beta = "greedy", 0.6
-    if config.model_kind == "darknet":
+    if config.model_kind == "darknet" and os.path.exists(model_path):
+        # (with --artifact the cfg may be absent; greedy defaults then apply)
         from ..config import darknet_cfg as dk
         from ..loss.nms import nms_options_from_darknet
 
@@ -122,6 +147,11 @@ def main(argv=None):
     ]
 
     batch_size = config.minibatch_size
+    if artifact_infer is not None:
+        batch_size = meta["input_shape"][0]  # the artifact's compiled batch
+        if batch_size != config.minibatch_size:
+            print(f"artifact batch {batch_size} overrides "
+                  f"minibatch_size {config.minibatch_size}")
     records = dataset.records()
     if args.limit:
         records = records[: args.limit]
