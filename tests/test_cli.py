@@ -159,6 +159,49 @@ class TestTrainCli:
         ckpts = os.listdir(workspace / "logs_zero" / runs[0] / "checkpoints")
         assert any("_000004_" in n for n in ckpts), ckpts
 
+    def test_train_tensor_parallel_on_mesh(self, workspace):
+        """training.tensor_parallel folds the 8 devices into a (data=4,
+        model=2) mesh with conv channels GSPMD-sharded; the run trains and
+        checkpoints, and zero_optimizer is reported as subsumed."""
+        import json
+
+        cfg = json.loads((workspace / "train.json5").read_text())
+        cfg["training"]["device_config"] = {
+            "type": "MultiDevice", "devices": [f"tpu:{i}" for i in range(8)]}
+        cfg["training"]["batch_size"] = 8
+        cfg["training"]["tensor_parallel"] = 2
+        cfg["training"]["zero_optimizer"] = True  # should be ignored
+        cfg["logging"] = {"dir": str(workspace / "logs_tp")}
+        (workspace / "train_tp.json5").write_text(json.dumps(cfg))
+        out = run_cli(
+            "yolodl_tpu.cli.train_main",
+            "--config-file", str(workspace / "train_tp.json5"),
+            "--max-steps", "4",
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        assert "mesh: data=4 x model=2" in out.stdout
+        assert "ignoring zero_optimizer" in out.stdout
+        runs = os.listdir(workspace / "logs_tp")
+        ckpts = os.listdir(workspace / "logs_tp" / runs[0] / "checkpoints")
+        assert any("_000004_" in n for n in ckpts), ckpts
+
+    def test_tensor_parallel_must_divide_devices(self, workspace):
+        import json
+
+        cfg = json.loads((workspace / "train.json5").read_text())
+        cfg["training"]["device_config"] = {
+            "type": "MultiDevice", "devices": [f"tpu:{i}" for i in range(8)]}
+        cfg["training"]["batch_size"] = 8
+        cfg["training"]["tensor_parallel"] = 3
+        (workspace / "train_tp3.json5").write_text(json.dumps(cfg))
+        out = run_cli(
+            "yolodl_tpu.cli.train_main",
+            "--config-file", str(workspace / "train_tp3.json5"),
+            "--max-steps", "1",
+        )
+        assert out.returncode != 0
+        assert "must divide the device count" in out.stderr
+
     def test_train_periodic_evaluation(self, workspace):
         """evaluation.interval=2 reports dataset mAP through the full
         inference path every 2 optimizer steps."""

@@ -141,11 +141,23 @@ def main(argv=None):
         return_obj_sample=config.logging.enable_images,
         debug_stat=config.logging.enable_debug_stat,
     )
-    use_zero = config.zero_optimizer and config.n_devices > 1
+    use_tp = config.tensor_parallel > 1
+    use_zero = config.zero_optimizer and config.n_devices > 1 and not use_tp
     if config.zero_optimizer and config.n_devices <= 1:
         print("zero_optimizer requires a MultiDevice config; ignoring "
               "(optimizer-state sharding is a no-op on one device)")
-    mesh = make_mesh(config.n_devices) if config.n_devices > 1 else None
+    if config.zero_optimizer and use_tp:
+        print("tensor_parallel already shards the optimizer state on the "
+              "model axis; ignoring zero_optimizer")
+    if use_tp:
+        from ..parallel import make_tp_mesh
+
+        mesh = make_tp_mesh(config.n_devices // config.tensor_parallel,
+                            config.tensor_parallel)
+        print(f"mesh: data={mesh.shape['data']} x "
+              f"model={mesh.shape['model']} (tensor parallel)")
+    else:
+        mesh = make_mesh(config.n_devices) if config.n_devices > 1 else None
     if use_zero:
         from ..parallel import zero_init
 
@@ -184,7 +196,14 @@ def main(argv=None):
     # device placement
     accum = config.accumulation_steps
     if config.n_devices > 1:
-        if use_zero:
+        if use_tp:
+            from ..parallel import (make_tp_train_step, place_tp_state,
+                                    shard_batch_tp)
+
+            step_fn = make_tp_train_step(model, optimizer, train_cfg, mesh,
+                                         accum=accum)
+            ts = place_tp_state(mesh, ts)
+        elif use_zero:
             from ..parallel import make_zero_train_step, place_zero_state
 
             step_fn = make_zero_train_step(model, optimizer, train_cfg, mesh,
@@ -194,7 +213,10 @@ def main(argv=None):
             step_fn = make_dp_train_step(model, optimizer, train_cfg, mesh,
                                          accum=accum)
             ts = replicate_state(mesh, ts)
-        place = lambda batch: shard_batch(mesh, batch)
+        if use_tp:
+            place = lambda batch: shard_batch_tp(mesh, batch)
+        else:
+            place = lambda batch: shard_batch(mesh, batch)
     else:
         step_fn = make_train_step(model, optimizer, train_cfg, accum=accum)
         place = lambda batch: batch

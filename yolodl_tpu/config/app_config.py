@@ -298,6 +298,11 @@ class TrainAppConfig:
     # parses, darknet-config/src/net.rs, but never uses to bound memory).
     # Activation memory scales with batch/(devices*accumulation_steps).
     accumulation_steps: int = 1
+    # Tensor (channel) parallelism degree: the device list is folded into a
+    # (data = n_devices/tp, model = tp) mesh; conv kernels/optimizer state
+    # are sharded on output channels via GSPMD (parallel/tp.py).  Weights +
+    # Adam state per chip drop by tp for every divisible layer.
+    tensor_parallel: int = 1
 
     @staticmethod
     def load(path) -> "TrainAppConfig":
@@ -351,10 +356,21 @@ class TrainAppConfig:
         if accum < 1:
             raise ValueError(
                 f"{path}: training.accumulation_steps must be >= 1, got {accum}")
-        if batch_size % (n_devices * accum):
+        tp = int(training.get("tensor_parallel", 1))
+        if tp < 1:
+            raise ValueError(
+                f"{path}: training.tensor_parallel must be >= 1, got {tp}")
+        if n_devices % tp:
+            raise ValueError(
+                f"{path}: training.tensor_parallel ({tp}) must divide the "
+                f"device count ({n_devices})")
+        # with TP the batch is sharded over data = n_devices/tp replicas only
+        n_data = n_devices // tp
+        if batch_size % (n_data * accum):
             raise ValueError(
                 f"{path}: training.batch_size ({batch_size}) must be divisible "
-                f"by devices x accumulation_steps ({n_devices} x {accum})")
+                f"by data-parallel replicas x accumulation_steps "
+                f"({n_data} x {accum})")
         return TrainAppConfig(
             model_kind=kind,
             model_file=model["cfg_file"],
@@ -385,6 +401,7 @@ class TrainAppConfig:
             eval_dataset=(DatasetConfig.parse(evaluation["dataset"])
                           if "dataset" in evaluation else None),
             zero_optimizer=bool(training.get("zero_optimizer", False)),
+            tensor_parallel=tp,
             multi_scale_interval=int(ms.get("interval", 10)),
             use_ema=bool(training.get("ema", {}).get("enabled", False)),
             ema_decay=float(training.get("ema", {}).get("decay", 0.9999)),
