@@ -75,6 +75,26 @@ class TestExportRoundTrip:
         out = yolo_inference(nms, pred.num_flats)
         assert np.asarray(out.valid).shape[0] == 1
 
+    def test_nhwc_artifact_matches_nchw(self, rng, tmp_path):
+        """data_format='NHWC' must trace with an NHWC input shape (a prior
+        bug always built the NCHW trace shape and produced garbage)."""
+        model = tiny_model()
+        params, state = model.init(jax.random.PRNGKey(2))
+        nchw_dir = str(tmp_path / "nchw")
+        nhwc_dir = str(tmp_path / "nhwc")
+        export_inference(model, params, state, nchw_dir,
+                         batch_size=2, image_size=32)
+        export_inference(model, params, state, nhwc_dir,
+                         batch_size=2, image_size=32, data_format="NHWC")
+        infer_c, meta_c = load_exported(nchw_dir)
+        infer_h, meta_h = load_exported(nhwc_dir)
+        assert meta_h["input_shape"] == [2, 32, 32, 3]
+        images = jnp.asarray(rng.normal(size=(2, 3, 32, 32)), jnp.float32)
+        pred_c = infer_c(images)
+        pred_h = infer_h(jnp.transpose(images, (0, 2, 3, 1)))
+        np.testing.assert_allclose(np.asarray(pred_h.cycxhw),
+                                   np.asarray(pred_c.cycxhw), atol=1e-5)
+
     def test_version_mismatch_rejected(self, tmp_path):
         model = tiny_model()
         params, state = model.init(jax.random.PRNGKey(0))

@@ -170,6 +170,53 @@ class TestService:
             t.join(timeout=10)
         assert len(outcomes) == 8  # every caller resolved (error or result)
 
+    def test_shutdown_fails_queued_requests(self):
+        """shutdown() must fail requests still sitting in the queue so
+        callers wake immediately instead of blocking out their full client
+        timeout (previously a 30 s hang per queued caller)."""
+        from yolodl_tpu.serve.service import ServiceShutdownError
+
+        graph = Graph.from_model(cfg.parse_model_dict(TOY))
+        model = YoloModel(graph)
+        params, state = model.init(jax.random.PRNGKey(0))
+        svc = DetectionService(
+            model, params, state, image_size=32, batch_size=2, window_ms=1.0,
+            nms_conf_thresh=0.01,
+        )
+        svc.warmup()
+        release = threading.Event()
+        real_forward = svc._forward
+        def slow_forward(p, s, imgs):  # holds one batch in flight
+            release.wait(20)
+            return real_forward(p, s, imgs)
+        svc._forward = slow_forward
+        svc.start()
+
+        outcomes = []
+        def submit(i):
+            try:
+                svc.submit_array(_image(32, 32, seed=i), timeout=30)
+                outcomes.append("ok")
+            except Exception as e:
+                outcomes.append(type(e).__name__)
+        threads = [threading.Thread(target=submit, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        time.sleep(0.5)  # one batch wedged in forward, the rest queued
+
+        svc.shutdown(timeout=1)
+        # queued (not in-flight) callers resolve promptly with the shutdown
+        # error despite their 30 s client timeout
+        deadline = time.perf_counter() + 5
+        while (outcomes.count(ServiceShutdownError.__name__) < 4
+               and time.perf_counter() < deadline):
+            time.sleep(0.05)
+        assert outcomes.count("ServiceShutdownError") >= 4
+        release.set()  # free the wedged forward; in-flight callers resolve
+        for t in threads:
+            t.join(timeout=15)
+        assert len(outcomes) == 8
+
     def test_bad_shape_rejected(self, service):
         with pytest.raises(ValueError):
             service.submit_array(np.zeros((48, 64, 3), np.float32))

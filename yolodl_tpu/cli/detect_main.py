@@ -61,9 +61,11 @@ def main(argv=None):
         from ..models.export import load_exported
 
         artifact_infer, meta = load_exported(args.artifact)
-        if meta["input_shape"][-1] != config.dataset.image_size:
+        artifact_nhwc = meta.get("data_format") == "NHWC"
+        artifact_px = meta["input_shape"][1 if artifact_nhwc else -1]
+        if artifact_px != config.dataset.image_size:
             raise ValueError(
-                f"artifact expects {meta['input_shape'][-1]}px input but the "
+                f"artifact expects {artifact_px}px input but the "
                 f"config dataset is {config.dataset.image_size}px")
         artifact_dtype = jnp.dtype(meta["input_dtype"])
     elif config.model_kind == "darknet":
@@ -95,7 +97,10 @@ def main(argv=None):
             return pred
     else:
         def forward(params, state, images):
-            return artifact_infer(images.astype(artifact_dtype))
+            x = images.astype(artifact_dtype)
+            if artifact_nhwc:  # loader yields NCHW batches
+                x = jnp.transpose(x, (0, 2, 3, 1))
+            return artifact_infer(x)
 
     # honor the model cfg's nms_kind + beta_nms (yolo.rs NmsKind; e.g.
     # yolov4-csp, cspx-p7 declare nms_kind=diounms)

@@ -464,6 +464,7 @@ def main(argv=None):
             imgs = last_batch["images"]
             gt_boxes, gt_mask = last_batch["gt"]
             infer_one(step, imgs[0], gt_boxes[0], gt_mask[0])
+        saved = False
         if (evaluator is not None and (step // config.eval_interval)
                 > ((step - window) // config.eval_interval)):
             # window-end only: ts holds the params matching `step`
@@ -480,6 +481,7 @@ def main(argv=None):
                 best_eval["map"] = report["mAP@0.5"]
                 save_checkpoint(ckpt_dir, step, total, ts.params, ts.state,
                                 ts.opt_state, ema_params=ts.ema_params)
+                saved = True  # don't re-serialize this step below
                 import json as _json
 
                 with open(os.path.join(run_dir, "best.json"), "w") as bf:
@@ -487,8 +489,7 @@ def main(argv=None):
                                 "mAP@0.5": report["mAP@0.5"],
                                 "mAP@0.5:0.95": report["mAP@0.5:0.95"]}, bf)
         save = config.checkpoint.save_steps
-        saved = False
-        if save and (step // save) > ((step - window) // save):
+        if save and not saved and (step // save) > ((step - window) // save):
             save_checkpoint(ckpt_dir, step, total, ts.params, ts.state,
                             ts.opt_state, ema_params=ts.ema_params)
             saved = True

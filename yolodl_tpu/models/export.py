@@ -52,7 +52,12 @@ def export_inference(
 
     if not image_size:
         raise ValueError("image_size is required (e.g. the cfg net height)")
-    in_shape = (batch_size, 3, image_size, image_size)
+    if data_format == "NCHW":
+        in_shape = (batch_size, 3, image_size, image_size)
+    elif data_format == "NHWC":
+        in_shape = (batch_size, image_size, image_size, 3)
+    else:
+        raise ValueError(f"unknown data_format {data_format!r}")
     in_dtype = jnp.dtype(dtype)
 
     def fn(images):

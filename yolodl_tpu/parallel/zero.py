@@ -167,7 +167,11 @@ def make_zero_train_step(
         if config.log_weights_and_grads:
             from ..train.loop import param_maxima
 
-            metrics.update(param_maxima(new_params))
+            # the averaged gradient only exists scattered across shards;
+            # pmean the local-grad tree (telemetry-only collective, gated
+            # on the flag) so grads_max/* match the DP path
+            metrics.update(
+                param_maxima(new_params, jax.lax.pmean(grads, DATA_AXIS)))
         return (
             TrainState(new_params, new_state, new_opt_state, new_step, new_ema),
             metrics,

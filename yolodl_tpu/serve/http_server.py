@@ -18,7 +18,7 @@ import json
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from .service import DetectionService
+from .service import DetectionService, ServiceOverloadedError
 
 MAX_BODY = 32 * 1024 * 1024  # 32 MB: generous for any single photograph
 
@@ -56,14 +56,19 @@ def make_http_server(service: DetectionService, host: str = "127.0.0.1",
             t0 = time.perf_counter()
             try:
                 dets = service.submit_bytes(data)
-            except RuntimeError as e:  # queue full
+            except ServiceOverloadedError as e:
                 self._send_json(503, {"error": str(e)})
                 return
             except TimeoutError as e:
                 self._send_json(504, {"error": str(e)})
                 return
-            except Exception as e:  # bad image, device failure
+            except (OSError, ValueError, SyntaxError) as e:
+                # PIL raises these for undecodable/corrupt image bodies —
+                # the client's fault
                 self._send_json(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            except Exception as e:  # device/runtime fault — server's fault
+                self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
             self._send_json(200, {
                 "detections": dets,

@@ -28,6 +28,15 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 
+class ServiceOverloadedError(RuntimeError):
+    """Raised when the request queue is full — a retryable client-side
+    condition, distinct from internal device/runtime failures."""
+
+
+class ServiceShutdownError(RuntimeError):
+    """Raised on requests caught by (or arriving after) shutdown()."""
+
+
 @dataclass
 class ServiceStats:
     """Monotonic counters + latency quantiles (thread-safe via the lock)."""
@@ -181,6 +190,14 @@ class DetectionService:
         self._stop.set()
         self._thread.join(timeout=timeout)
         self._completer.join(timeout=timeout)
+        # fail requests still sitting in the queue so their callers wake
+        # immediately instead of blocking out their full client timeout
+        while True:
+            try:
+                p = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            self._fail_batch([p], ServiceShutdownError("service shut down"))
 
     # -- request path ------------------------------------------------------
 
@@ -224,13 +241,15 @@ class DetectionService:
         pending = _Pending(boxed, src_hw)
         with self.stats._lock:
             self.stats.requests += 1
+        deadline = time.perf_counter() + timeout  # one budget for put+wait
         try:
             self._queue.put(pending, timeout=timeout)
         except queue.Full:
             with self.stats._lock:
                 self.stats.errors += 1
-            raise RuntimeError("service overloaded: request queue full")
-        if not pending.event.wait(timeout):
+            raise ServiceOverloadedError(
+                "service overloaded: request queue full")
+        if not pending.event.wait(max(0.0, deadline - time.perf_counter())):
             with self.stats._lock:
                 self.stats.errors += 1
             raise TimeoutError("detection timed out")
@@ -278,7 +297,8 @@ class DetectionService:
                     self._forward(self._params, self._state, dev)
                 )
                 if not self._put_inflight((batch, out)):
-                    self._fail_batch(batch, RuntimeError("service shut down"))
+                    self._fail_batch(
+                        batch, ServiceShutdownError("service shut down"))
             except Exception as e:  # deliver the failure, don't kill the loop
                 self._fail_batch(batch, e)
         self._put_inflight(None)  # unblock the completer

@@ -42,11 +42,13 @@ class DatasetEvaluator:
         confidence_threshold: float = 0.005,
         nms_kind: str = "greedy",
         nms_beta: float = 0.6,
+        cache_bytes: int = 1 << 30,
     ):
         self.records = list(records)
         self.loader = loader
         self.batch_size = max(1, int(batch_size))
         self.num_classes = num_classes
+        self.cache_bytes = cache_bytes
 
         @jax.jit
         def forward(params, state, images):
@@ -68,20 +70,37 @@ class DatasetEvaluator:
 
         self._forward = forward
         self._postprocess = postprocess
-        # decoded images + GT are reused verbatim on every call
+        # decoded images + GT are reused verbatim across calls — but only
+        # when they fit ``cache_bytes``; a real val set (5k × 608² f32 ≈
+        # 22 GB) must stream per call, not pin the host's RAM
         self._decoded: Optional[list] = None
 
-    def _decode_all(self):
-        if self._decoded is None:
-            self._decoded = [self.loader.load(r) for r in self.records]
-        return self._decoded
+    def _iter_decoded(self):
+        if self._decoded is not None:
+            yield from self._decoded
+            return
+        kept: Optional[list] = None
+        for i, r in enumerate(self.records):
+            d = self.loader.load(r)
+            if i == 0:
+                per = np.asarray(d.image).nbytes
+                if per * len(self.records) <= self.cache_bytes:
+                    kept = []
+            if kept is not None:
+                kept.append(d)
+            yield d
+        if kept is not None:
+            self._decoded = kept
 
     def __call__(self, params, state) -> Dict:
-        decoded = self._decode_all()
         dets, gts = [], []
         bs = self.batch_size
-        for start in range(0, len(decoded), bs):
-            chunk = decoded[start : start + bs]
+        it = self._iter_decoded()
+        start = 0
+        while True:
+            chunk = [d for _, d in zip(range(bs), it)]
+            if not chunk:
+                break
             n_real = len(chunk)
             while len(chunk) < bs:
                 chunk.append(chunk[-1])  # pad — extra rows are dropped below
@@ -101,6 +120,7 @@ class DatasetEvaluator:
                     dets.append(Detection(
                         img_id, int(classes[i, k]), float(conf[i, k]),
                         tuple(tlbr[i, k])))
+            start += n_real
         ap50 = average_precision(dets, gts, iou_threshold=0.5,
                                  num_classes=self.num_classes)
         map5095 = coco_map_50_95(dets, gts, num_classes=self.num_classes)
