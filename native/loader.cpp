@@ -40,8 +40,26 @@ namespace {
 
 struct Image {
     int h = 0, w = 0, c = 0;
+    // pre-scaling dims: letterbox GEOMETRY must come from the original
+    // image so box transforms stay bit-identical whether or not the JPEG
+    // was DCT-scale-decoded (0 = not scaled, use h/w)
+    int orig_h = 0, orig_w = 0;
     std::vector<uint8_t> data;  // HWC, 8-bit
 };
+
+// letterbox content dims for an (h, w) image into an (out_h, out_w) frame;
+// lrint = round-half-even, matching letterbox_geometry (see letterbox_into)
+void content_dims(int h, int w, int out_h, int out_w, int* new_h, int* new_w) {
+    if ((int64_t)out_h * w <= (int64_t)out_w * h) {
+        *new_h = out_h;
+        *new_w = (int)lrint((int64_t)w * out_h / (double)h);
+        if (*new_w < 1) *new_w = 1;
+    } else {
+        *new_h = (int)lrint((int64_t)h * out_w / (double)w);
+        if (*new_h < 1) *new_h = 1;
+        *new_w = out_w;
+    }
+}
 
 struct JpegErrorMgr {
     jpeg_error_mgr pub;
@@ -54,7 +72,12 @@ void jpeg_error_exit_longjmp(j_common_ptr cinfo) {
     longjmp(reinterpret_cast<JpegErrorMgr*>(cinfo->err)->jump, 1);
 }
 
-bool decode_jpeg(FILE* f, Image* out) {
+// target_h/target_w > 0 enables DCT-domain scaled decode: pick the smallest
+// libjpeg scale M/8 whose output still covers the letterbox content size, so
+// a 4000px photograph headed for a 608px frame decodes ~4-8x less IDCT +
+// color-convert work.  Geometry parity is preserved by recording the
+// original dims (letterbox_into computes placement from them).
+bool decode_jpeg(FILE* f, Image* out, int target_h, int target_w) {
     jpeg_decompress_struct cinfo;
     JpegErrorMgr jerr;
     cinfo.err = jpeg_std_error(&jerr.pub);
@@ -70,6 +93,26 @@ bool decode_jpeg(FILE* f, Image* out) {
         return false;
     }
     cinfo.out_color_space = JCS_RGB;
+    out->orig_h = (int)cinfo.image_height;
+    out->orig_w = (int)cinfo.image_width;
+    if (target_h > 0 && target_w > 0) {
+        int need_h, need_w;
+        content_dims(out->orig_h, out->orig_w, target_h, target_w,
+                     &need_h, &need_w);
+        // power-of-two scales only (like PIL's draft): fractional M/8
+        // scales buy little and visibly soften noisy content; if even 1/2
+        // doesn't cover the content, decode at full resolution
+        for (int num : {1, 2, 4}) {
+            cinfo.scale_num = (unsigned)num;
+            cinfo.scale_denom = 8;
+            jpeg_calc_output_dimensions(&cinfo);  // honors what the lib supports
+            if ((int)cinfo.output_width >= need_w &&
+                (int)cinfo.output_height >= need_h)
+                break;
+            cinfo.scale_num = cinfo.scale_denom = 8;  // reset to full res
+        }
+        jpeg_calc_output_dimensions(&cinfo);
+    }
     jpeg_start_decompress(&cinfo);
     out->w = cinfo.output_width;
     out->h = cinfo.output_height;
@@ -119,7 +162,9 @@ bool decode_png(FILE* f, Image* out) {
     return true;
 }
 
-bool decode_file(const char* path, Image* out) {
+// target dims enable JPEG scaled decode (0 = always full-resolution)
+bool decode_file(const char* path, Image* out, int target_h = 0,
+                 int target_w = 0) {
     FILE* f = fopen(path, "rb");
     if (!f) return false;
     uint8_t magic[8] = {0};
@@ -127,9 +172,9 @@ bool decode_file(const char* path, Image* out) {
     rewind(f);
     bool ok = false;
     if (got >= 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
-        ok = decode_jpeg(f, out);
+        ok = decode_jpeg(f, out, target_h, target_w);
     } else if (got >= 8 && png_sig_cmp(magic, 0, 8) == 0) {
-        ok = decode_png(f, out);
+        ok = decode_png(f, out);  // PNG has no scaled-decode fast path
     }
     fclose(f);
     return ok;
@@ -141,16 +186,12 @@ void letterbox_into(const Image& img, int out_h, int out_w, float pad, float* ou
     int new_h, new_w;
     // lrint = round-half-even under the default FP environment, matching
     // Python's round() in letterbox_geometry — half-up here would misplace
-    // the content (and thus the box transforms) by 1px on exact halves
-    if ((int64_t)out_h * img.w <= (int64_t)out_w * img.h) {
-        new_h = out_h;
-        new_w = (int)lrint((int64_t)img.w * out_h / (double)img.h);
-        if (new_w < 1) new_w = 1;
-    } else {
-        new_h = (int)lrint((int64_t)img.h * out_w / (double)img.w);
-        if (new_h < 1) new_h = 1;
-        new_w = out_w;
-    }
+    // the content (and thus the box transforms) by 1px on exact halves.
+    // Geometry comes from the ORIGINAL dims (scaled JPEG decode changes the
+    // sampling source, never the placement), keeping box transforms exact.
+    int gh = img.orig_h > 0 ? img.orig_h : img.h;
+    int gw = img.orig_w > 0 ? img.orig_w : img.w;
+    content_dims(gh, gw, out_h, out_w, &new_h, &new_w);
     int off_y = (out_h - new_h) / 2;
     int off_x = (out_w - new_w) / 2;
 
@@ -198,6 +239,7 @@ struct Result {
 
 struct Loader {
     int out_h, out_w;
+    bool scaled_decode;
     std::vector<std::thread> workers;
     std::deque<Job> jobs;
     std::deque<Result> results;
@@ -205,7 +247,8 @@ struct Loader {
     std::condition_variable job_cv, result_cv;
     bool stopping = false;
 
-    Loader(int threads, int h, int w) : out_h(h), out_w(w) {
+    Loader(int threads, int h, int w, bool scaled)
+        : out_h(h), out_w(w), scaled_decode(scaled) {
         for (int i = 0; i < threads; ++i)
             workers.emplace_back([this] { run(); });
     }
@@ -223,7 +266,9 @@ struct Loader {
             Result res;
             res.ticket = job.ticket;
             Image img;
-            if (decode_file(job.path.c_str(), &img)) {
+            if (decode_file(job.path.c_str(), &img,
+                            scaled_decode ? out_h : 0,
+                            scaled_decode ? out_w : 0)) {
                 res.data.resize((size_t)3 * out_h * out_w);
                 letterbox_into(img, out_h, out_w, 0.5f, res.data.data());
             }
@@ -251,7 +296,15 @@ extern "C" {
 
 void* ldr_create(int threads, int out_h, int out_w) {
     if (threads < 1) threads = 1;
-    return new Loader(threads, out_h, out_w);
+    return new Loader(threads, out_h, out_w, /*scaled=*/false);
+}
+
+// flags bit 0: JPEG DCT-scaled decode (decode big photos at the smallest
+// M/8 scale that still covers the letterbox content — same geometry,
+// resampling source is the scaled image)
+void* ldr_create2(int threads, int out_h, int out_w, int flags) {
+    if (threads < 1) threads = 1;
+    return new Loader(threads, out_h, out_w, (flags & 1) != 0);
 }
 
 void ldr_destroy(void* handle) { delete static_cast<Loader*>(handle); }
@@ -260,7 +313,8 @@ void ldr_destroy(void* handle) { delete static_cast<Loader*>(handle); }
 int ldr_load(void* handle, const char* path, float* out) {
     Loader* l = static_cast<Loader*>(handle);
     Image img;
-    if (!decode_file(path, &img)) return -1;
+    if (!decode_file(path, &img, l->scaled_decode ? l->out_h : 0,
+                     l->scaled_decode ? l->out_w : 0)) return -1;
     letterbox_into(img, l->out_h, l->out_w, 0.5f, out);
     return 0;
 }

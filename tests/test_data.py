@@ -100,6 +100,36 @@ class TestLetterbox:
         out, boxes, _ = letterbox_resize(np.zeros((3, 10, 10), np.float32), (16, 16))
         assert boxes is None and out.shape == (3, 16, 16)
 
+    def test_u8_pil_draft_keeps_geometry(self, tmp_path):
+        """Serving ingest: a big JPEG decoded at reduced scale via
+        Image.draft + src_hw override must place content identically to the
+        full-resolution decode (box mapping depends on placement alone)."""
+        import io as _io
+
+        from yolodl_tpu.data.letterbox import (
+            letterbox_geometry, letterbox_u8_pil,
+        )
+
+        yy, xx = np.mgrid[0:900, 0:1200]
+        arr = np.stack([(xx * 255 // 1200), (yy * 255 // 900),
+                        np.full_like(xx, 40)], axis=-1).astype(np.uint8)
+        buf = _io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+
+        full = letterbox_u8_pil(
+            Image.open(_io.BytesIO(buf.getvalue())).convert("RGB"), (96, 96))
+        im = Image.open(_io.BytesIO(buf.getvalue()))
+        w, h = im.size
+        new_h, new_w, _, _ = letterbox_geometry((h, w), (96, 96))
+        im.draft("RGB", (new_w, new_h))
+        assert im.size != (w, h)  # the draft actually reduced the decode
+        drafted = letterbox_u8_pil(im.convert("RGB"), (96, 96),
+                                   src_hw=(h, w))
+        pad_d = (np.abs(drafted.astype(int) - 128) < 3).all(axis=(1, 2))
+        pad_f = (np.abs(full.astype(int) - 128) < 3).all(axis=(1, 2))
+        np.testing.assert_array_equal(pad_d, pad_f)
+        assert np.abs(drafted.astype(float) - full.astype(float)).mean() < 6
+
 
 class TestRandomAffine:
     def test_identity_when_no_ops(self, rng):
@@ -451,6 +481,55 @@ class TestNativeLoader:
         assert out.image.shape == (3, 48, 48)
         ref = OnDemandLoader((48, 48)).load(rec)
         assert np.abs(out.image - ref.image).mean() < 0.03
+
+    def test_scaled_jpeg_decode_parity(self, tmp_path, rng):
+        """DCT-scaled decode of a large JPEG (the production default) must
+        keep letterbox geometry and box transforms EXACT vs the full-res
+        path and pixel content close (the resample source is the scaled
+        image, everything else is identical)."""
+        from yolodl_tpu.data.native_loader import (
+            NativeLoader, native_loader_available,
+        )
+
+        if not native_loader_available():
+            pytest.skip("native loader not built")
+        # smooth content so 1/8-scale DCT decode stays close to full-res
+        yy, xx = np.mgrid[0:900, 0:1200]
+        arr = np.stack([
+            (xx * 255 // 1200), (yy * 255 // 900),
+            ((xx + yy) * 255 // 2100)], axis=-1).astype(np.uint8)
+        path = tmp_path / "big.jpg"
+        Image.fromarray(arr).save(path, quality=95)
+        boxes = np.asarray([[450.0, 600.0, 300.0, 400.0]])
+        rec = FileRecord(str(path), 900, 1200, boxes,
+                         np.zeros((1,), np.int32))
+
+        scaled = NativeLoader((96, 96), scaled_decode=True).load(rec)
+        full = NativeLoader((96, 96), scaled_decode=False).load(rec)
+        assert scaled.image.shape == full.image.shape == (3, 96, 96)
+        # geometry: padding rows/cols (0.5) must be in identical positions
+        pad_s = np.abs(scaled.image - 0.5).max(axis=(0, 2)) < 1e-3
+        pad_f = np.abs(full.image - 0.5).max(axis=(0, 2)) < 1e-3
+        np.testing.assert_array_equal(pad_s, pad_f)
+        np.testing.assert_allclose(scaled.boxes, full.boxes)  # exact
+        assert np.abs(scaled.image - full.image).mean() < 0.02
+
+    def test_scaled_decode_noop_when_image_small(self, tmp_path, rng):
+        """No downscale needed → the scaled path must be bit-identical."""
+        from yolodl_tpu.data.native_loader import (
+            NativeLoader, native_loader_available,
+        )
+
+        if not native_loader_available():
+            pytest.skip("native loader not built")
+        arr = (rng.uniform(0, 255, (40, 60, 3))).astype(np.uint8)
+        path = tmp_path / "small.jpg"
+        Image.fromarray(arr).save(path, quality=95)
+        rec = FileRecord(str(path), 40, 60, np.zeros((0, 4)),
+                         np.zeros((0,), np.int32))
+        a = NativeLoader((48, 48), scaled_decode=True).load(rec)
+        b = NativeLoader((48, 48), scaled_decode=False).load(rec)
+        np.testing.assert_array_equal(a.image, b.image)
 
     def test_corrupt_jpeg_does_not_kill_process(self, tmp_path, rng):
         """libjpeg fatal errors must fail the one decode (rc!=0 → Python

@@ -62,7 +62,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from ..config.app_config import _check_version
-    from ..data.cache import OnDemandLoader
+    from ..data.cache import make_decode_loader
     from ..data.records import FileRecord
     from ..models.zoo import load_darknet_classifier
     from ..train import LrScheduleConfig, TrainConfig, TrainState
@@ -95,7 +95,7 @@ def main(argv=None):
 
     darknet = dk.Darknet.load(cfg_file)
     in_h, in_w, _ = darknet.net.input_shape_hwc
-    loader = OnDemandLoader((in_h, in_w))
+    loader = make_decode_loader((in_h, in_w))
 
     training = raw.get("training", {})
     opt_raw = training.get("optimizer", {})

@@ -37,7 +37,7 @@ def main(argv=None):
     from PIL import Image
 
     from ..config.app_config import DetectAppConfig
-    from ..data import OnDemandLoader, SanitizedDataset
+    from ..data import SanitizedDataset, make_decode_loader
     from ..data.letterbox import letterbox_unit_transform
     from ..graph import Graph
     from ..graph.from_darknet import load_darknet_graph
@@ -85,7 +85,7 @@ def main(argv=None):
 
     dataset = SanitizedDataset(config.dataset.open(base_dir))
     size = config.dataset.image_size
-    loader = OnDemandLoader((size, size))
+    loader = make_decode_loader((size, size))
     os.makedirs(config.output_dir, exist_ok=True)
 
     # two-stage jit: NMS fused into the conv program inherits layouts that

@@ -34,7 +34,7 @@ def main(argv=None):
     import jax
 
     from ..config.app_config import DetectAppConfig
-    from ..data import OnDemandLoader, SanitizedDataset
+    from ..data import SanitizedDataset, make_decode_loader
     from ..graph import Graph
     from ..graph.from_darknet import load_darknet_graph
     from ..models import YoloModel
@@ -65,7 +65,7 @@ def main(argv=None):
 
     dataset = SanitizedDataset(config.dataset.open(base_dir))
     size = config.dataset.image_size
-    loader = OnDemandLoader((size, size))
+    loader = make_decode_loader((size, size))
 
     # honor the model cfg's nms_kind + beta_nms (detect_main does the same)
     nms_kind, nms_beta = "greedy", 0.6

@@ -32,6 +32,7 @@ def main(argv=None):
     from ..config.app_config import TrainAppConfig
     from ..data import (
         FileCache, MemoryCache, MosaicMixer, OnDemandLoader, SanitizedDataset,
+        make_decode_loader,
         TrainingStream, TrainingStreamConfig,
     )
     from ..data.pipeline import device_prefetch
@@ -84,7 +85,7 @@ def main(argv=None):
     elif pre.cache_method == "memory":
         loader = MemoryCache((size, size))
     else:
-        loader = OnDemandLoader((size, size))
+        loader = make_decode_loader((size, size))
     stream_cfg = TrainingStreamConfig(
         batch_size=config.batch_size,
         mosaic_prob=pre.mosaic_prob,
@@ -309,7 +310,7 @@ def main(argv=None):
             ev_records = ev_records[: config.eval_limit]
         ev_size = ev_cfg.image_size
         evaluator = DatasetEvaluator(
-            model, ev_records, OnDemandLoader((ev_size, ev_size)),
+            model, ev_records, make_decode_loader((ev_size, ev_size)),
             num_classes=len(ev_ds.classes),
             batch_size=config.eval_batch_size or config.batch_size,
             iou_threshold=config.nms_iou_thresh,

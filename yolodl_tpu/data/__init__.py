@@ -11,5 +11,7 @@ from .datasets import (  # noqa: F401
     VocDataset,
     load_classes_file,
 )
-from .cache import FileCache, MemoryCache, OnDemandLoader  # noqa: F401
+from .cache import (  # noqa: F401
+    FileCache, MemoryCache, OnDemandLoader, make_decode_loader,
+)
 from .pipeline import TrainingStream, TrainingStreamConfig  # noqa: F401

@@ -56,6 +56,23 @@ class OnDemandLoader:
         return DataRecord(image=out, boxes=boxes, classes=record.classes)
 
 
+def make_decode_loader(cache_hw: Tuple[int, int]):
+    """The production decode+letterbox loader: the C++ one (libjpeg/libpng,
+    DCT-scaled JPEG decode, GIL-free so pipeline worker threads actually
+    parallelize) when ``native/build.sh`` has been run, PIL otherwise.
+    ``YDL_NO_NATIVE_DECODE=1`` forces the PIL path (e.g. to reproduce
+    PIL-resampled pixels exactly)."""
+    if not os.environ.get("YDL_NO_NATIVE_DECODE"):
+        from .native_loader import NativeLoader, native_loader_available
+
+        if native_loader_available():
+            # threads=1: the sync ldr_load path runs in the caller's thread
+            # (the pipeline's workers); the C++ pool only serves the async
+            # submit/fetch API, which this loader doesn't use
+            return NativeLoader(cache_hw, threads=1)
+    return OnDemandLoader(cache_hw)
+
+
 class FileCache:
     """On-disk cache of letterboxed images.
 
@@ -77,7 +94,7 @@ class FileCache:
         self.cache_hw = cache_hw
         self.dtype = dtype
         os.makedirs(cache_dir, exist_ok=True)
-        self._loader = OnDemandLoader(cache_hw)
+        self._loader = make_decode_loader(cache_hw)
 
     def _cache_path(self, record: FileRecord) -> str:
         key = urllib.parse.quote(os.path.abspath(record.path), safe="")
@@ -137,7 +154,7 @@ class MemoryCache:
     """Thread-safe in-memory decoded-record cache (mem_cache.rs parity)."""
 
     def __init__(self, cache_hw: Tuple[int, int]):
-        self._loader = OnDemandLoader(cache_hw)
+        self._loader = make_decode_loader(cache_hw)
         self._cache: Dict[str, DataRecord] = {}
         self._lock = threading.Lock()
 

@@ -40,17 +40,23 @@ def letterbox_unit_transform(src_hw, tgt_hw) -> Transform:
     )
 
 
-def letterbox_u8_pil(pil_img, tgt_hw, pad_value: int = 128) -> np.ndarray:
+def letterbox_u8_pil(pil_img, tgt_hw, pad_value: int = 128,
+                     src_hw=None) -> np.ndarray:
     """Letterbox a PIL RGB image entirely in uint8 → [H,W,3] array.
 
     The serving hot path: no float conversions on the host (≤1/510
     quantization vs the f32 path — the same trade the u8 file cache makes),
     and ~4× less data to upload when the device normalizes.  ``pad_value``
-    128 ≈ the f32 path's 0.5 gray.
+    128 ≈ the f32 path's 0.5 gray.  ``src_hw`` overrides the geometry
+    source dims: when the caller decoded the JPEG at a reduced scale
+    (``Image.draft``), placement must still come from the ORIGINAL size so
+    the inverse box transform stays exact.
     """
     from PIL import Image as _Image
 
     src_w, src_h = pil_img.size
+    if src_hw is not None:
+        src_h, src_w = src_hw
     tgt_h, tgt_w = tgt_hw
     new_h, new_w, off_y, off_x = letterbox_geometry((src_h, src_w), tgt_hw)
     resized = pil_img.resize((new_w, new_h), _Image.BILINEAR)

@@ -98,7 +98,13 @@ def color_jitter_native(rgb_chw: np.ndarray, hue_shift: float,
 class NativeLoader:
     """Threaded C++ decode+letterbox; same .load contract as OnDemandLoader."""
 
-    def __init__(self, cache_hw: Tuple[int, int], threads: int = 2):
+    def __init__(self, cache_hw: Tuple[int, int], threads: int = 2,
+                 scaled_decode: bool = True):
+        """``scaled_decode`` turns on libjpeg DCT-domain scaled decode for
+        JPEGs much larger than the letterbox frame (a 4000px photo headed
+        for 608px decodes ~4-8x cheaper).  Letterbox geometry (and thus box
+        transforms) is computed from the original dims either way — only the
+        resampling source resolution changes."""
         if not native_loader_available():
             raise FileNotFoundError(
                 f"{_LIB_PATH} not built — run native/build.sh"
@@ -112,9 +118,17 @@ class NativeLoader:
             ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_float)
         ]
         self._lib.ldr_destroy.argtypes = [ctypes.c_void_p]
-        self._handle = ctypes.c_void_p(
-            self._lib.ldr_create(threads, cache_hw[0], cache_hw[1])
-        )
+        if scaled_decode and hasattr(self._lib, "ldr_create2"):
+            self._lib.ldr_create2.restype = ctypes.c_void_p
+            self._lib.ldr_create2.argtypes = [
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+            self._handle = ctypes.c_void_p(
+                self._lib.ldr_create2(threads, cache_hw[0], cache_hw[1], 1)
+            )
+        else:
+            self._handle = ctypes.c_void_p(
+                self._lib.ldr_create(threads, cache_hw[0], cache_hw[1])
+            )
         self._fallback = OnDemandLoader(cache_hw)
         self._lock = threading.Lock()
 
@@ -129,8 +143,13 @@ class NativeLoader:
         if rc != 0:
             # unsupported format → PIL fallback
             return self._fallback.load(record)
-        unit = letterbox_unit_transform((record.height, record.width), self.cache_hw)
-        boxes = unit.apply_cycxhw(_boxes_to_ratio(record)).astype(np.float32)
+        if len(record.boxes_pixel) and record.height > 0 and record.width > 0:
+            unit = letterbox_unit_transform(
+                (record.height, record.width), self.cache_hw)
+            boxes = unit.apply_cycxhw(_boxes_to_ratio(record)).astype(np.float32)
+        else:
+            # box-less records (e.g. classification) may carry 0x0 dims
+            boxes = np.zeros((0, 4), np.float32)
         return DataRecord(image=out, boxes=boxes, classes=record.classes)
 
     def __del__(self):

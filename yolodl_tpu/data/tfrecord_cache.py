@@ -26,7 +26,7 @@ from typing import Dict, Optional, Tuple
 import google_crc32c
 import numpy as np
 
-from .cache import OnDemandLoader, _boxes_to_ratio
+from .cache import OnDemandLoader, _boxes_to_ratio, make_decode_loader
 from .letterbox import letterbox_unit_transform
 from .records import DataRecord, FileRecord
 
@@ -70,7 +70,7 @@ class TfrecordCache:
         h, w = cache_hw
         self.shard_path = os.path.join(cache_dir, f"cache-{h}x{w}.tfrecord")
         self.index_path = self.shard_path + ".index.jsonl"
-        self._loader = OnDemandLoader(cache_hw)
+        self._loader = make_decode_loader(cache_hw)
         self._lock = threading.Lock()
         self._index: Dict[str, Tuple[int, Optional[float]]] = {}
         if os.path.exists(self.index_path):

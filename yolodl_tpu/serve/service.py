@@ -206,9 +206,18 @@ class DetectionService:
         per-detection dicts with original-pixel COCO-style boxes."""
         from PIL import Image
 
+        from ..data.letterbox import letterbox_geometry
+
         with Image.open(io.BytesIO(data)) as im:
+            w, h = im.size
+            # JPEG DCT-scaled decode: a phone photo headed for a 608px
+            # frame decodes ~4-8x cheaper.  draft() never goes below the
+            # requested (content) size; geometry stays keyed to the
+            # ORIGINAL size via src_hw so box mapping is unchanged.
+            new_h, new_w, _, _ = letterbox_geometry(
+                (h, w), (self.image_size, self.image_size))
+            im.draft("RGB", (new_w, new_h))
             rgb = im.convert("RGB")
-            w, h = rgb.size
             return self._submit_pil(rgb, (h, w), timeout)
 
     def submit_u8(self, image_hwc: np.ndarray, timeout: float = 30.0) -> List[dict]:
@@ -237,7 +246,7 @@ class DetectionService:
         from ..data.letterbox import letterbox_u8_pil
 
         boxed = letterbox_u8_pil(
-            pil_img, (self.image_size, self.image_size))
+            pil_img, (self.image_size, self.image_size), src_hw=src_hw)
         pending = _Pending(boxed, src_hw)
         with self.stats._lock:
             self.stats.requests += 1
