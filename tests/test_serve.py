@@ -267,3 +267,46 @@ class TestHttp:
         with pytest.raises(urllib.error.HTTPError) as exc:
             urllib.request.urlopen(f"{server}/nope")
         assert exc.value.code == 404
+
+
+class TestServingArtifact:
+    """Serving from an exported StableHLO artifact (yolo-tool export
+    --serving → DetectionService.from_artifact): same uint8 ingest + NMS
+    as the live service, no model-building code on the inference path."""
+
+    def test_artifact_service_matches_live(self, service, tmp_path):
+        from yolodl_tpu.models.export import export_inference
+
+        graph = Graph.from_model(cfg.parse_model_dict(TOY))
+        model = YoloModel(graph)
+        params, state = model.init(jax.random.PRNGKey(0))  # same seed as
+        # the `service` fixture → identical weights
+        out_dir = str(tmp_path / "serving_artifact")
+        export_inference(model, params, state, out_dir,
+                         batch_size=4, image_size=32, serving=True)
+
+        svc = DetectionService.from_artifact(
+            out_dir, window_ms=20.0, nms_conf_thresh=0.01,
+            class_names=["square"])
+        assert svc.batch_size == 4 and svc.image_size == 32
+        svc.warmup()
+        svc.start()
+        try:
+            img = np.rint(_image(seed=11) * 255).astype(np.uint8)
+            via_artifact = svc.submit_u8(np.transpose(img, (1, 2, 0)))
+            via_live = service.submit_u8(np.transpose(img, (1, 2, 0)))
+            assert json.dumps(via_artifact) == json.dumps(via_live)
+        finally:
+            svc.shutdown()
+
+    def test_plain_artifact_rejected(self, tmp_path):
+        from yolodl_tpu.models.export import export_inference
+
+        graph = Graph.from_model(cfg.parse_model_dict(TOY))
+        model = YoloModel(graph)
+        params, state = model.init(jax.random.PRNGKey(0))
+        out_dir = str(tmp_path / "plain_artifact")
+        export_inference(model, params, state, out_dir,
+                         batch_size=1, image_size=32)
+        with pytest.raises(ValueError, match="serving"):
+            DetectionService.from_artifact(out_dir)

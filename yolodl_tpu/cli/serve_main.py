@@ -31,6 +31,10 @@ def main(argv=None):
                         help="micro-batching window")
     parser.add_argument("--classes-file", default="",
                         help="one class name per line (overrides dataset)")
+    parser.add_argument("--artifact", default="",
+                        help="serve an exported StableHLO serving artifact "
+                             "dir (yolo-tool export --serving) — no model "
+                             "build; batch/size come from the artifact")
     args = parser.parse_args(argv)
 
     import jax
@@ -47,7 +51,13 @@ def main(argv=None):
     model_path = os.path.join(base_dir, config.model_file)
 
     weights = args.weights or config.weights_file
-    if config.model_kind == "darknet":
+    if args.artifact:
+        if args.weights or args.checkpoint:
+            raise ValueError(
+                "--artifact bakes the weights in; --weights/--checkpoint "
+                "do not apply")
+        model = params = state = None
+    elif config.model_kind == "darknet":
         if weights:
             from ..models.zoo import load_darknet_model
 
@@ -58,11 +68,12 @@ def main(argv=None):
     else:
         model = YoloModel(Graph.load_newslab_v1_json(model_path))
         params, state = model.init(jax.random.PRNGKey(0))
-    if args.checkpoint:
+    if args.checkpoint and not args.artifact:
         params, state, _, _ = load_checkpoint(args.checkpoint, params, state)
 
     nms_kind, nms_beta = "greedy", 0.6
-    if config.model_kind == "darknet":
+    if config.model_kind == "darknet" and not args.artifact \
+            and os.path.exists(model_path):
         from ..config import darknet_cfg as dk
         from ..loss.nms import nms_options_from_darknet
 
@@ -73,19 +84,33 @@ def main(argv=None):
         with open(args.classes_file) as f:
             class_names = [ln.strip() for ln in f if ln.strip()]
 
-    service = DetectionService(
-        model, params, state,
-        image_size=config.dataset.image_size,
-        batch_size=args.batch_size,
-        window_ms=args.window_ms,
-        nms_iou_thresh=config.nms_iou_thresh,
-        nms_conf_thresh=config.nms_conf_thresh,
-        nms_kind=nms_kind,
-        nms_beta=nms_beta,
-        class_names=class_names,
-    )
-    print(f"compiling batch={args.batch_size} size={config.dataset.image_size} ...",
-          flush=True)
+    if args.artifact:
+        service = DetectionService.from_artifact(
+            args.artifact,
+            window_ms=args.window_ms,
+            nms_iou_thresh=config.nms_iou_thresh,
+            nms_conf_thresh=config.nms_conf_thresh,
+            nms_kind=nms_kind,
+            nms_beta=nms_beta,
+            class_names=class_names,
+        )
+        if service.batch_size != args.batch_size:
+            print(f"artifact batch {service.batch_size} overrides "
+                  f"--batch-size {args.batch_size}")
+    else:
+        service = DetectionService(
+            model, params, state,
+            image_size=config.dataset.image_size,
+            batch_size=args.batch_size,
+            window_ms=args.window_ms,
+            nms_iou_thresh=config.nms_iou_thresh,
+            nms_conf_thresh=config.nms_conf_thresh,
+            nms_kind=nms_kind,
+            nms_beta=nms_beta,
+            class_names=class_names,
+        )
+    print(f"compiling batch={service.batch_size} "
+          f"size={service.image_size} ...", flush=True)
     secs = service.warmup()
     service.start()
     server = make_http_server(service, args.host, args.port)

@@ -65,6 +65,10 @@ def main(argv=None):
                         help="input size (default: the cfg net height)")
     export.add_argument("--dtype", default="float32",
                         choices=["float32", "bfloat16"])
+    export.add_argument("--serving", action="store_true",
+                        help="serving artifact: uint8 NHWC ingest with the "
+                             "bf16/255 normalize baked in, consumable by "
+                             "yolodl-serve --artifact")
 
     args = parser.parse_args(argv)
 
@@ -179,9 +183,10 @@ def _export(args):
         params, state, _, _ = load_checkpoint(args.checkpoint, params, state)
     export_inference(model, params, state, args.output_dir,
                      batch_size=args.batch, image_size=size,
-                     dtype=args.dtype)
+                     dtype=args.dtype, serving=args.serving)
+    kind = "serving u8-NHWC" if args.serving else args.dtype
     print(f"wrote {args.output_dir}/model.stablehlo + meta.json "
-          f"(batch {args.batch}, {size}x{size}, {args.dtype}, cpu+tpu)")
+          f"(batch {args.batch}, {size}x{size}, {kind}, cpu+tpu)")
 
 
 def _fold_weights(args):

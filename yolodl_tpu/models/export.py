@@ -41,28 +41,44 @@ def export_inference(
     image_size: int = 0,
     dtype: str = "float32",
     data_format: str = "NCHW",
+    serving: bool = False,
 ) -> str:
     """Serialize ``model.apply(params, state, ·, train=False)`` to ``path``.
 
     Weights are baked into the program as constants: the artifact is the
     whole deployable model.  Lowering targets both cpu and tpu so the same
     file serves local smoke tests and fleet deployment.
+
+    ``serving=True`` produces a *serving* artifact matching the
+    :class:`~yolodl_tpu.serve.DetectionService` ingest exactly: input is
+    ``[B, S, S, 3] uint8`` NHWC (pixels stay uint8 over the host→device
+    wire) with the bf16/255 normalization baked into the program.
     """
     from jax import export as jax_export
 
     if not image_size:
         raise ValueError("image_size is required (e.g. the cfg net height)")
-    if data_format == "NCHW":
+    if serving:
+        data_format = "NHWC"
+        in_shape = (batch_size, image_size, image_size, 3)
+        in_dtype = jnp.dtype(jnp.uint8)
+    elif data_format == "NCHW":
         in_shape = (batch_size, 3, image_size, image_size)
+        in_dtype = jnp.dtype(dtype)
     elif data_format == "NHWC":
         in_shape = (batch_size, image_size, image_size, 3)
+        in_dtype = jnp.dtype(dtype)
     else:
         raise ValueError(f"unknown data_format {data_format!r}")
-    in_dtype = jnp.dtype(dtype)
+
+    def apply_fn(p, s, images):
+        if serving:  # the service's on-device normalize, baked in
+            images = images.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
+        return model.apply(p, s, images, train=False,
+                           data_format=data_format)
 
     def fn(images):
-        pred, _ = model.apply(params, state, images, train=False,
-                              data_format=data_format)
+        pred, _ = apply_fn(params, state, images)
         outs = (pred.cycxhw, pred.obj_logit, pred.class_logit)
         if pred.uncertainty is not None:
             outs = outs + (pred.uncertainty,)
@@ -70,8 +86,7 @@ def export_inference(
 
     # probe infos (static) with an abstract trace — no device work
     spec = jax.eval_shape(
-        lambda p, s, x: model.apply(p, s, x, train=False,
-                                    data_format=data_format)[0],
+        lambda p, s, x: apply_fn(p, s, x)[0],
         params, state, jax.ShapeDtypeStruct(in_shape, in_dtype))
     infos = spec.infos
 
@@ -87,6 +102,7 @@ def export_inference(
         "input_shape": list(in_shape),
         "input_dtype": str(in_dtype),
         "data_format": data_format,
+        "serving": serving,
         "num_classes": spec.class_logit.shape[-1],
         "has_uncertainty": spec.uncertainty is not None,
         "infos": [dataclasses.asdict(i) for i in infos],

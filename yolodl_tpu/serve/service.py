@@ -114,6 +114,7 @@ class DetectionService:
         nms_beta: float = 0.6,
         class_names: Optional[List[str]] = None,
         max_queue: int = 256,
+        forward_fn=None,
     ):
         import jax
         import jax.numpy as jnp
@@ -137,12 +138,15 @@ class DetectionService:
         # Input is uint8 NHWC: pixels stay u8 on the host and over the
         # host→device link (4× less transfer than f32), normalized to
         # bf16/255 on device where the divide is free.
-        @jax.jit
-        def forward(params, state, images_u8):
-            x = images_u8.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
-            pred, _ = model.apply(params, state, x, train=False,
-                                  data_format="NHWC")
-            return pred
+        if forward_fn is not None:
+            forward = forward_fn  # e.g. a deserialized serving artifact
+        else:
+            @jax.jit
+            def forward(params, state, images_u8):
+                x = images_u8.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
+                pred, _ = model.apply(params, state, x, train=False,
+                                      data_format="NHWC")
+                return pred
 
         @jax.jit
         def postprocess(pred):
@@ -164,6 +168,39 @@ class DetectionService:
         )
         self._completer = threading.Thread(
             target=self._complete_loop, name="detection-completer", daemon=True
+        )
+
+    @classmethod
+    def from_artifact(
+        cls,
+        path: str,
+        *,
+        window_ms: float = 5.0,
+        nms_iou_thresh: float = 0.45,
+        nms_conf_thresh: float = 0.25,
+        nms_kind: str = "greedy",
+        nms_beta: float = 0.6,
+        class_names: Optional[List[str]] = None,
+        max_queue: int = 256,
+    ) -> "DetectionService":
+        """Serve a deserialized StableHLO *serving* artifact (``yolo-tool
+        export --serving``): no model-building code on the inference path;
+        image size and batch come from the artifact's compiled shape."""
+        from ..models.export import load_exported
+
+        infer, meta = load_exported(path)
+        if not meta.get("serving"):
+            raise ValueError(
+                f"{path} is a plain inference artifact; serving needs the "
+                "uint8 NHWC ingest baked in — re-export with --serving")
+        batch, size = meta["input_shape"][0], meta["input_shape"][1]
+        return cls(
+            None, None, None,
+            image_size=size, batch_size=batch, window_ms=window_ms,
+            nms_iou_thresh=nms_iou_thresh, nms_conf_thresh=nms_conf_thresh,
+            nms_kind=nms_kind, nms_beta=nms_beta, class_names=class_names,
+            max_queue=max_queue,
+            forward_fn=lambda params, state, images_u8: infer(images_u8),
         )
 
     # -- lifecycle ---------------------------------------------------------
