@@ -23,6 +23,9 @@ def main(argv=None):
     parser.add_argument("--profile-dir", default="",
                         help="capture a jax.profiler device trace of steps "
                              "5-10 into this directory")
+    parser.add_argument("--process-id", type=int, default=-1,
+                        help="this process's rank in a MultiProcess "
+                             "device_config cluster (or YDL_PROCESS_ID)")
     args = parser.parse_args(argv)
 
     import jax
@@ -53,8 +56,44 @@ def main(argv=None):
     config = TrainAppConfig.load(args.config_file)
     base_dir = os.path.dirname(os.path.abspath(args.config_file))
 
-    # timestamped run dir + config copy (main.rs:34-51)
-    run_dir = os.path.join(config.logging.dir, time.strftime("%Y-%m-%d-%H-%M-%S"))
+    # multi-process (multi-host) DP: join the distributed runtime BEFORE
+    # any backend use, then resolve the global device count.  Same mesh /
+    # axis-name code as single-host — the data axis just spans processes.
+    proc_id, n_procs = 0, 1
+    if config.multi_process is not None:
+        import dataclasses
+
+        from ..parallel.mesh import initialize_multi_host
+
+        mp = config.multi_process
+        pid = args.process_id if args.process_id >= 0 else int(
+            os.environ.get("YDL_PROCESS_ID", "-1"))
+        if mp.coordinator:
+            if pid < 0:
+                raise SystemExit(
+                    "MultiProcess with an explicit coordinator needs "
+                    "--process-id (or YDL_PROCESS_ID)")
+            initialize_multi_host(mp.coordinator, mp.num_processes, pid)
+        else:
+            initialize_multi_host()  # auto-discovery (TPU pod metadata)
+        proc_id, n_procs = jax.process_index(), jax.process_count()
+        config = dataclasses.replace(config, n_devices=jax.device_count())
+        if config.batch_size % (config.n_devices * config.accumulation_steps):
+            raise SystemExit(
+                f"training.batch_size ({config.batch_size}) must be "
+                f"divisible by global devices x accumulation_steps "
+                f"({config.n_devices} x {config.accumulation_steps})")
+        print(f"multi-process: rank {proc_id}/{n_procs}, "
+              f"{jax.local_device_count()} local / {config.n_devices} "
+              f"global devices", flush=True)
+    is_chief = proc_id == 0
+
+    # timestamped run dir + config copy (main.rs:34-51); non-chief ranks get
+    # a rank-suffixed dir (no checkpoints land there, so FromRecent resume
+    # scans only ever find the chief's)
+    run_dir = os.path.join(
+        config.logging.dir,
+        time.strftime("%Y-%m-%d-%H-%M-%S") + (f"-r{proc_id}" if proc_id else ""))
     os.makedirs(run_dir, exist_ok=True)
     shutil.copy(args.config_file, os.path.join(run_dir, "train.json5"))
     ckpt_dir = os.path.join(run_dir, "checkpoints")
@@ -86,8 +125,18 @@ def main(argv=None):
         loader = MemoryCache((size, size))
     else:
         loader = make_decode_loader((size, size))
+    # multi-process: each rank streams its strided share of the records and
+    # produces the LOCAL slice of the global batch (shard_batch_multiprocess
+    # assembles global arrays in mesh device order = process order)
+    local_batch = config.batch_size
+    records = dataset.records()
+    if n_procs > 1:
+        records = records[proc_id::n_procs]
+        local_batch = (config.batch_size * jax.local_device_count()
+                       // config.n_devices)
     stream_cfg = TrainingStreamConfig(
-        batch_size=config.batch_size,
+        batch_size=local_batch,
+        seed=proc_id,  # decorrelate augmentation streams across ranks
         mosaic_prob=pre.mosaic_prob,
         mixup_prob=pre.mixup_prob,
         cutmix_prob=pre.cutmix_prob,
@@ -99,7 +148,7 @@ def main(argv=None):
         bbox_scaling=pre.bbox_scaling,
         workers=pre.workers,
     )
-    stream = TrainingStream(dataset.records(), loader, stream_cfg)
+    stream = TrainingStream(records, loader, stream_cfg)
 
     logger_holder = {}
     current_step = {"n": 0}  # host-side optimizer step, for telemetry tags
@@ -216,6 +265,10 @@ def main(argv=None):
             ts = replicate_state(mesh, ts)
         if use_tp:
             place = lambda batch: shard_batch_tp(mesh, batch)
+        elif n_procs > 1:
+            from ..parallel import shard_batch_multiprocess
+
+            place = lambda batch: shard_batch_multiprocess(mesh, batch)
         else:
             place = lambda batch: shard_batch(mesh, batch)
     else:
@@ -242,7 +295,7 @@ def main(argv=None):
             dk.Darknet.load(model_path))
 
     infer_one = None
-    if config.logging.enable_inference:
+    if config.logging.enable_inference and is_chief:
         from ..loss import non_max_suppression, yolo_inference
         from ..loss.inference import to_host_detections
         from ..train.logging import draw_boxes_on_image as _draw
@@ -296,7 +349,7 @@ def main(argv=None):
     # periodic in-training validation (evaluation.interval): dataset mAP
     # through the full inference path, logged as val/* scalars
     evaluator = None
-    if config.eval_interval:
+    if config.eval_interval and is_chief:
         from ..train.evaluation import DatasetEvaluator
 
         ev_cfg = config.eval_dataset or config.dataset
@@ -382,7 +435,9 @@ def main(argv=None):
         signal.signal(_sig, _request_stop)
 
     saver = AsyncCheckpointer()
-    save_checkpoint = saver.save
+    # multi-process: the chief serializes (params are replicated, so every
+    # rank holds identical values; duplicate writes would litter FromRecent)
+    save_checkpoint = saver.save if is_chief else (lambda *a, **k: None)
     best_eval = {"map": -1.0}
 
     def handle_step(step, metrics, index=None, final=True, window=1):
@@ -519,6 +574,11 @@ def main(argv=None):
     # per-batch device copies would transfer every batch twice
     if scan_k > 1:
         source = ((rec, None) for rec in iter(stream))
+    elif n_procs > 1:
+        # multi-process placement needs HOST arrays (each rank contributes
+        # its local slice via make_array_from_process_local_data)
+        source = ((rec, (rec.images, rec.boxes, rec.classes, rec.mask))
+                  for rec in iter(stream))
     else:
         source = device_prefetch(iter(stream))
     try:

@@ -252,6 +252,18 @@ class CheckpointPolicy:
 
 
 @dataclasses.dataclass(frozen=True)
+class MultiProcessConfig:
+    """Multi-controller (multi-host) training over the JAX distributed
+    runtime — DCN scaling the reference entirely lacks (SURVEY §2.8/§5.8).
+    ``coordinator`` empty = auto-discovery (TPU pod metadata); explicit
+    ``host:port`` + ``num_processes`` + a per-process ``--process-id``
+    support manual clusters."""
+
+    coordinator: str = ""
+    num_processes: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
 class TrainAppConfig:
     model_kind: str            # newslab_v1 | darknet
     model_file: str
@@ -303,6 +315,9 @@ class TrainAppConfig:
     # are sharded on output channels via GSPMD (parallel/tp.py).  Weights +
     # Adam state per chip drop by tp for every divisible layer.
     tensor_parallel: int = 1
+    # device_config {"type": "MultiProcess", ...}: n_devices is resolved at
+    # runtime (jax.device_count() after joining the distributed runtime)
+    multi_process: Optional[MultiProcessConfig] = None
 
     @staticmethod
     def load(path) -> "TrainAppConfig":
@@ -319,8 +334,15 @@ class TrainAppConfig:
         training = raw["training"]
         device_cfg = training.get("device_config", {"type": "SingleDevice"})
         dtype = device_cfg.get("type", "SingleDevice").lower()
+        multi_process = None
         if dtype == "singledevice":
             n_devices = 1
+        elif dtype == "multiprocess":
+            n_devices = 0  # resolved at runtime after jax.distributed joins
+            multi_process = MultiProcessConfig(
+                coordinator=str(device_cfg.get("coordinator", "")),
+                num_processes=int(device_cfg.get("num_processes", 0)),
+            )
         elif dtype in ("multidevice", "nonuniformmultidevice"):
             devices = device_cfg.get("devices", []) or device_cfg.get("minibatch_sizes", [])
             n_devices = max(len(devices), 1)
@@ -360,13 +382,26 @@ class TrainAppConfig:
         if tp < 1:
             raise ValueError(
                 f"{path}: training.tensor_parallel must be >= 1, got {tp}")
+        if multi_process is not None:
+            # multi-controller path is plain DP (+ accumulation) for now;
+            # GSPMD TP / ZeRO sharding across processes is untested
+            if tp > 1:
+                raise ValueError(
+                    f"{path}: tensor_parallel is single-controller only; "
+                    "MultiProcess runs data-parallel")
+            if training.get("zero_optimizer"):
+                raise ValueError(
+                    f"{path}: zero_optimizer is single-controller only; "
+                    "MultiProcess runs data-parallel")
+            # batch divisibility vs the (runtime) device count is checked
+            # by the train CLI once the distributed runtime has joined
         if n_devices % tp:
             raise ValueError(
                 f"{path}: training.tensor_parallel ({tp}) must divide the "
                 f"device count ({n_devices})")
         # with TP the batch is sharded over data = n_devices/tp replicas only
         n_data = n_devices // tp
-        if batch_size % (n_data * accum):
+        if n_data and batch_size % (n_data * accum):
             raise ValueError(
                 f"{path}: training.batch_size ({batch_size}) must be divisible "
                 f"by data-parallel replicas x accumulation_steps "
@@ -379,6 +414,7 @@ class TrainAppConfig:
             logging=LoggingConfig.parse(raw.get("logging", {})),
             batch_size=batch_size,
             n_devices=n_devices,
+            multi_process=multi_process,
             accumulation_steps=accum,
             lr=LrScheduleConfig.parse(opt.get("lr_schedule", opt.get("lr"))),
             optimizer=str(opt.get("type", "adam")).lower(),

@@ -41,6 +41,23 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     )
 
 
+def shard_batch_multiprocess(mesh: Mesh, batch: Any) -> Any:
+    """Multi-controller variant of :func:`shard_batch`: every process passes
+    only its LOCAL slice of the global batch (local_batch = batch ·
+    local_devices / global_devices) and receives global arrays sharded over
+    the data axis.  Process shards concatenate in mesh device order, which
+    groups each process's devices contiguously (``jax.devices()`` order) —
+    so process *i* must stream records ``[i::num_processes]``."""
+    import numpy as np
+
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)),
+        batch,
+    )
+
+
 def make_dp_train_step(
     model: YoloModel,
     optimizer: optax.GradientTransformation,
