@@ -99,6 +99,73 @@ class TestLrSchedule:
         cfg = LrScheduleConfig.parse({"type": "StepWise", "steps": [[0, 0.1], [5, 0.01]]})
         assert cfg.kind == "stepwise" and cfg.steps == ((0, 0.1), (5, 0.01))
 
+    def test_darknet_policy_family_matches_network_c(self):
+        """Hand-computed values from get_current_rate
+        (darknet-test/darknet/src/network.c:131-176) for every policy;
+        host lr_at_step and the traceable schedule must both match."""
+        import math
+
+        lm = 1e-5
+        cases = [
+            (LrScheduleConfig(kind="darknet", lr=0.01, policy="poly",
+                              max_batches=1000, burn_in=100),
+             [(50, 0.01 * (50 / 100) ** 4),
+              (500, 0.01 * 0.5 ** 4),
+              (1000, 0.0)]),
+            (LrScheduleConfig(kind="darknet", lr=0.1, policy="step",
+                              step_size=100, step_scale=0.5),
+             [(0, 0.1), (250, 0.1 * 0.5 ** 2)]),
+            (LrScheduleConfig(kind="darknet", lr=0.1, policy="exp",
+                              gamma=0.999),
+             [(100, 0.1 * 0.999 ** 100)]),
+            (LrScheduleConfig(kind="darknet", lr=0.1, policy="sig",
+                              gamma=0.1, step_size=200),
+             [(150, 0.1 / (1 + math.exp(0.1 * (150 - 200))))]),
+            (LrScheduleConfig(kind="darknet", lr=0.1, policy="sgdr",
+                              sgdr_cycle=100, sgdr_mult=2, lr_min=lm),
+             [(0, lm + 0.5 * (0.1 - lm) * 2),          # cos(0)
+              (100, lm),                                # cos(pi)
+              # 2nd cycle: last=100, cycle=200 -> (250-100)*pi/200
+              (250, lm + 0.5 * (0.1 - lm)
+               * (1 + math.cos(150 * math.pi / 200)))]),
+            (LrScheduleConfig(kind="darknet", lr=0.2, policy="constant"),
+             [(123, 0.2)]),
+        ]
+        for cfg, points in cases:
+            fn = make_schedule_fn(cfg)
+            for step, want in points:
+                assert lr_at_step(cfg, step) == pytest.approx(
+                    want, rel=1e-6, abs=1e-12), (cfg.policy, step)
+                assert float(fn(jnp.int32(step))) == pytest.approx(
+                    want, rel=1e-4, abs=1e-9), (cfg.policy, step)
+
+    def test_from_darknet_net(self):
+        from yolodl_tpu.config import darknet_cfg as dk
+        from yolodl_tpu.train.lr_schedule import lr_schedule_from_darknet
+
+        text = """[net]
+height=32
+width=32
+channels=3
+learning_rate=0.002
+burn_in=50
+max_batches=4000
+policy=poly
+power=3
+"""
+        net = dk.Darknet.from_str(text + "\n[convolutional]\nfilters=1\nsize=1\n")
+        cfg = lr_schedule_from_darknet(net.net)
+        assert cfg.policy == "poly" and cfg.burn_in_power == 3.0
+        assert lr_at_step(cfg, 2000) == pytest.approx(0.002 * 0.5 ** 3)
+        # policy params survive the cfg round trip
+        net2 = dk.Darknet.from_str(dk.to_cfg_string(net))
+        assert net2.net.power == 3.0 and net2.net.policy == "poly"
+
+        bad = dk.Darknet.from_str(text.replace("policy=poly", "policy=random")
+                               + "\n[convolutional]\nfilters=1\nsize=1\n")
+        with pytest.raises(ValueError, match="random"):
+            lr_schedule_from_darknet(bad.net)
+
 
 class TestTrainStep:
     def test_loss_decreases(self, rng):

@@ -99,8 +99,14 @@ def main(argv=None):
 
     training = raw.get("training", {})
     opt_raw = training.get("optimizer", {})
+    lr_cfg = LrScheduleConfig.parse(opt_raw.get("lr_schedule", opt_raw.get("lr")))
+    if lr_cfg.kind == "from_model_cfg":
+        # adopt the darknet [net] policy (burn_in + steps/poly/sig/sgdr...)
+        from ..train.lr_schedule import lr_schedule_from_darknet
+
+        lr_cfg = lr_schedule_from_darknet(darknet.net)
     config = TrainConfig(
-        lr=LrScheduleConfig.parse(opt_raw.get("lr_schedule", opt_raw.get("lr"))),
+        lr=lr_cfg,
         optimizer=str(opt_raw.get("type", "adam")).lower(),
         momentum=float(opt_raw.get("momentum", 0.937)),
         weight_decay=float(opt_raw.get("weight_decay", 0.0)),

@@ -106,6 +106,22 @@ def main(argv=None):
         graph = Graph.load_newslab_v1_json(model_path)
     model = YoloModel(graph)
 
+    # lr_schedule {type: FromModelCfg}: adopt the darknet [net] policy
+    # family (burn_in + steps/poly/sig/sgdr..., network.c:131-176) so
+    # darknet training recipes run unchanged under the JSON5 config
+    if config.lr.kind == "from_model_cfg":
+        if config.model_kind != "darknet":
+            raise SystemExit(
+                "optimizer.lr_schedule FromModelCfg needs a darknet model "
+                "cfg (NEWSLABv1 models carry no [net] policy)")
+        import dataclasses as _dc
+
+        from ..config import darknet_cfg as _dk
+        from ..train.lr_schedule import lr_schedule_from_darknet
+
+        config = _dc.replace(
+            config, lr=lr_schedule_from_darknet(_dk.Darknet.load(model_path).net))
+
     # dataset + pipeline
     dataset = SanitizedDataset(
         config.dataset.open(base_dir),

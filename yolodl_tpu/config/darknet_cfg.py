@@ -99,6 +99,16 @@ class Net:
     policy: str = "constant"
     steps: Tuple[int, ...] = ()
     scales: Tuple[float, ...] = ()
+    # policy parameters (parser.c:1219,1236-1238,1141-1143): power drives
+    # both burn-in warmup and poly decay; step/scale are the STEP policy
+    # pair (step also the SIG midpoint); sgdr_cycle=0 means max_batches
+    power: float = 4.0
+    gamma: float = 1.0
+    step: int = 1
+    scale: float = 1.0
+    learning_rate_min: float = 1e-5
+    sgdr_cycle: int = 0
+    sgdr_mult: int = 2
     mosaic: bool = False
     letter_box: bool = False
     adam: bool = False
@@ -513,6 +523,13 @@ def _parse_net(d: Dict[str, str]) -> Net:
         policy=_get_str(d, "policy", "constant"),
         steps=tuple(_int_list(d["steps"])) if "steps" in d else (),
         scales=tuple(_float_list(d["scales"])) if "scales" in d else (),
+        power=_get_float(d, "power", 4.0),
+        gamma=_get_float(d, "gamma", 1.0),
+        step=_get_int(d, "step", 1),
+        scale=_get_float(d, "scale", 1.0),
+        learning_rate_min=_get_float(d, "learning_rate_min", 1e-5),
+        sgdr_cycle=_get_int(d, "sgdr_cycle", 0),
+        sgdr_mult=_get_int(d, "sgdr_mult", 2),
         mosaic=_get_bool(d, "mosaic", False),
         letter_box=_get_bool(d, "letter_box", False),
         adam=_get_bool(d, "adam", False),
@@ -712,6 +729,21 @@ def to_cfg_string(darknet: Darknet) -> str:
         out.append("steps=" + ",".join(str(s) for s in net.steps))
     if net.scales:
         out.append("scales=" + ",".join(_fmt(s) for s in net.scales))
+    # policy parameters: emit only non-defaults (keeps untouched cfgs terse)
+    if net.power != 4.0:
+        out.append(f"power={_fmt(net.power)}")
+    if net.gamma != 1.0:
+        out.append(f"gamma={_fmt(net.gamma)}")
+    if net.step != 1:
+        out.append(f"step={net.step}")
+    if net.scale != 1.0:
+        out.append(f"scale={_fmt(net.scale)}")
+    if net.learning_rate_min != 1e-5:
+        out.append(f"learning_rate_min={_fmt(net.learning_rate_min)}")
+    if net.sgdr_cycle:
+        out.append(f"sgdr_cycle={net.sgdr_cycle}")
+    if net.sgdr_mult != 2:
+        out.append(f"sgdr_mult={net.sgdr_mult}")
     for flag in ("mosaic", "letter_box", "adam"):
         if getattr(net, flag):
             out.append(f"{flag}=1")
