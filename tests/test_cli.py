@@ -137,6 +137,33 @@ class TestTrainCli:
         # tensorboard event file written
         assert any(name.startswith("events.out") for name in os.listdir(run_dir))
 
+    def test_train_records_cache(self, workspace):
+        """preprocessor.cache.records caches the parsed annotations: the
+        first run writes records-*.npz, the second serves from it."""
+        cfg = json.loads((workspace / "train.json5").read_text())
+        cache_dir = workspace / "rcache"
+        cfg["preprocessor"]["cache"] = {
+            "method": "NoCache", "cache_dir": str(cache_dir), "records": True}
+        (workspace / "train_rc.json5").write_text(json.dumps(cfg))
+        out = run_cli(
+            "yolodl_tpu.cli.train_main",
+            "--config-file", str(workspace / "train_rc.json5"),
+            "--max-steps", "2",
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        entries = [n for n in os.listdir(cache_dir)
+                   if n.startswith("records-") and n.endswith(".npz")]
+        assert len(entries) == 1, entries
+        mtime = os.stat(cache_dir / entries[0]).st_mtime_ns
+        out2 = run_cli(
+            "yolodl_tpu.cli.train_main",
+            "--config-file", str(workspace / "train_rc.json5"),
+            "--max-steps", "2",
+        )
+        assert out2.returncode == 0, out2.stderr[-3000:]
+        # warm start: entry untouched (hit), not rebuilt
+        assert os.stat(cache_dir / entries[0]).st_mtime_ns == mtime
+
     def test_train_zero1_on_mesh(self, workspace):
         """training.zero_optimizer shards Adam state over an 8-device mesh;
         the run trains, checkpoints, and resumes params."""

@@ -122,9 +122,12 @@ def main(argv=None):
         config = _dc.replace(
             config, lr=lr_schedule_from_darknet(_dk.Darknet.load(model_path).net))
 
-    # dataset + pipeline
+    # dataset + pipeline (cache.records: annotation parse cached on disk)
+    records_cache_dir = (
+        config.preprocessor.cache_dir if config.preprocessor.cache_records
+        else "")
     dataset = SanitizedDataset(
-        config.dataset.open(base_dir),
+        config.dataset.open(base_dir, records_cache_dir=records_cache_dir),
         out_of_bound_tolerance=config.preprocessor.out_of_bound_tolerance,
         min_bbox_size=config.preprocessor.min_bbox_size,
     )
@@ -370,7 +373,7 @@ def main(argv=None):
 
         ev_cfg = config.eval_dataset or config.dataset
         ev_ds = SanitizedDataset(
-            ev_cfg.open(base_dir),
+            ev_cfg.open(base_dir, records_cache_dir=records_cache_dir),
             out_of_bound_tolerance=config.preprocessor.out_of_bound_tolerance,
             min_bbox_size=config.preprocessor.min_bbox_size,
         )

@@ -15,6 +15,7 @@ normalized to uniform — documented divergence).
 from __future__ import annotations
 
 import dataclasses
+import os
 import pathlib
 from typing import Optional, Tuple
 
@@ -75,14 +76,72 @@ class DatasetConfig:
             blacklist_files=tuple(kind_raw.get("blacklist_files", ()) or ()),
         )
 
-    def open(self, base_dir: str = "."):
-        """Instantiate the dataset loader (train/src dataset dispatch parity)."""
+    def _resolver(self, base_dir: str):
         base = pathlib.Path(base_dir)
 
         def resolve(p):
             q = pathlib.Path(p)
             return str(q if q.is_absolute() else base / q)
 
+        return resolve
+
+    def source_files(self, base_dir: str = ".") -> list:
+        """The annotation-source files whose (mtime, size) signature
+        validates a records-cache entry (data/records_cache.py)."""
+        from ..data.datasets import (
+            coco_annotation_file, csv_source_files, iii_source_files,
+            voc_source_files,
+        )
+
+        resolve = self._resolver(base_dir)
+        if self.kind == "coco":
+            return [coco_annotation_file(resolve(self.dataset_dir))]
+        if self.kind == "voc":
+            return voc_source_files(resolve(self.dataset_dir))
+        if self.kind == "csv":
+            return csv_source_files(
+                resolve(self.image_dir), resolve(self.label_file),
+                resolve(self.classes_file))
+        if self.kind == "iii":
+            return iii_source_files(
+                resolve(self.dataset_dir), resolve(self.classes_file))
+        raise ValueError(f"unknown dataset kind {self.kind!r}")
+
+    def open(self, base_dir: str = ".", records_cache_dir: str = ""):
+        """Instantiate the dataset loader (train/src dataset dispatch parity).
+
+        ``records_cache_dir`` (preprocessor ``cache.records`` knob) caches
+        the PARSED record list — the label-cache capability of the
+        reference's ``cache`` crate (cache/src/label.rs), redesigned for
+        where the cost actually is: annotation parsing at startup, not the
+        per-record ratio transform (deterministic, recomputed at load)."""
+        if records_cache_dir:
+            from ..data.datasets import PrebuiltDataset
+            from ..data.records_cache import (
+                cache_file_path, load_records_cache, save_records_cache,
+                source_signature,
+            )
+
+            sig = source_signature(self.source_files(base_dir))
+            resolve = self._resolver(base_dir)
+            key = dataclasses.asdict(self)
+            # resolve the path-valued fields so the key is location-stable
+            for field in ("dataset_dir", "classes_file", "image_dir",
+                          "label_file"):
+                if key[field]:
+                    key[field] = os.path.abspath(resolve(key[field]))
+            path = cache_file_path(resolve(records_cache_dir), key)
+            hit = load_records_cache(path, sig)
+            if hit is not None:
+                records, classes, input_channels = hit
+                return PrebuiltDataset(records, classes, input_channels)
+            dataset = self.open(base_dir)
+            save_records_cache(
+                path, dataset.records(), dataset.classes,
+                dataset.input_channels, sig)
+            return dataset
+
+        resolve = self._resolver(base_dir)
         whitelist = list(self.class_whitelist) or None
         if self.kind == "coco":
             return CocoDataset(
@@ -109,6 +168,9 @@ class PreprocessorConfig:
     cache_method: str = "none"  # none | memory | file | tfrecord
     cache_dir: str = ""
     cache_dtype: str = "f32"  # f32 (reference format) | u8 (4x smaller)
+    # cache.records: also cache the PARSED annotation records (label cache;
+    # skips COCO-JSON / VOC-XML / CSV-image-size parsing on warm starts)
+    cache_records: bool = False
     mosaic_prob: float = 0.0
     mixup_prob: float = 0.0
     cutmix_prob: float = 0.0
@@ -172,10 +234,15 @@ class PreprocessorConfig:
                 )
 
         cleanse = raw.get("cleanse", {})
+        cache_records = bool(cache.get("records", False))
+        if cache_records and not cache.get("cache_dir"):
+            raise ValueError("preprocessor.cache.records requires cache_dir")
+
         return PreprocessorConfig(
             cache_method=method,
             cache_dir=cache.get("cache_dir", ""),
             cache_dtype=str(cache.get("dtype", "f32")),
+            cache_records=cache_records,
             mosaic_prob=float(mixup.get("mosaic_prob", 0.0)),
             mixup_prob=float(mixup.get("mixup_prob", 0.0)),
             cutmix_prob=float(mixup.get("cutmix_prob", 0.0)),

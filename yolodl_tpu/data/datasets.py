@@ -64,6 +64,51 @@ class _ListDataset:
         return self._records
 
 
+class PrebuiltDataset(_ListDataset):
+    """A dataset rebuilt from already-parsed records (the records cache)."""
+
+    def __init__(self, records: List[FileRecord], classes: List[str],
+                 input_channels: int = 3):
+        self._input_channels = input_channels
+        super().__init__(records, classes)
+
+    @property
+    def input_channels(self) -> int:
+        return self._input_channels
+
+
+def coco_annotation_file(dataset_dir: str,
+                         annotation_file: Optional[str] = None) -> str:
+    """Conventional layout: {dir}/annotations/instances_{split}.json."""
+    if annotation_file is not None:
+        return annotation_file
+    candidates = []
+    ann_dir = os.path.join(dataset_dir, "annotations")
+    if os.path.isdir(ann_dir):
+        candidates = [
+            os.path.join(ann_dir, n)
+            for n in sorted(os.listdir(ann_dir))
+            if n.startswith("instances_") and n.endswith(".json")
+        ]
+    if not candidates:
+        raise FileNotFoundError(f"no instances_*.json under {ann_dir}")
+    return candidates[0]
+
+
+def csv_source_files(image_dir: str, label_file: str,
+                     classes_file: str) -> List[str]:
+    """Annotation sources of a CSV dataset, including the images (their
+    dimensions are read at parse time, so a changed image invalidates the
+    parsed records)."""
+    names = set()
+    with open(label_file, newline="") as f:
+        for row in csv_mod.DictReader(f):
+            names.add(row["image_file"])
+    return [label_file, classes_file] + [
+        os.path.join(image_dir, n) for n in sorted(names)
+    ]
+
+
 class CocoDataset(_ListDataset):
     """COCO detection annotations (instances_*.json)."""
 
@@ -74,19 +119,7 @@ class CocoDataset(_ListDataset):
         image_dir: Optional[str] = None,
         classes_whitelist: Optional[Sequence[str]] = None,
     ):
-        if annotation_file is None:
-            # conventional layout: {dir}/annotations/instances_{split}.json
-            candidates = []
-            ann_dir = os.path.join(dataset_dir, "annotations")
-            if os.path.isdir(ann_dir):
-                candidates = [
-                    os.path.join(ann_dir, n)
-                    for n in sorted(os.listdir(ann_dir))
-                    if n.startswith("instances_") and n.endswith(".json")
-                ]
-            if not candidates:
-                raise FileNotFoundError(f"no instances_*.json under {ann_dir}")
-            annotation_file = candidates[0]
+        annotation_file = coco_annotation_file(dataset_dir, annotation_file)
         with open(annotation_file) as f:
             coco = json.load(f)
 
@@ -135,15 +168,27 @@ class CocoDataset(_ListDataset):
         super().__init__(records, names)
 
 
+def voc_source_files(dataset_dir: str) -> List[str]:
+    ann_dir = os.path.join(dataset_dir, "Annotations")
+    return sorted(
+        os.path.join(ann_dir, n) for n in os.listdir(ann_dir) if n.endswith(".xml")
+    )
+
+
+def iii_source_files(dataset_dir: str, classes_file: str) -> List[str]:
+    import glob as glob_mod
+
+    return [classes_file] + sorted(
+        glob_mod.glob(os.path.join(dataset_dir, "**", "*.xml"), recursive=True)
+    )
+
+
 class VocDataset(_ListDataset):
     """PASCAL VOC layout: Annotations/*.xml + JPEGImages/."""
 
     def __init__(self, dataset_dir: str, classes: Optional[List[str]] = None):
-        ann_dir = os.path.join(dataset_dir, "Annotations")
         img_dir = os.path.join(dataset_dir, "JPEGImages")
-        xmls = sorted(
-            os.path.join(ann_dir, n) for n in os.listdir(ann_dir) if n.endswith(".xml")
-        )
+        xmls = voc_source_files(dataset_dir)
         discovered: List[str] = list(classes) if classes else []
         parsed = []
         for xml_path in xmls:
