@@ -278,6 +278,35 @@ class TestSequenceCorpus:
         assert out.shape[0] == t
         assert bool(jnp.isfinite(out).all())
 
+    def test_classifier_train_step_on_sequence_net(self):
+        """Regression: clamp_running_vars used to crash on recurrent layer
+        configs (their ``bn`` is a plain bool, not a BatchNormConfig) — a
+        full optimizer step on an [rnn] net must run and move parameters."""
+        from yolodl_tpu.train import TrainConfig
+        from yolodl_tpu.train.classifier import make_classifier_train_step
+        from yolodl_tpu.train.loop import TrainState, make_optimizer
+
+        d = dk.Darknet.load(os.path.join(REPO, "cfg/darknet/rnn.cfg"))
+        gm = GraphModel(graph_from_darknet(d))
+        params, state = gm.init(jax.random.PRNGKey(0))
+        config = TrainConfig()
+        optimizer = make_optimizer(config)
+        ts = TrainState(params, state, optimizer.init(params),
+                        jnp.zeros((), jnp.int32), None)
+        t = d.net.time_steps
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(t, d.net.inputs, 1, 1)), jnp.float32)
+        labels = jnp.asarray(rng.integers(0, d.net.inputs, size=(t,)),
+                             jnp.int32)
+        p0 = jax.tree_util.tree_map(lambda a: np.asarray(a).copy(), ts.params)
+        step = make_classifier_train_step(gm, optimizer, config)
+        ts, metrics = step(ts, x, labels)
+        assert np.isfinite(float(metrics["loss"]))
+        deltas = jax.tree_util.tree_map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            p0, ts.params)
+        assert max(jax.tree_util.tree_leaves(deltas)) > 0
+
     def test_train_mode_updates_bn_state(self):
         d = dk.Darknet.load(os.path.join(REPO, "cfg/darknet/rnn.cfg"))
         gm = GraphModel(graph_from_darknet(d))

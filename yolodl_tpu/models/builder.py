@@ -588,7 +588,11 @@ class GraphModel:
             if name not in state:
                 continue
             bn_cfg = getattr(layer, "bn", None)
-            if bn_cfg is None or (bn_cfg.var_min is None and bn_cfg.var_max is None):
+            # recurrent layers ([rnn]/[gru]/[lstm]/[crnn]) carry bn as a
+            # plain bool (no clamp knobs, like darknet) — nothing to clamp
+            if bn_cfg is None or not hasattr(bn_cfg, "var_min"):
+                continue
+            if bn_cfg.var_min is None and bn_cfg.var_max is None:
                 continue
             node_state = state[name]
             if isinstance(layer, (cfg.ConvBn2D, cfg.DeconvBn2D)):
