@@ -29,7 +29,37 @@ _CFG_NAME = os.path.splitext(os.path.basename(
 MODEL_TAG = f"{_CFG_NAME}-{SIZE}"
 
 
+def _check_backend_alive(timeout_s: float) -> None:
+    """Fail fast (clear stderr message, exit 2) when the TPU backend can't
+    initialize — a dead tunnel otherwise hangs jax.devices() forever and
+    the bench times out with no diagnostic.  Probed in a subprocess: a
+    wedged PJRT client can't be interrupted from a thread."""
+    import subprocess
+    import sys
+
+    probe = ("import jax; d = jax.devices(); "
+             "print(d[0].platform, len(d))")
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", probe], capture_output=True, text=True,
+            timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(
+            f"bench: TPU backend did not initialize within {timeout_s:.0f}s "
+            "(axon tunnel down? PALLAS_AXON_POOL_IPS="
+            f"{os.environ.get('PALLAS_AXON_POOL_IPS', '')!r}). "
+            "No measurement taken.", file=sys.stderr)
+        raise SystemExit(2)
+    if out.returncode != 0:
+        print("bench: TPU backend failed to initialize:\n"
+              + out.stderr.strip()[-2000:], file=sys.stderr)
+        raise SystemExit(2)
+
+
 def main():
+    if os.environ.get("JAX_PLATFORMS", "") == "axon":
+        _check_backend_alive(float(os.environ.get("BENCH_INIT_TIMEOUT", "180")))
+
     import jax
 
     # persistent compile cache: the 600-step yolov4-csp train graph takes
