@@ -55,6 +55,124 @@ def sample_batch(rng, batch=8):
             jnp.asarray(mask))
 
 
+CLASSIFIER_CFG = """
+[net]
+height=16
+width=16
+channels=3
+batch=8
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=2
+activation=leaky
+
+[convolutional]
+filters=4
+size=1
+activation=linear
+
+[avgpool]
+
+[softmax]
+"""
+
+RNN_CFG = """
+[net]
+inputs=8
+time_steps=4
+batch=32
+subdivisions=1
+
+[rnn]
+batch_normalize=1
+output=16
+hidden=16
+activation=leaky
+
+[connected]
+output=8
+activation=linear
+
+[softmax]
+"""
+
+
+def _classifier_state(cfg_text):
+    from yolodl_tpu.config import darknet_cfg as dk
+    from yolodl_tpu.graph.from_darknet import graph_from_darknet
+    from yolodl_tpu.models.builder import GraphModel
+    from yolodl_tpu.train.loop import TrainState, make_optimizer
+
+    model = GraphModel(graph_from_darknet(dk.Darknet.from_str(cfg_text)))
+    params, state = model.init(jax.random.PRNGKey(0))
+    config = TrainConfig(lr=LrScheduleConfig(kind="constant", lr=1e-2))
+    optimizer = make_optimizer(config)
+    ts = TrainState(params, state, optimizer.init(params),
+                    jnp.zeros((), jnp.int32), None)
+    return model, optimizer, config, ts
+
+
+def test_classifier_learns_synthetic_classes():
+    """CE training on the classify path: 4 color-coded classes must reach
+    perfect train accuracy in a few dozen steps (the classifier analog of
+    the detection convergence check)."""
+    from yolodl_tpu.train.classifier import make_classifier_train_step
+
+    model, optimizer, config, ts = _classifier_state(CLASSIFIER_CFG)
+    step = make_classifier_train_step(model, optimizer, config)
+
+    rng = np.random.default_rng(0)
+    images = np.full((8, 3, 16, 16), 0.2, np.float32)
+    labels = np.asarray([0, 1, 2, 3, 0, 1, 2, 3], np.int32)
+    for b, lbl in enumerate(labels):
+        images[b, lbl % 3, :, :] = 0.9  # channel codes the class
+        if lbl == 3:
+            images[b, :, :8, :] = 0.9   # class 3 = bright top half
+    images += rng.normal(0, 0.02, images.shape).astype(np.float32)
+    x, y = jnp.asarray(images), jnp.asarray(labels)
+
+    first = None
+    for _ in range(150):
+        ts, metrics = step(ts, x, y)
+        if first is None:
+            first = float(metrics["loss"])
+    last, acc = float(metrics["loss"]), float(metrics["accuracy"])
+    assert last < first * 0.2, (first, last)
+    assert acc == 1.0, acc
+
+
+def test_rnn_learns_cyclic_sequence():
+    """BPTT through the lax.scan recurrence: an [rnn] net must learn the
+    deterministic next-token rule i → (i+1) mod 8.  Rows are time-major
+    (darknet layout: step i = rows [i*b, (i+1)*b)) with 8 parallel streams —
+    connected-layer BN normalizes over the per-timestep stream batch, so a
+    single stream would degenerate (variance 0), exactly as in darknet."""
+    from yolodl_tpu.train.classifier import make_classifier_train_step
+
+    model, optimizer, config, ts = _classifier_state(RNN_CFG)
+    step = make_classifier_train_step(model, optimizer, config)
+
+    rng = np.random.default_rng(1)
+    rows = 32  # 4 time steps × 8 streams
+    tokens = rng.integers(0, 8, size=rows)
+    x = np.zeros((rows, 8, 1, 1), np.float32)
+    x[np.arange(rows), tokens] = 1.0
+    y = jnp.asarray((tokens + 1) % 8, np.int32)
+    x = jnp.asarray(x)
+
+    first = None
+    for _ in range(250):
+        ts, metrics = step(ts, x, y)
+        if first is None:
+            first = float(metrics["loss"])
+    last, acc = float(metrics["loss"]), float(metrics["accuracy"])
+    assert last < first * 0.2, (first, last)
+    assert acc == 1.0, acc
+
+
 @pytest.mark.slow
 def test_tiny_model_learns_to_detect():
     model = make_model()
