@@ -237,6 +237,7 @@ class GraphModel:
         return_intermediates: bool = False,
         rng: Optional[Array] = None,
         node_overrides: Optional[Dict[int, Array]] = None,
+        output_key: Optional[int] = None,
     ) -> Tuple[Any, State]:
         """Forward pass → (MergedDetection, new_state).
 
@@ -245,6 +246,9 @@ class GraphModel:
         (MergedDetection, new_state, {node_name: NHWC activation}) — the
         hook the darknet parity harness uses for per-layer MSE checks
         (darknet-test/src/main.rs:112-195 role).
+        ``output_key`` returns a specific node's output instead of the
+        graph output (unused nodes downstream are dead code under jit) —
+        e.g. the pre-softmax logits for numerically-stable CE training.
         """
         if data_format == "NCHW":
             x = jnp.transpose(x, (0, 2, 3, 1))
@@ -564,14 +568,15 @@ class GraphModel:
             else:
                 raise NotImplementedError(f"forward for {layer.kind}")
 
+        out_key = self.output_key if output_key is None else output_key
         if return_intermediates:
             named = {
                 self._pname[k]: v
                 for k, v in outputs.items()
                 if isinstance(v, jax.Array)
             }
-            return outputs[self.output_key], new_state, named
-        return outputs[self.output_key], new_state
+            return outputs[out_key], new_state, named
+        return outputs[out_key], new_state
 
     # ------------------------------------------------------------------
 

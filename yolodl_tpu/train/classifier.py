@@ -26,6 +26,27 @@ from ..models.builder import GraphModel
 from .loop import TrainConfig, TrainState
 
 
+def _pre_softmax_key(model: GraphModel):
+    """Node key of the input to the graph's terminal [softmax], walking
+    back through identity tails ([cost]/[contrastive] map to Identity);
+    None when the graph does not end in a softmax."""
+    from ..config import newslab as cfg
+
+    graph = getattr(model, "graph", None)
+    if graph is None:
+        return None
+    key = model.output_key
+    for _ in range(len(graph.nodes)):
+        node = graph.nodes[key]
+        if isinstance(node.config, cfg.Identity):
+            key = node.input_keys.single_key
+            continue
+        if isinstance(node.config, cfg.Softmax):
+            return node.input_keys.single_key
+        return None
+    return None
+
+
 def make_classifier_train_step(
     model: GraphModel,
     optimizer: optax.GradientTransformation,
@@ -37,17 +58,36 @@ def make_classifier_train_step(
 
     ``output_is_prob``: the graph ends in [softmax] (darknet classifiers) —
     CE uses log(p).  False = raw logits (graphs without a softmax sink).
+
+    Stability: when the graph's output node IS a [softmax] (possibly behind
+    identity-mapped [cost]/[contrastive] tails), CE is computed as
+    ``log_softmax`` of the PRE-softmax node instead of ``log(p)`` of the
+    probabilities.  Identical value, but the gradient is the logit-space
+    ``p − y`` — darknet's own softmax+cost backward delta
+    (cost_layer.c ``delta = truth − pred`` through softmax_layer.c's
+    pass-through) — which never dies when the softmax saturates p[y] to an
+    exact float32 zero (log(clamp(p)) has zero gradient there; caught by
+    the go.test.cfg corpus train sweep, 14 relu convs → huge logits).
     """
+    logits_key = _pre_softmax_key(model)
 
     def loss_fn(params, state, images, labels):
-        out, new_state = model.apply(params, state, images, train=True,
-                                     data_format=data_format)
-        out = out.reshape(out.shape[0], -1).astype(jnp.float32)
-        if output_is_prob:
-            log_p = jnp.log(jnp.maximum(out, 1e-12))
-        else:
+        if logits_key is not None:
+            out, new_state = model.apply(
+                params, state, images, train=True, data_format=data_format,
+                output_key=logits_key)
+            out = out.reshape(out.shape[0], -1).astype(jnp.float32)
             log_p = jax.nn.log_softmax(out, axis=-1)
+        else:
+            out, new_state = model.apply(params, state, images, train=True,
+                                         data_format=data_format)
+            out = out.reshape(out.shape[0], -1).astype(jnp.float32)
+            if output_is_prob:
+                log_p = jnp.log(jnp.maximum(out, 1e-12))
+            else:
+                log_p = jax.nn.log_softmax(out, axis=-1)
         ce = -jnp.take_along_axis(log_p, labels[:, None], axis=-1).mean()
+        # argmax of log_softmax == argmax of the graph's softmax output
         acc = jnp.mean((jnp.argmax(out, -1) == labels).astype(jnp.float32))
         return ce, (new_state, acc)
 
