@@ -14,10 +14,15 @@ v3 / v3-tiny, Gaussian heads, [region] (v2), [detection] (v1), classifier
 conv nets (darknet19 / resnet50 / efficientnet_b0 / cifar), and the
 sequence nets ([rnn]/[gru]/[lstm]/[crnn] under lax.scan).
 
-~10-20 min on one CPU core (backward compiles dominate) — run as a release
-check, not in the unit suite:
+~10-20 min on one CPU core for the default subset (backward compiles
+dominate; ~50 min with --all) — run as a release check, not in the unit
+suite:
     python scripts/corpus_train_sweep.py [--all] [--cfg NAME ...]
-Last result (2026-08-17): train ok: 16/16 (default subset).
+Last result (2026-08-17): --all train ok: 73/73 — every buildable corpus
+cfg takes a finite gradient step that moves its parameters.  The sweep
+caught two real bugs on first run: sequence-net training crashed in
+clamp_running_vars (bool bn configs) and go.test.cfg trained with frozen
+parameters (saturated-softmax CE — both fixed, see git log).
 """
 
 import argparse
@@ -118,14 +123,17 @@ def train_one(path: str, name: str) -> str:
         config = TrainConfig()
         ts, opt = train_init(model, config, seed=0)
         step = make_train_step(model, opt, config)
-        images = jnp.asarray(rng.normal(size=(1, c, h, w)) * 0.1, jnp.float32)
-        boxes = np.zeros((1, 4, 4), np.float32)
+        # detectors with recurrent layers (e.g. [crnn] trackers) need the
+        # batch axis to be a multiple of time_steps (time-major rows)
+        b = max(d.net.time_steps, 1)
+        images = jnp.asarray(rng.normal(size=(b, c, h, w)) * 0.1, jnp.float32)
+        boxes = np.zeros((b, 4, 4), np.float32)
         boxes[:, 0] = (0.5, 0.5, 0.3, 0.3)
-        mask = np.zeros((1, 4), bool)
+        mask = np.zeros((b, 4), bool)
         mask[:, 0] = True
         p0 = _snapshot(ts.params)
         ts, metrics = step(ts, images, jnp.asarray(boxes),
-                           jnp.zeros((1, 4), jnp.int32), jnp.asarray(mask))
+                           jnp.zeros((b, 4), jnp.int32), jnp.asarray(mask))
         loss = float(metrics["total_loss"])
         assert np.isfinite(loss), f"non-finite detection loss {loss}"
         delta = _tree_delta(p0, ts.params)
