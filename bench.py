@@ -57,7 +57,11 @@ def _check_backend_alive(timeout_s: float) -> None:
 
 
 def main():
-    if os.environ.get("JAX_PLATFORMS", "") == "axon":
+    # the axon backend is activated by sitecustomize keyed on
+    # PALLAS_AXON_POOL_IPS (JAX_PLATFORMS merely pins the choice), so gate
+    # the liveness probe on either signal
+    if (os.environ.get("PALLAS_AXON_POOL_IPS")
+            or os.environ.get("JAX_PLATFORMS", "") == "axon"):
         _check_backend_alive(float(os.environ.get("BENCH_INIT_TIMEOUT", "180")))
 
     import jax

@@ -110,9 +110,7 @@ def train_one(path: str, name: str) -> str:
     rng = np.random.default_rng(0)
 
     is_detector = any(
-        getattr(node.config, "kind", "") in
-        ("Detect2D", "MergeDetect2D")
-        or type(node.config).__name__ in ("Detect2D", "MergeDetect2D")
+        node.kind in ("Detect2D", "MergeDetect2D")
         for node in graph.nodes.values()
     )
 
@@ -150,10 +148,12 @@ def train_one(path: str, name: str) -> str:
     params, state = model.init(jax.random.PRNGKey(0))
     t = max(d.net.time_steps, 1)
     images = jnp.asarray(rng.normal(size=(t, c, h, w)) * 0.1, jnp.float32)
-    out, _ = model.apply(params, state, images, train=False)
-    n_out = int(np.prod(out.shape[1:]))
-    is_prob = bool(np.isclose(
-        float(np.asarray(out).reshape(t, -1)[0].sum()), 1.0, atol=1e-3))
+    # abstract eval only — no compile/execution just to size the labels.
+    # output_is_prob is irrelevant: [softmax]-terminated graphs take the
+    # pre-softmax logits path inside the step; all others output logits.
+    out_sd = jax.eval_shape(
+        lambda p, s: model.apply(p, s, images, train=False)[0], params, state)
+    n_out = int(np.prod(out_sd.shape[1:]))
     labels = jnp.asarray(rng.integers(0, n_out, size=(t,)), jnp.int32)
 
     config = TrainConfig()
@@ -161,7 +161,7 @@ def train_one(path: str, name: str) -> str:
     ts = TrainState(params, state, optimizer.init(params),
                     jnp.zeros((), jnp.int32), None)
     step = make_classifier_train_step(model, optimizer, config,
-                                      output_is_prob=is_prob)
+                                      output_is_prob=False)
     p0 = _snapshot(ts.params)
     ts, metrics = step(ts, images, labels)
     loss = float(metrics["loss"])
@@ -169,7 +169,7 @@ def train_one(path: str, name: str) -> str:
     delta = _tree_delta(p0, ts.params)
     assert delta > 0, "optimizer step did not move the parameters"
     kind = "seq-cls" if d.net.time_steps > 1 else "classif"
-    return f"{kind} loss={loss:9.4f} max|Δw|={delta:.2e} (prob={is_prob})"
+    return f"{kind} loss={loss:9.4f} max|Δw|={delta:.2e}"
 
 
 def main():

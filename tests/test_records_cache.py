@@ -100,6 +100,20 @@ class TestRecordsCache:
         warm = config.open(str(base), records_cache_dir=str(cache_dir))
         assert isinstance(warm, PrebuiltDataset)
 
+    def test_truncated_npz_is_a_miss(self, csv_setup, tmp_path):
+        """A truncated npz keeps its PK zip magic; np.load raises
+        zipfile.BadZipFile (not OSError/ValueError) — must be a miss."""
+        base, config = csv_setup
+        cache_dir = tmp_path / "cache"
+        config.open(str(base), records_cache_dir=str(cache_dir))
+        (path,) = cache_dir.glob("records-*.npz")
+        blob = path.read_bytes()
+        path.write_bytes(blob[: len(blob) // 2])
+        ds = config.open(str(base), records_cache_dir=str(cache_dir))
+        assert len(ds) == 2  # rebuilt, no crash
+        warm = config.open(str(base), records_cache_dir=str(cache_dir))
+        assert isinstance(warm, PrebuiltDataset)
+
     def test_coco_empty_boxes_roundtrip(self, tmp_path):
         ann_dir = tmp_path / "annotations"
         ann_dir.mkdir()

@@ -123,23 +123,30 @@ def main(argv=None):
             config, lr=lr_schedule_from_darknet(_dk.Darknet.load(model_path).net))
 
     # dataset + pipeline (cache.records: annotation parse cached on disk)
-    records_cache_dir = (
-        config.preprocessor.cache_dir if config.preprocessor.cache_records
-        else "")
+    pre = config.preprocessor
+    # one cache_dir, resolved once against the config-file dir (the same
+    # convention as model_file / dataset paths) for BOTH the image caches
+    # and the records cache — a CWD-relative image cache next to a
+    # config-relative records cache would silently split the cache
+    cache_dir = (
+        os.path.join(base_dir, pre.cache_dir)
+        if pre.cache_dir and not os.path.isabs(pre.cache_dir)
+        else pre.cache_dir
+    )
+    records_cache_dir = cache_dir if pre.cache_records else ""
     dataset = SanitizedDataset(
         config.dataset.open(base_dir, records_cache_dir=records_cache_dir),
         out_of_bound_tolerance=config.preprocessor.out_of_bound_tolerance,
         min_bbox_size=config.preprocessor.min_bbox_size,
     )
     size = config.dataset.image_size
-    pre = config.preprocessor
     if pre.cache_method == "file":
-        loader = FileCache(pre.cache_dir or os.path.join(run_dir, "cache"),
+        loader = FileCache(cache_dir or os.path.join(run_dir, "cache"),
                            (size, size), dtype=pre.cache_dtype)
     elif pre.cache_method == "tfrecord":
         from ..data.tfrecord_cache import TfrecordCache
 
-        loader = TfrecordCache(pre.cache_dir or os.path.join(run_dir, "cache"), (size, size))
+        loader = TfrecordCache(cache_dir or os.path.join(run_dir, "cache"), (size, size))
     elif pre.cache_method == "memory":
         loader = MemoryCache((size, size))
     else:

@@ -326,16 +326,14 @@ class IiiDataset(_ListDataset):
         classes_whitelist: Optional[Sequence[str]] = None,
         blacklist_files: Optional[Sequence[str]] = None,
     ):
-        import glob as glob_mod
-
         classes = load_classes_file(classes_file)
         whitelist = set(classes_whitelist) if classes_whitelist else None
         blacklist = set(blacklist_files or ())
 
         records = []
-        for xml_path in sorted(
-            glob_mod.glob(os.path.join(dataset_dir, "**", "*.xml"), recursive=True)
-        ):
+        # discovery shared with the records-cache signature so the two
+        # can't drift ([0] is the classes file)
+        for xml_path in iii_source_files(dataset_dir, classes_file)[1:]:
             rel = os.path.relpath(xml_path, dataset_dir)
             if rel in blacklist:
                 continue

@@ -26,6 +26,7 @@ import hashlib
 import json
 import os
 import threading
+import zipfile
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -135,5 +136,8 @@ def load_records_cache(
             for i in range(len(paths))
         ]
         return records, list(header["classes"]), int(header["input_channels"])
-    except (OSError, ValueError, KeyError, json.JSONDecodeError):
+    except (OSError, ValueError, KeyError, json.JSONDecodeError,
+            zipfile.BadZipFile):
+        # BadZipFile subclasses Exception directly: a truncated npz keeps
+        # its PK magic and np.load raises it rather than OSError/ValueError
         return None

@@ -72,22 +72,17 @@ def make_classifier_train_step(
     logits_key = _pre_softmax_key(model)
 
     def loss_fn(params, state, images, labels):
-        if logits_key is not None:
-            out, new_state = model.apply(
-                params, state, images, train=True, data_format=data_format,
-                output_key=logits_key)
-            out = out.reshape(out.shape[0], -1).astype(jnp.float32)
-            log_p = jax.nn.log_softmax(out, axis=-1)
+        # output_key=None is exactly the default graph output
+        out, new_state = model.apply(
+            params, state, images, train=True, data_format=data_format,
+            output_key=logits_key)
+        out = out.reshape(out.shape[0], -1).astype(jnp.float32)
+        if logits_key is None and output_is_prob:
+            log_p = jnp.log(jnp.maximum(out, 1e-12))
         else:
-            out, new_state = model.apply(params, state, images, train=True,
-                                         data_format=data_format)
-            out = out.reshape(out.shape[0], -1).astype(jnp.float32)
-            if output_is_prob:
-                log_p = jnp.log(jnp.maximum(out, 1e-12))
-            else:
-                log_p = jax.nn.log_softmax(out, axis=-1)
+            log_p = jax.nn.log_softmax(out, axis=-1)
         ce = -jnp.take_along_axis(log_p, labels[:, None], axis=-1).mean()
-        # argmax of log_softmax == argmax of the graph's softmax output
+        # argmax of logits == argmax of the graph's softmax output
         acc = jnp.mean((jnp.argmax(out, -1) == labels).astype(jnp.float32))
         return ce, (new_state, acc)
 
