@@ -1,0 +1,83 @@
+"""Block-level rematerialization (GraphModel remat="blocks").
+
+jax.checkpoint per ConvBn/DeconvBn/DarkCsp/SppCsp node: the backward pass
+recomputes intra-block activations from block inputs instead of storing
+them — the TPU HBM lever for large inputs/batches.  Must be numerically
+exact (identical ops replayed) and must actually reduce the compiled
+training step's temp memory.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolodl_tpu.graph import Graph
+from yolodl_tpu.models import YoloModel
+from yolodl_tpu.train import TrainConfig
+from yolodl_tpu.train.loop import make_batch_grads
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MODEL = os.path.join(REPO, "cfg/model/yolov4-csp-custom-64x64-2021-08-21.json5")
+
+
+def _grads(remat):
+    graph = Graph.load_newslab_v1_json(MODEL)
+    model = YoloModel(graph, remat=remat)
+    params, state = model.init(jax.random.PRNGKey(0))
+    config = TrainConfig()
+    fn = jax.jit(make_batch_grads(model, config))
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(0, 1, (2, 3, 64, 64)), jnp.float32)
+    boxes = jnp.tile(jnp.asarray([[[0.5, 0.5, 0.4, 0.4]]], jnp.float32),
+                     (2, 1, 1))
+    classes = jnp.zeros((2, 1), jnp.int32)
+    mask = jnp.ones((2, 1), bool)
+    args = (params, state, images, boxes, classes, mask)
+    grads, new_state, metrics = fn(*args)
+    compiled = fn.lower(*args).compile()
+    ca = compiled.cost_analysis()
+    flops = (ca[0] if isinstance(ca, list) else ca).get("flops", -1.0)
+    return grads, float(metrics["total_loss"]), flops
+
+
+class TestRemat:
+    def test_grads_exact_and_recompute_engages(self):
+        """Gradients must match the unremat'd step, and the backward must
+        actually recompute (compiled flops rise ~1.3x).
+
+        Memory validation note: CPU-XLA's memory_analysis cannot show the
+        residual savings — conv scratch (im2col) dominates its temp buffer
+        pool, measured flat at ~1.0 GB for this model at batch 8 with and
+        without remat while flops rose 1.29x.  The HBM claim is a TPU
+        measurement (no im2col blowup there); see docs/performance.md.
+        """
+        g_off, loss_off, flops_off = _grads("off")
+        g_on, loss_on, flops_on = _grads("blocks")
+        assert np.isclose(loss_on, loss_off, rtol=1e-6)
+        # same math, but remat changes XLA's fusion boundaries → different
+        # float32 summation orders; observed max |Δ| ≈ 3e-7 on near-zero
+        # gradient entries
+        for a, b in zip(jax.tree_util.tree_leaves(g_off),
+                        jax.tree_util.tree_leaves(g_on)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=5e-6)
+        assert flops_on > 1.1 * flops_off, (flops_on, flops_off)
+
+    def test_invalid_mode_rejected(self):
+        graph = Graph.load_newslab_v1_json(MODEL)
+        import pytest
+
+        with pytest.raises(ValueError, match="remat"):
+            YoloModel(graph, remat="bogus")
+
+    def test_config_knob_parses(self):
+        from yolodl_tpu.config.app_config import TrainAppConfig
+
+        raw = {"training": {"remat": True}}
+        assert bool(raw["training"]["remat"]) is True
+        # full-config parse is exercised by test_cli; here just the field
+        assert hasattr(TrainAppConfig, "remat") or \
+            "remat" in TrainAppConfig.__dataclass_fields__

@@ -104,7 +104,7 @@ def main(argv=None):
         graph = load_darknet_graph(model_path)
     else:
         graph = Graph.load_newslab_v1_json(model_path)
-    model = YoloModel(graph)
+    model = YoloModel(graph, remat="blocks" if config.remat else "off")
 
     # lr_schedule {type: FromModelCfg}: adopt the darknet [net] policy
     # family (burn_in + steps/poly/sig/sgdr..., network.c:131-176) so

@@ -382,6 +382,11 @@ class TrainAppConfig:
     # are sharded on output channels via GSPMD (parallel/tp.py).  Weights +
     # Adam state per chip drop by tp for every divisible layer.
     tensor_parallel: int = 1
+    # training.remat: rematerialize block activations in the backward pass
+    # (jax.checkpoint per ConvBn/CSP/SPP node) — trades ~1/3 extra forward
+    # FLOPs for the dominant share of activation HBM; the lever for large
+    # inputs/batches, composing with accumulation_steps (batch axis)
+    remat: bool = False
     # device_config {"type": "MultiProcess", ...}: n_devices is resolved at
     # runtime (jax.device_count() after joining the distributed runtime)
     multi_process: Optional[MultiProcessConfig] = None
@@ -505,6 +510,7 @@ class TrainAppConfig:
                           if "dataset" in evaluation else None),
             zero_optimizer=bool(training.get("zero_optimizer", False)),
             tensor_parallel=tp,
+            remat=bool(training.get("remat", False)),
             multi_scale_interval=int(ms.get("interval", 10)),
             use_ema=bool(training.get("ema", {}).get("enabled", False)),
             ema_decay=float(training.get("ema", {}).get("decay", 0.9999)),

@@ -38,7 +38,7 @@ class GraphModel:
     path is todo!())."""
 
     def __init__(self, graph: Graph, spd_stem: str = "auto",
-                 fold_region: str = "off"):
+                 fold_region: str = "off", remat: str = "off"):
         """``spd_stem``: "auto" enables the space-to-depth stem rewrite
         (ops/spd_stem.py) when the graph starts with the eligible darknet
         conv(k3,s1)→conv(k3,s2) pair; "off" disables it.
@@ -47,7 +47,30 @@ class GraphModel:
         end-to-end on the v5e chip it loses ~1 ms unscanned / ~6 ms scanned
         because XLA's layout assignment already lane-packs the spatial dim
         for low-channel convs and the fold boundaries force layout copies
-        (see ops/fold_region.py docstring for the full measurement)."""
+        (see ops/fold_region.py docstring for the full measurement).
+        ``remat``: "blocks" wraps every ConvBn/DeconvBn/DarkCsp/SppCsp
+        node in ``jax.checkpoint`` — the backward pass recomputes
+        intra-node activations (pre-act conv outputs, CSP inner convs)
+        from the node inputs instead of storing them, trading ~⅓ extra
+        forward FLOPs for the dominant share of activation HBM.  The TPU
+        memory lever for large inputs/batches; composes with gradient
+        accumulation (which shrinks the batch axis instead)."""
+        if remat not in ("off", "blocks"):
+            raise ValueError(f"remat must be off|blocks, got {remat!r}")
+        if remat == "blocks":
+            self._conv_bn_apply = jax.checkpoint(
+                conv.conv_bn_apply, static_argnums=(3, 4))
+            self._deconv_bn_apply = jax.checkpoint(
+                conv.deconv_bn_apply, static_argnums=(3, 4))
+            self._dark_csp_apply = jax.checkpoint(
+                blocks.dark_csp_apply, static_argnums=(3, 4, 5))
+            self._spp_csp_apply = jax.checkpoint(
+                blocks.spp_csp_apply, static_argnums=(3, 4, 5))
+        else:
+            self._conv_bn_apply = conv.conv_bn_apply
+            self._deconv_bn_apply = conv.deconv_bn_apply
+            self._dark_csp_apply = blocks.dark_csp_apply
+            self._spp_csp_apply = blocks.spp_csp_apply
         self.graph = graph
         self.output_key = graph.output_node().key
 
@@ -360,7 +383,7 @@ class GraphModel:
                 else:
                     outputs[key] = single()
             elif isinstance(layer, cfg.ConvBn2D):
-                out, s = conv.conv_bn_apply(
+                out, s = self._conv_bn_apply(
                     params[name], state.get(name, {}), single(), layer, train
                 )
                 if s:
@@ -374,14 +397,14 @@ class GraphModel:
                 )
                 outputs[key] = out
             elif isinstance(layer, cfg.DeconvBn2D):
-                out, s = conv.deconv_bn_apply(
+                out, s = self._deconv_bn_apply(
                     params[name], state.get(name, {}), single(), layer, train
                 )
                 if s:
                     new_state[name] = s
                 outputs[key] = out
             elif isinstance(layer, cfg.DarkCsp2D):
-                out, s = blocks.dark_csp_apply(
+                out, s = self._dark_csp_apply(
                     params[name], state.get(name, {}), single(), layer,
                     self._in_c[key], train,
                 )
@@ -389,7 +412,7 @@ class GraphModel:
                     new_state[name] = s
                 outputs[key] = out
             elif isinstance(layer, cfg.SppCsp2D):
-                out, s = blocks.spp_csp_apply(
+                out, s = self._spp_csp_apply(
                     params[name], state.get(name, {}), single(), layer,
                     self._in_c[key], train,
                 )
@@ -623,8 +646,8 @@ class YoloModel(GraphModel):
     count (model.rs:330-353)."""
 
     def __init__(self, graph: Graph, spd_stem: str = "auto",
-                 fold_region: str = "off"):
-        super().__init__(graph, spd_stem, fold_region)
+                 fold_region: str = "off", remat: str = "off"):
+        super().__init__(graph, spd_stem, fold_region, remat)
         out = graph.nodes[self.output_key]
         if out.output_shape.kind != MERGE_DETECT_2D:
             raise ValueError(
