@@ -128,6 +128,45 @@ class TestService:
         dets = service.submit_bytes(buf.getvalue())
         assert isinstance(dets, list)
 
+    def test_data_parallel_serving_matches_single_device(self, service):
+        """devices=8: the batch axis sharded over the CPU mesh via GSPMD,
+        params replicated — detections must equal single-device serving."""
+        graph = Graph.from_model(cfg.parse_model_dict(TOY))
+        model = YoloModel(graph)
+        params, state = model.init(jax.random.PRNGKey(0))
+        svc8 = DetectionService(
+            model, params, state,
+            image_size=32, batch_size=8, window_ms=20.0,
+            nms_conf_thresh=0.01, class_names=["square"], devices=8,
+        )
+        svc8.warmup()
+        svc8.start()
+        try:
+            for seed in range(3):
+                img = _image(seed=seed)
+                a = service.submit_array(img)
+                b = svc8.submit_array(img)
+                assert len(a) == len(b)
+                for da, db in zip(a, b):
+                    assert da["class"] == db["class"]
+                    np.testing.assert_allclose(da["bbox"], db["bbox"],
+                                               rtol=1e-4, atol=1e-3)
+                    np.testing.assert_allclose(da["score"], db["score"],
+                                               rtol=1e-4)
+        finally:
+            svc8.shutdown()
+
+    def test_devices_rejects_bad_combinations(self):
+        graph = Graph.from_model(cfg.parse_model_dict(TOY))
+        model = YoloModel(graph)
+        params, state = model.init(jax.random.PRNGKey(0))
+        with pytest.raises(ValueError, match="not divisible"):
+            DetectionService(model, params, state, image_size=32,
+                             batch_size=6, devices=4)
+        with pytest.raises(ValueError, match="single-device"):
+            DetectionService(None, None, None, image_size=32, batch_size=8,
+                             devices=2, forward_fn=lambda p, s, x: x)
+
     def test_shutdown_with_wedged_completer(self, monkeypatch):
         """A completer stuck in a device readout (hung-tunnel mode) must not
         wedge shutdown() behind the full in-flight queue: the dispatcher

@@ -31,6 +31,9 @@ def main(argv=None):
                         help="micro-batching window")
     parser.add_argument("--classes-file", default="",
                         help="one class name per line (overrides dataset)")
+    parser.add_argument("--devices", type=int, default=1,
+                        help="data-parallel serving: shard each batch over "
+                             "this many chips (batch_size must divide)")
     parser.add_argument("--artifact", default="",
                         help="serve an exported StableHLO serving artifact "
                              "dir (yolo-tool export --serving) — no model "
@@ -85,6 +88,10 @@ def main(argv=None):
             class_names = [ln.strip() for ln in f if ln.strip()]
 
     if args.artifact:
+        if args.devices > 1:
+            raise SystemExit(
+                "--devices > 1 needs live-model serving: the exported "
+                "StableHLO artifact has a fixed single-device lowering")
         service = DetectionService.from_artifact(
             args.artifact,
             window_ms=args.window_ms,
@@ -108,6 +115,7 @@ def main(argv=None):
             nms_kind=nms_kind,
             nms_beta=nms_beta,
             class_names=class_names,
+            devices=args.devices,
         )
     print(f"compiling batch={service.batch_size} "
           f"size={service.image_size} ...", flush=True)

@@ -115,6 +115,7 @@ class DetectionService:
         class_names: Optional[List[str]] = None,
         max_queue: int = 256,
         forward_fn=None,
+        devices: int = 1,
     ):
         import jax
         import jax.numpy as jnp
@@ -123,6 +124,28 @@ class DetectionService:
 
         self.image_size = int(image_size)
         self.batch_size = int(batch_size)
+        # data-parallel serving: batch axis sharded over a 1-D mesh via
+        # GSPMD (params replicated) — one SPMD program, collectives on ICI
+        self._batch_sharding = None
+        if devices > 1:
+            if forward_fn is not None:
+                raise ValueError(
+                    "artifact serving is single-device (the exported "
+                    "StableHLO has a fixed lowering); use live-model "
+                    "serving for devices > 1")
+            if batch_size % devices:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by "
+                    f"devices {devices}")
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from ..parallel import make_mesh
+
+            mesh = make_mesh(devices)
+            self._batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
+            replicated = NamedSharding(mesh, PartitionSpec())
+            params = jax.device_put(params, replicated)
+            state = jax.device_put(state, replicated)
         self.window_s = window_ms / 1e3
         self.class_names = class_names
         self.stats = ServiceStats()
@@ -214,6 +237,9 @@ class DetectionService:
             (self.batch_size, self.image_size, self.image_size, 3),
             self._jnp.uint8,
         )
+        if self._batch_sharding is not None:
+            # warm the SAME sharded program the dispatcher will run
+            dummy = jax.device_put(np.asarray(dummy), self._batch_sharding)
         out = self._postprocess(self._forward(self._params, self._state, dummy))
         jax.block_until_ready(out.valid)
         np.asarray(out.valid)  # value readout = true completion fence
@@ -338,7 +364,13 @@ class DetectionService:
                 images = [p.image for p in batch]
                 while len(images) < self.batch_size:  # fixed-shape pad
                     images.append(images[-1])
-                dev = self._jnp.asarray(np.stack(images))  # u8 NHWC
+                stacked = np.stack(images)  # u8 NHWC
+                if self._batch_sharding is not None:
+                    import jax
+
+                    dev = jax.device_put(stacked, self._batch_sharding)
+                else:
+                    dev = self._jnp.asarray(stacked)
                 out = self._postprocess(
                     self._forward(self._params, self._state, dev)
                 )
