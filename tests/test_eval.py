@@ -127,3 +127,60 @@ class TestYoloBenchmark:
         assert float(out.obj_recall) == pytest.approx(1.0)
         assert float(out.obj_precision) == pytest.approx(1.0)
         assert float(out.class_accuracy) == pytest.approx(1.0)
+
+
+class TestDatasetEvaluatorDevices:
+    """DatasetEvaluator devices=N: batch axis sharded over the CPU mesh —
+    the mAP report must be identical to single-device evaluation."""
+
+    def test_multi_device_matches_single(self, rng):
+        import jax
+
+        from yolodl_tpu.config import newslab as nl
+        from yolodl_tpu.data.records import DataRecord
+        from yolodl_tpu.graph import Graph
+        from yolodl_tpu.models import YoloModel
+        from yolodl_tpu.train.evaluation import DatasetEvaluator
+
+        toy = {
+            "main_group": "m",
+            "groups": {
+                "m": [
+                    {"name": "input", "kind": "Input", "shape": ["_", 3, 32, 32]},
+                    {"kind": "ConvBn2D", "c": 8, "k": 3, "s": 2},
+                    {"name": "head", "kind": "ConvBn2D", "c": 6, "k": 1,
+                     "act": "linear", "bn": {"enabled": False}},
+                    {"name": "det", "kind": "Detect2D", "classes": 1,
+                     "anchors": [[0.4, 0.4]]},
+                    {"name": "output", "kind": "MergeDetect2D", "from": ["det"]},
+                ]
+            },
+        }
+        model = YoloModel(Graph.from_model(nl.parse_model_dict(toy)))
+        params, state = model.init(jax.random.PRNGKey(0))
+
+        records = [
+            DataRecord(
+                image=rng.uniform(0, 1, (3, 32, 32)).astype(np.float32),
+                boxes=np.asarray([[0.5, 0.5, 0.4, 0.4]], np.float32),
+                classes=np.asarray([0], np.int32),
+            )
+            for _ in range(6)
+        ]
+
+        class Identity:
+            def load(self, r):
+                return r
+
+        kw = dict(num_classes=1, batch_size=8, confidence_threshold=0.01)
+        r1 = DatasetEvaluator(model, records, Identity(), **kw)(params, state)
+        r8 = DatasetEvaluator(model, records, Identity(), devices=8,
+                              **kw)(params, state)
+        assert r1 == r8
+
+    def test_indivisible_batch_rejected(self):
+        from yolodl_tpu.train.evaluation import DatasetEvaluator
+
+        with pytest.raises(ValueError, match="not divisible"):
+            DatasetEvaluator(None, [], None, num_classes=1, batch_size=6,
+                             devices=4)

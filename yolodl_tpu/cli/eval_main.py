@@ -29,6 +29,9 @@ def main(argv=None):
                         help="evaluate the EMA parameters from the checkpoint")
     parser.add_argument("--per-class", action="store_true",
                         help="include per-class AP@0.5 in the report")
+    parser.add_argument("--devices", type=int, default=1,
+                        help="shard evaluation batches over N devices "
+                             "(batch must divide; detect CLI pattern)")
     args = parser.parse_args(argv)
 
     import jax
@@ -87,6 +90,7 @@ def main(argv=None):
         confidence_threshold=args.conf_thresh,
         nms_kind=nms_kind,
         nms_beta=nms_beta,
+        devices=args.devices,
     )
     result = evaluator(params, state)
     per_class = result.pop("per_class")

@@ -43,12 +43,32 @@ class DatasetEvaluator:
         nms_kind: str = "greedy",
         nms_beta: float = 0.6,
         cache_bytes: int = 1 << 30,
+        devices: int = 1,
     ):
         self.records = list(records)
         self.loader = loader
         self.batch_size = max(1, int(batch_size))
         self.num_classes = num_classes
         self.cache_bytes = cache_bytes
+
+        # multi-device evaluation: batch axis sharded over a 1-D mesh via
+        # GSPMD, params replicated per call (the detect CLI pattern)
+        self._place_batch = lambda x: x
+        self._place_replicated = lambda x: x
+        if devices > 1:
+            if self.batch_size % devices:
+                raise ValueError(
+                    f"eval batch_size {self.batch_size} not divisible by "
+                    f"devices {devices}")
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import make_mesh
+
+            mesh = make_mesh(devices)
+            replicated = NamedSharding(mesh, P())
+            batch_sharded = NamedSharding(mesh, P("data"))
+            self._place_batch = lambda x: jax.device_put(x, batch_sharded)
+            self._place_replicated = lambda t: jax.device_put(t, replicated)
 
         @jax.jit
         def forward(params, state, images):
@@ -95,6 +115,8 @@ class DatasetEvaluator:
     def __call__(self, params, state) -> Dict:
         dets, gts = [], []
         bs = self.batch_size
+        params = self._place_replicated(params)
+        state = self._place_replicated(state)
         it = self._iter_decoded()
         start = 0
         while True:
@@ -104,7 +126,7 @@ class DatasetEvaluator:
             n_real = len(chunk)
             while len(chunk) < bs:
                 chunk.append(chunk[-1])  # pad — extra rows are dropped below
-            images = jnp.asarray(np.stack([d.image for d in chunk]))
+            images = self._place_batch(np.stack([d.image for d in chunk]))
             out = self._postprocess(self._forward(params, state, images))
             tlbr = np.asarray(out.tlbr)
             conf = np.asarray(out.confidence)
