@@ -52,10 +52,11 @@ class TestRemat:
         residual savings — conv scratch (im2col) dominates its temp buffer
         pool, measured flat at ~1.0 GB for this model at batch 8 with and
         without remat while flops rose 1.29x.  The HBM claim is a TPU
-        measurement (no im2col blowup there); see docs/performance.md.
+        measurement (no im2col blowup there); see docs/parallelism.md.
         """
         g_off, loss_off, flops_off = _grads("off")
         g_on, loss_on, flops_on = _grads("blocks")
+        assert flops_off > 0, "cost_analysis stopped reporting flops"
         assert np.isclose(loss_on, loss_off, rtol=1e-6)
         # same math, but remat changes XLA's fusion boundaries → different
         # float32 summation orders; observed max |Δ| ≈ 3e-7 on near-zero
@@ -65,6 +66,69 @@ class TestRemat:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-3, atol=5e-6)
         assert flops_on > 1.1 * flops_off, (flops_on, flops_off)
+
+    def test_spd_stem_path_remats_exactly(self):
+        """The spd-stem rewrite replaces the two highest-resolution convs —
+        the remat wrapper must cover it too, exactly."""
+        from yolodl_tpu.config import darknet_cfg as dk
+        from yolodl_tpu.graph.from_darknet import graph_from_darknet
+
+        cfg_text = """
+[net]
+height=32
+width=32
+channels=3
+batch=2
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=1
+pad=1
+activation=mish
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=mish
+
+[convolutional]
+filters=6
+size=1
+stride=1
+activation=linear
+
+[yolo]
+mask=0
+anchors=10,10
+classes=1
+"""
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(rng.uniform(0, 1, (2, 3, 32, 32)), jnp.float32)
+        boxes = jnp.tile(jnp.asarray([[[0.5, 0.5, 0.4, 0.4]]], jnp.float32),
+                         (2, 1, 1))
+        classes = jnp.zeros((2, 1), jnp.int32)
+        mask = jnp.ones((2, 1), bool)
+
+        results = {}
+        for mode in ("off", "blocks"):
+            graph = graph_from_darknet(dk.Darknet.from_str(cfg_text))
+            model = YoloModel(graph, remat=mode)
+            assert model._spd_pair is not None, "stem not spd-eligible"
+            params, state = model.init(jax.random.PRNGKey(0))
+            fn = jax.jit(make_batch_grads(model, TrainConfig()))
+            grads, _, metrics = fn(params, state, images, boxes, classes,
+                                   mask)
+            results[mode] = (grads, float(metrics["total_loss"]))
+        assert np.isclose(results["off"][1], results["blocks"][1], rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(results["off"][0]),
+                        jax.tree_util.tree_leaves(results["blocks"][0])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=5e-6)
 
     def test_invalid_mode_rejected(self):
         graph = Graph.load_newslab_v1_json(MODEL)

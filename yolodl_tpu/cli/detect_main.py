@@ -133,13 +133,9 @@ def main(argv=None):
     # (detect/src/main.rs:44-67); under SPMD this is just sharding metadata
     n_devices = args.devices or config.n_devices
     if n_devices > 1:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel import make_dp_shardings
 
-        from ..parallel import make_mesh
-
-        mesh = make_mesh(n_devices)
-        replicated = NamedSharding(mesh, P())
-        batch_sharded = NamedSharding(mesh, P("data"))
+        replicated, batch_sharded = make_dp_shardings(n_devices)
         params = jax.device_put(params, replicated)
         state = jax.device_put(state, replicated)
         place_batch = lambda x: jax.device_put(x, batch_sharded)

@@ -29,9 +29,9 @@ def main(argv=None):
                         help="evaluate the EMA parameters from the checkpoint")
     parser.add_argument("--per-class", action="store_true",
                         help="include per-class AP@0.5 in the report")
-    parser.add_argument("--devices", type=int, default=1,
+    parser.add_argument("--devices", type=int, default=0,
                         help="shard evaluation batches over N devices "
-                             "(batch must divide; detect CLI pattern)")
+                             "(0 = the config's device list, like detect)")
     args = parser.parse_args(argv)
 
     import jax
@@ -90,7 +90,7 @@ def main(argv=None):
         confidence_threshold=args.conf_thresh,
         nms_kind=nms_kind,
         nms_beta=nms_beta,
-        devices=args.devices,
+        devices=args.devices or config.n_devices,
     )
     result = evaluator(params, state)
     per_class = result.pop("per_class")

@@ -57,6 +57,8 @@ class GraphModel:
         accumulation (which shrinks the batch axis instead)."""
         if remat not in ("off", "blocks"):
             raise ValueError(f"remat must be off|blocks, got {remat!r}")
+        from ..ops import spd_stem as _spd_ops
+
         if remat == "blocks":
             self._conv_bn_apply = jax.checkpoint(
                 conv.conv_bn_apply, static_argnums=(3, 4))
@@ -66,11 +68,18 @@ class GraphModel:
                 blocks.dark_csp_apply, static_argnums=(3, 4, 5))
             self._spp_csp_apply = jax.checkpoint(
                 blocks.spp_csp_apply, static_argnums=(3, 4, 5))
+            # the spd-stem fast path replaces the first two convs — at full
+            # input resolution those hold the LARGEST activations, so the
+            # rewrite must be remat'd too (the fold_region path is not:
+            # both knobs are opt-in and fold is a measured net loss)
+            self._spd_stem_apply = jax.checkpoint(
+                _spd_ops.spd_stem_apply, static_argnums=(2, 5, 7))
         else:
             self._conv_bn_apply = conv.conv_bn_apply
             self._deconv_bn_apply = conv.deconv_bn_apply
             self._dark_csp_apply = blocks.dark_csp_apply
             self._spp_csp_apply = blocks.spp_csp_apply
+            self._spd_stem_apply = _spd_ops.spd_stem_apply
         self.graph = graph
         self.output_key = graph.output_node().key
 
@@ -296,12 +305,10 @@ class GraphModel:
             and x.shape[1] % 2 == 0
             and x.shape[2] % 2 == 0
         ):
-            from ..ops import spd_stem as spd
-
             k_in, k0, k1 = self._spd_pair
             n0, n1 = self.graph.nodes[k0], self.graph.nodes[k1]
             name0, name1 = self._pname[k0], self._pname[k1]
-            out1, s0, s1 = spd.spd_stem_apply(
+            out1, s0, s1 = self._spd_stem_apply(
                 params[name0], state.get(name0, {}), n0.config,
                 params[name1], state.get(name1, {}), n1.config,
                 x, train,

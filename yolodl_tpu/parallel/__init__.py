@@ -1,4 +1,8 @@
-from .mesh import initialize_multi_host, make_mesh  # noqa: F401
+from .mesh import (  # noqa: F401
+    initialize_multi_host,
+    make_dp_shardings,
+    make_mesh,
+)
 from .dp import (  # noqa: F401
     make_dp_train_step, shard_batch, shard_batch_multiprocess,
 )

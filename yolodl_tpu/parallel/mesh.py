@@ -55,3 +55,16 @@ def make_mesh(
             )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def make_dp_shardings(n_devices: int):
+    """(replicated, batch_sharded) NamedShardings on a fresh 1-D data mesh —
+    the standard inference scale-out pattern (detect/eval/serve): params
+    replicated, the batch axis of inputs split over the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    mesh = make_mesh(n_devices)
+    return (
+        NamedSharding(mesh, PartitionSpec()),
+        NamedSharding(mesh, PartitionSpec(DATA_AXIS)),
+    )

@@ -137,13 +137,9 @@ class DetectionService:
                 raise ValueError(
                     f"batch_size {batch_size} not divisible by "
                     f"devices {devices}")
-            from jax.sharding import NamedSharding, PartitionSpec
+            from ..parallel import make_dp_shardings
 
-            from ..parallel import make_mesh
-
-            mesh = make_mesh(devices)
-            self._batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
-            replicated = NamedSharding(mesh, PartitionSpec())
+            replicated, self._batch_sharding = make_dp_shardings(devices)
             params = jax.device_put(params, replicated)
             state = jax.device_put(state, replicated)
         self.window_s = window_ms / 1e3
@@ -155,6 +151,7 @@ class DetectionService:
         self._inflight: "queue.Queue" = queue.Queue(maxsize=2)
         self._stop = threading.Event()
         self._jnp = jnp
+        self._jax = jax
 
         # two-stage jit (NMS fused into the conv program inherits layouts
         # that send XLA's TopK down a slow path — see detect CLI).
@@ -233,13 +230,11 @@ class DetectionService:
         import jax
 
         t0 = time.perf_counter()
-        dummy = self._jnp.zeros(
-            (self.batch_size, self.image_size, self.image_size, 3),
-            self._jnp.uint8,
-        )
+        dummy = np.zeros(
+            (self.batch_size, self.image_size, self.image_size, 3), np.uint8)
         if self._batch_sharding is not None:
             # warm the SAME sharded program the dispatcher will run
-            dummy = jax.device_put(np.asarray(dummy), self._batch_sharding)
+            dummy = jax.device_put(dummy, self._batch_sharding)
         out = self._postprocess(self._forward(self._params, self._state, dummy))
         jax.block_until_ready(out.valid)
         np.asarray(out.valid)  # value readout = true completion fence
@@ -366,9 +361,7 @@ class DetectionService:
                     images.append(images[-1])
                 stacked = np.stack(images)  # u8 NHWC
                 if self._batch_sharding is not None:
-                    import jax
-
-                    dev = jax.device_put(stacked, self._batch_sharding)
+                    dev = self._jax.device_put(stacked, self._batch_sharding)
                 else:
                     dev = self._jnp.asarray(stacked)
                 out = self._postprocess(

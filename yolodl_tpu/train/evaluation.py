@@ -60,13 +60,9 @@ class DatasetEvaluator:
                 raise ValueError(
                     f"eval batch_size {self.batch_size} not divisible by "
                     f"devices {devices}")
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel import make_dp_shardings
 
-            from ..parallel import make_mesh
-
-            mesh = make_mesh(devices)
-            replicated = NamedSharding(mesh, P())
-            batch_sharded = NamedSharding(mesh, P("data"))
+            replicated, batch_sharded = make_dp_shardings(devices)
             self._place_batch = lambda x: jax.device_put(x, batch_sharded)
             self._place_replicated = lambda t: jax.device_put(t, replicated)
 
