@@ -28,6 +28,15 @@ _USER_ERRORS = (
 
 
 def run(main) -> None:
+    # YDL_DEBUG_NANS=1: every jit re-runs op-by-op on a NaN and raises at
+    # the producing op — the development-mode analog of the reference's
+    # debug-assert ndarray cross-checks (SURVEY §4.3; book/training.md
+    # recommends debug assertions on during development).  Costly; never
+    # the default.
+    if os.environ.get("YDL_DEBUG_NANS"):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     try:
         rc = main()
         # some mains return their result object for tests; only ints are
