@@ -130,6 +130,40 @@ class TestYoloV4TinyForward:
         ):
             np.testing.assert_allclose(np.asarray(leaf_a), np.asarray(leaf_b), atol=0)
 
+    def test_weights_roundtrip_with_pruned_tail(self, tmp_path):
+        """Regression: cfgs whose training-only tail is graph-pruned (the
+        [contrastive] branch of yolov4-tiny_contrastive.cfg) must still
+        save (positional identity-init placeholder blocks for the pruned
+        convs) and load (pruned layers dropped by the merge)."""
+        import re
+
+        text = open(os.path.join(
+            REPO, "cfg/darknet/yolov4-tiny_contrastive.cfg")).read()
+        text = re.sub(r"(?m)^height *= *\d+", "height=128", text)
+        text = re.sub(r"(?m)^width *= *\d+", "width=128", text)
+        d = dk.Darknet.from_str(text)
+        model = YoloModel(graph_from_darknet(d))
+        params, state = model.init(jax.random.PRNGKey(0))
+        pruned = [f"layer{i}" for i, layer in enumerate(d.layers)
+                  if isinstance(layer, dk.Convolutional)
+                  and f"layer{i}" not in params]
+        assert pruned, "expected a pruned conv in the contrastive tail"
+
+        path = tmp_path / "contrastive.weights"
+        save_darknet_weights(d, params, state, path, seen=7)
+        loaded_p, loaded_s, seen = load_darknet_weights(d, path)
+        assert seen == 7
+        for name in pruned:  # placeholder read back, then dropped by merge
+            assert name in loaded_p
+        p2, s2 = merge_into_model_tree(loaded_p, loaded_s, params, state)
+        for name in pruned:
+            assert name not in p2 and name not in s2
+        for leaf_a, leaf_b in zip(
+            jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p2)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(leaf_a), np.asarray(leaf_b), atol=0)
+
     def test_weights_mismatch_detected(self, tiny, tmp_path):
         d, model, params, state = tiny
         path = tmp_path / "bad.weights"

@@ -253,6 +253,28 @@ def save_darknet_weights(
             continue
         if not isinstance(layer, dk.Convolutional) or layer.share_index is not None:
             continue
+        if f"layer{i}" not in params:
+            # graph-pruned training-only tail (e.g. the terminal
+            # [route]→[conv]→[contrastive] branch of
+            # yolov4-tiny_contrastive.cfg, pruned by from_darknet): the
+            # .weights format is positional, so darknet-C still expects
+            # this block — write an identity-init placeholder (zero
+            # kernel/bias, BN γ=1/var=1 so the file stays numerically
+            # loadable) to keep every later layer's offsets right.
+            in_c = (darknet.net.channels if i == 0
+                    else shapes[i - 1][2]) // layer.groups
+            f_, k_ = layer.filters, layer.size
+            zero_p = {"w": np.zeros((k_, k_, in_c, f_), np.float32)}
+            zero_s = None
+            if layer.batch_normalize:
+                zero_p["bn"] = {"scale": np.ones(f_, np.float32),
+                                "bias": np.zeros(f_, np.float32)}
+                zero_s = {"bn": {"mean": np.zeros(f_, np.float32),
+                                 "var": np.ones(f_, np.float32)}}
+            else:
+                zero_p["b"] = np.zeros(f_, np.float32)
+            _write_conv_block(chunks, zero_p, zero_s)
+            continue
         _write_conv_block(chunks, params[f"layer{i}"],
                           state.get(f"layer{i}"))
     with open(path, "wb") as f:
@@ -291,8 +313,14 @@ def merge_into_model_tree(
     state = dict(init_state)
     for name, p in loaded_params.items():
         if name not in params:
-            raise KeyError(f"weights for unknown node {name!r}")
+            # a layer present in the .weights file but absent from the
+            # model tree is a graph-pruned training-only tail (e.g. the
+            # [contrastive] branch); dropping it keeps real darknet-written
+            # weights loadable into the pruned graph
+            continue
         params[name] = deep_merge(params[name], p, name)
     for name, s in loaded_state.items():
+        if name not in params:
+            continue
         state[name] = deep_merge(state.get(name, {}), s, name)
     return params, state
