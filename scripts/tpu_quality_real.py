@@ -41,6 +41,11 @@ LR = float(os.environ.get("QLR_LR", "0.001"))
 # to settle box regression; 0 disables)
 DECAY_AT = float(os.environ.get("QLR_DECAY_AT", "0.7"))
 MOSAIC = float(os.environ.get("QLR_MOSAIC", "0.25"))
+# exercise the memory/scale-out knobs in the same end-to-end loop:
+# QLR_REMAT=1 trains with block-level activation remat; QLR_EVAL_DEVICES=N
+# shards the eval batches over N devices
+REMAT = bool(int(os.environ.get("QLR_REMAT", "0")))
+EVAL_DEVICES = int(os.environ.get("QLR_EVAL_DEVICES", "0"))
 
 
 def make_cfg(ws: str) -> str:
@@ -95,6 +100,7 @@ def main():
                 ),
             },
             "save_checkpoint_steps": STEPS,
+            "remat": REMAT,
             "loss": {"box_metric": "CIoU",
                      "match_grid_method": "Rect4",
                      "anchor_scale_thresh": 4.0},
@@ -107,7 +113,8 @@ def main():
     detect_cfg = {
         "version": "0.1.0",
         "model": {"kind": "Darknet", "cfg_file": cfg_path,
-                  "minibatch_size": 3},
+                  # eval batch must divide by the eval device count
+                  "minibatch_size": EVAL_DEVICES or 3},
         "input": dataset,
         "output": {"output_dir": os.path.join(ws, "out"),
                    "nms_iou_thresh": 0.45, "nms_conf_thresh": 0.2},
@@ -132,6 +139,8 @@ def main():
 
     def eval_map(ckpt=""):
         args = ["--config-file", detect_path, "--conf-thresh", "0.01"]
+        if EVAL_DEVICES:
+            args += ["--devices", str(EVAL_DEVICES)]
         if ckpt:
             args += ["--checkpoint", ckpt]
         out = run("yolodl_tpu.cli.eval_main", *args)
