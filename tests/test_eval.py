@@ -178,6 +178,17 @@ class TestDatasetEvaluatorDevices:
                               **kw)(params, state)
         assert r1 == r8
 
+        # extended mode: adds the 12-number COCO block; AP50 agrees with
+        # mAP@0.5 here (single class, so the class denominators coincide)
+        rx = DatasetEvaluator(model, records, Identity(), extended=True,
+                              **kw)(params, state)
+        assert set(rx["coco"]) == {
+            "AP", "AP50", "AP75", "AP_small", "AP_medium", "AP_large",
+            "AR@1", "AR@10", "AR@100", "AR_small", "AR_medium", "AR_large",
+        }
+        assert rx["coco"]["AP50"] == pytest.approx(rx["mAP@0.5"], abs=1e-3)
+        assert rx["coco"]["AP"] == pytest.approx(rx["mAP@0.5:0.95"], abs=1e-3)
+
     def test_indivisible_batch_rejected(self):
         from yolodl_tpu.train.evaluation import DatasetEvaluator
 

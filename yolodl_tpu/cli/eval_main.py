@@ -29,6 +29,10 @@ def main(argv=None):
                         help="evaluate the EMA parameters from the checkpoint")
     parser.add_argument("--per-class", action="store_true",
                         help="include per-class AP@0.5 in the report")
+    parser.add_argument("--coco", action="store_true",
+                        help="include the 12-number COCO summary (AP by "
+                             "object size, AR@1/10/100) with size buckets "
+                             "in original-image pixel areas")
     parser.add_argument("--devices", type=int, default=0,
                         help="shard evaluation batches over N devices "
                              "(0 = the config's device list, like detect)")
@@ -91,6 +95,7 @@ def main(argv=None):
         nms_kind=nms_kind,
         nms_beta=nms_beta,
         devices=args.devices or config.n_devices,
+        extended=args.coco,
     )
     result = evaluator(params, state)
     per_class = result.pop("per_class")

@@ -24,6 +24,9 @@ class Detection:
     class_id: int
     confidence: float
     tlbr: Tuple[float, float, float, float]
+    #: box area in ORIGINAL-image pixels for COCO size buckets; < 0 means
+    #: "derive from tlbr" (whatever units tlbr is in)
+    area: float = -1.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -31,6 +34,7 @@ class GroundTruth:
     image_id: int
     class_id: int
     tlbr: Tuple[float, float, float, float]
+    area: float = -1.0
 
 
 def _iou(a, b) -> float:
@@ -124,6 +128,164 @@ def average_precision(
     else:
         mean = float(np.mean(list(per_class.values()))) if per_class else 0.0
     return {"per_class": per_class, "mAP": mean}
+
+
+# COCO size buckets in original-image pixel area (pycocotools convention:
+# closed intervals; "all" spans everything)
+AREA_RANGES = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0 ** 2),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, 1e10),
+}
+
+
+def _area_of(obj) -> float:
+    if obj.area >= 0:
+        return float(obj.area)
+    t, l, b, r = obj.tlbr
+    return float(max(b - t, 0.0) * max(r - l, 0.0))
+
+
+def _match_with_ignores(dets, gts, gt_ig, thr):
+    """Greedy conf-descending match with COCO ignore semantics.
+
+    ``dets`` are pre-sorted by confidence desc; ``gt_ig`` marks ground
+    truths outside the area range.  Non-ignored GTs are preferred: a
+    detection only falls back to an ignored GT when no eligible
+    non-ignored GT clears ``thr`` (GTs are scanned non-ignored first, and
+    once a non-ignored match is held the scan stops at the ignored tail).
+    Returns (matched_gt_index_or_-1, det_matched_to_ignored_gt) per det.
+    """
+    order = sorted(range(len(gts)), key=lambda g: gt_ig[g])  # ignored last
+    gt_matched = [False] * len(gts)
+    dtm = np.full(len(dets), -1, np.int64)
+    dt_ig = np.zeros(len(dets), bool)
+    for di, det in enumerate(dets):
+        best, m = thr, -1
+        for gi in order:
+            if gt_matched[gi]:
+                continue
+            if gt_ig[gi] and m > -1 and not gt_ig[m]:
+                break  # only ignored GTs remain and we already hold a match
+            iou = _iou(det.tlbr, gts[gi].tlbr)
+            if iou < best:
+                continue
+            best, m = iou, gi
+        if m > -1:
+            gt_matched[m] = True
+            dtm[di] = m
+            dt_ig[di] = gt_ig[m]
+    return dtm, dt_ig
+
+
+def coco_summary(
+    detections: Sequence[Detection],
+    ground_truths: Sequence[GroundTruth],
+    num_points: int = 101,
+    max_dets: Tuple[int, ...] = (1, 10, 100),
+) -> Dict[str, float]:
+    """The 12-number COCO detection summary (pycocotools semantics).
+
+    AP / AP50 / AP75 / AP_{small,medium,large} and AR@{1,10,100} /
+    AR_{small,medium,large}: AP and AR average over IoU 0.50:0.05:0.95 and
+    over classes **present** in the ground truth of each area range
+    (pycocotools' convention — unlike :func:`average_precision`, which can
+    take a fixed class denominator).  Size buckets use each box's ``area``
+    field (original-image pixels) with COCO's ignore semantics: GTs outside
+    the range are ignored (matching one neither scores nor penalizes) and
+    unmatched detections outside the range are discarded rather than
+    counted as false positives.
+
+    The reference ships only the single-threshold calculator
+    (yolo-dl/src/loss/average_precision.rs:62-155); this extends it to the
+    full COCO protocol.
+    """
+    thresholds = [round(0.5 + 0.05 * i, 2) for i in range(10)]
+    top = max(max_dets)
+    class_ids = sorted(
+        {d.class_id for d in detections} | {g.class_id for g in ground_truths}
+    )
+    # bucket by (image, class), detections conf-desc capped at max(max_dets)
+    dets_by: Dict[Tuple[int, int], List[Detection]] = {}
+    for d in detections:
+        dets_by.setdefault((d.image_id, d.class_id), []).append(d)
+    for key in dets_by:
+        dets_by[key] = sorted(dets_by[key], key=lambda d: -d.confidence)[:top]
+    gts_by: Dict[Tuple[int, int], List[GroundTruth]] = {}
+    for g in ground_truths:
+        gts_by.setdefault((g.image_id, g.class_id), []).append(g)
+    images = sorted({i for i, _ in dets_by} | {i for i, _ in gts_by})
+
+    # ap[area][thr] / ar[area][maxdet][thr] = list over classes-with-GT
+    ap = {a: {t: [] for t in thresholds} for a in AREA_RANGES}
+    ar = {a: {k: {t: [] for t in thresholds} for k in max_dets}
+          for a in AREA_RANGES}
+    for cid in class_ids:
+        # per-image match results, computed once per (area, thr)
+        for aname, (lo, hi) in AREA_RANGES.items():
+            npig = 0
+            # per threshold: (conf, tp, ignore) fragments across images
+            frags = {t: [] for t in thresholds}
+            for img in images:
+                dets = dets_by.get((img, cid), [])
+                gts = gts_by.get((img, cid), [])
+                if not dets and not gts:
+                    continue
+                gt_ig = [not (lo <= _area_of(g) <= hi) for g in gts]
+                npig += sum(1 for ig in gt_ig if not ig)
+                d_out = [not (lo <= _area_of(d) <= hi) for d in dets]
+                for t in thresholds:
+                    dtm, dt_ig = _match_with_ignores(dets, gts, gt_ig, t)
+                    # unmatched dets outside the range are ignored too
+                    dt_ig |= (dtm == -1) & np.asarray(d_out, bool)
+                    frags[t].append((
+                        np.asarray([d.confidence for d in dets], np.float64),
+                        (dtm > -1) & ~dt_ig,
+                        dt_ig,
+                    ))
+            if npig == 0:
+                continue  # class absent from this area range
+            for t in thresholds:
+                if frags[t]:
+                    conf = np.concatenate([f[0] for f in frags[t]])
+                    tp = np.concatenate([f[1] for f in frags[t]])
+                    ig = np.concatenate([f[2] for f in frags[t]])
+                else:
+                    conf = np.zeros(0)
+                    tp = ig = np.zeros(0, bool)
+                order = np.argsort(-conf, kind="stable")
+                tp, ig = tp[order], ig[order]
+                ap[aname][t].append(
+                    interpolated_ap(tp[~ig], npig, num_points))
+                # recall at each max-det cap; the per-image cap was applied
+                # when bucketing, so re-cap per image for smaller k
+                for k in max_dets:
+                    if k == top:
+                        nmatch = int(tp.sum())
+                    else:
+                        nmatch = 0
+                        for f_conf, f_tp, f_ig in frags[t]:
+                            kept = f_tp[:k]
+                            nmatch += int(kept.sum())
+                    ar[aname][k][t].append(nmatch / npig)
+
+    def _mean(lists) -> float:
+        vals = [v for lst in lists for v in lst]
+        return float(np.mean(vals)) if vals else 0.0
+
+    out = {
+        "AP": _mean(ap["all"].values()),
+        "AP50": _mean([ap["all"][0.5]]),
+        "AP75": _mean([ap["all"][0.75]]),
+    }
+    for a in ("small", "medium", "large"):
+        out[f"AP_{a}"] = _mean(ap[a].values())
+    for k in max_dets:
+        out[f"AR@{k}"] = _mean(ar["all"][k].values())
+    for a in ("small", "medium", "large"):
+        out[f"AR_{a}"] = _mean(ar[a][top].values())
+    return {k: round(v, 4) for k, v in out.items()}
 
 
 def coco_map_50_95(

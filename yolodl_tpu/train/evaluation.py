@@ -19,7 +19,7 @@ import numpy as np
 
 from ..loss import non_max_suppression, yolo_inference
 from ..loss.average_precision import (
-    Detection, GroundTruth, average_precision, coco_map_50_95,
+    Detection, GroundTruth, average_precision, coco_map_50_95, coco_summary,
 )
 
 
@@ -44,7 +44,12 @@ class DatasetEvaluator:
         nms_beta: float = 0.6,
         cache_bytes: int = 1 << 30,
         devices: int = 1,
+        extended: bool = False,
     ):
+        #: also compute the 12-number COCO summary (AP by size, AR@k) with
+        #: size buckets in ORIGINAL-image pixel areas (requires records to
+        #: carry .height/.width, as FileRecord does)
+        self.extended = extended
         self.records = list(records)
         self.loader = loader
         self.batch_size = max(1, int(batch_size))
@@ -130,19 +135,33 @@ class DatasetEvaluator:
             valid = np.asarray(out.valid)
             for i in range(n_real):
                 img_id = start + i
+                # ratio→original-pixel area scale: an aspect-preserving
+                # letterbox into a square frame maps a ratio-h box to
+                # h·max(orig_h, orig_w) original pixels
+                scale = 1.0
+                if self.extended:
+                    rec = self.records[img_id]
+                    oh = getattr(rec, "height", 0)
+                    ow = getattr(rec, "width", 0)
+                    if not (oh and ow):  # DataRecord: decoded dims
+                        oh, ow = getattr(rec, "hw", (1, 1))
+                    scale = float(max(oh, ow)) ** 2
                 for (cy, cx, h, w), cls in zip(chunk[i].boxes, chunk[i].classes):
                     gts.append(GroundTruth(
                         img_id, int(cls),
-                        (cy - h / 2, cx - w / 2, cy + h / 2, cx + w / 2)))
+                        (cy - h / 2, cx - w / 2, cy + h / 2, cx + w / 2),
+                        area=float(h) * float(w) * scale))
                 for k in np.nonzero(valid[i])[0]:
+                    t, l, b, r = (float(v) for v in tlbr[i, k])
                     dets.append(Detection(
                         img_id, int(classes[i, k]), float(conf[i, k]),
-                        tuple(tlbr[i, k])))
+                        (t, l, b, r),
+                        area=max(b - t, 0.0) * max(r - l, 0.0) * scale))
             start += n_real
         ap50 = average_precision(dets, gts, iou_threshold=0.5,
                                  num_classes=self.num_classes)
         map5095 = coco_map_50_95(dets, gts, num_classes=self.num_classes)
-        return {
+        report = {
             "images": len(self.records),
             "detections": len(dets),
             "ground_truths": len(gts),
@@ -150,3 +169,6 @@ class DatasetEvaluator:
             "mAP@0.5:0.95": round(map5095, 4),
             "per_class": ap50["per_class"],
         }
+        if self.extended:
+            report["coco"] = coco_summary(dets, gts)
+        return report
