@@ -212,6 +212,62 @@ class TestTrainCli:
         ckpts = os.listdir(workspace / "logs_tp" / runs[0] / "checkpoints")
         assert any("_000004_" in n for n in ckpts), ckpts
 
+    def test_train_pipeline_parallel_cli(self, workspace):
+        """training.pipeline_parallel cuts the graph into 2 stages on 2
+        devices, trains GPipe microbatches through the production CLI,
+        checkpoints in the standard layout, and FromRecent-resumes."""
+        import json
+
+        cfg = json.loads((workspace / "train.json5").read_text())
+        cfg["training"]["device_config"] = {
+            "type": "MultiDevice", "devices": ["tpu:0", "tpu:1"]}
+        cfg["training"]["pipeline_parallel"] = 2
+        cfg["training"]["accumulation_steps"] = 2
+        cfg["logging"] = {"dir": str(workspace / "logs_pp")}
+        (workspace / "train_pp.json5").write_text(json.dumps(cfg))
+        out = run_cli(
+            "yolodl_tpu.cli.train_main",
+            "--config-file", str(workspace / "train_pp.json5"),
+            "--max-steps", "2",
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        assert "pipeline: 2 stages" in out.stdout
+        runs = os.listdir(workspace / "logs_pp")
+        ckpts = os.listdir(workspace / "logs_pp" / runs[0] / "checkpoints")
+        assert any("_000002_" in n for n in ckpts), ckpts
+
+        # resume: the checkpoint is format-compatible (merged layout)
+        cfg["training"]["load_checkpoint"] = {"type": "FromRecent"}
+        (workspace / "train_pp.json5").write_text(json.dumps(cfg))
+        out2 = run_cli(
+            "yolodl_tpu.cli.train_main",
+            "--config-file", str(workspace / "train_pp.json5"),
+            "--max-steps", "4",
+        )
+        assert out2.returncode == 0, out2.stderr[-3000:]
+        assert "restored checkpoint at step 2" in out2.stdout
+        runs2 = sorted(os.listdir(workspace / "logs_pp"))
+        ckpts2 = os.listdir(workspace / "logs_pp" / runs2[-1] / "checkpoints")
+        assert any("_000004_" in n for n in ckpts2), ckpts2
+
+    def test_pipeline_parallel_exclusive_with_tp(self, workspace):
+        import json
+
+        cfg = json.loads((workspace / "train.json5").read_text())
+        cfg["training"]["device_config"] = {
+            "type": "MultiDevice", "devices": [f"tpu:{i}" for i in range(8)]}
+        cfg["training"]["batch_size"] = 8
+        cfg["training"]["pipeline_parallel"] = 8
+        cfg["training"]["tensor_parallel"] = 2
+        (workspace / "train_pptp.json5").write_text(json.dumps(cfg))
+        out = run_cli(
+            "yolodl_tpu.cli.train_main",
+            "--config-file", str(workspace / "train_pptp.json5"),
+            "--max-steps", "1",
+        )
+        assert out.returncode != 0
+        assert "exclusive" in out.stderr
+
     def test_tensor_parallel_must_divide_devices(self, workspace):
         import json
 

@@ -217,6 +217,7 @@ def main(argv=None):
         return_obj_sample=config.logging.enable_images,
         debug_stat=config.logging.enable_debug_stat,
     )
+    use_pp = config.pipeline_parallel > 1
     use_tp = config.tensor_parallel > 1
     use_zero = config.zero_optimizer and config.n_devices > 1 and not use_tp
     if config.zero_optimizer and config.n_devices <= 1:
@@ -233,7 +234,8 @@ def main(argv=None):
         print(f"mesh: data={mesh.shape['data']} x "
               f"model={mesh.shape['model']} (tensor parallel)")
     else:
-        mesh = make_mesh(config.n_devices) if config.n_devices > 1 else None
+        mesh = (make_mesh(config.n_devices)
+                if config.n_devices > 1 and not use_pp else None)
     if use_zero:
         from ..parallel import zero_init
 
@@ -271,7 +273,24 @@ def main(argv=None):
 
     # device placement
     accum = config.accumulation_steps
-    if config.n_devices > 1:
+    if use_pp:
+        # pipeline (stage) parallelism: the graph cut into n_devices
+        # balanced stages, each stage's params + optimizer state on its
+        # own device; the batch streams through as accum GPipe
+        # microbatches (parallel/pipeline.py).  Checkpoints merge back to
+        # the standard layout on save, so resume is format-compatible.
+        from ..parallel import PipelineModel, PipelineTrainStep
+        from ..parallel.pipeline import PipelineTrainState
+
+        pp_model = PipelineModel(model, config.pipeline_parallel)
+        pts_step = PipelineTrainStep(pp_model, train_cfg, n_micro=accum)
+        ts = PipelineTrainState.from_train_state(pp_model, ts)
+        step_fn = pts_step.step_fn()
+        place = lambda batch: batch
+        print(f"pipeline: {config.pipeline_parallel} stages "
+              f"({', '.join(str(len(p.keys)) + ' nodes' for p in pp_model.stages)}), "
+              f"{accum} microbatches/step")
+    elif config.n_devices > 1:
         if use_tp:
             from ..parallel import (make_tp_train_step, place_tp_state,
                                     shard_batch_tp)

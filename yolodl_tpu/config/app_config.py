@@ -382,6 +382,12 @@ class TrainAppConfig:
     # are sharded on output channels via GSPMD (parallel/tp.py).  Weights +
     # Adam state per chip drop by tp for every divisible layer.
     tensor_parallel: int = 1
+    # Pipeline (stage) parallelism degree: the graph is cut into this many
+    # balanced contiguous stages, each stage's params + optimizer state on
+    # its own device; microbatches (= accumulation_steps) stream through
+    # GPipe-style (parallel/pipeline.py).  Uses the whole device list as
+    # stages; exclusive with tensor_parallel/zero_optimizer/MultiProcess.
+    pipeline_parallel: int = 1
     # training.remat: rematerialize block activations in the backward pass
     # (jax.checkpoint per ConvBn/CSP/SPP node) — trades ~1/3 extra forward
     # FLOPs for the dominant share of activation HBM; the lever for large
@@ -471,8 +477,34 @@ class TrainAppConfig:
             raise ValueError(
                 f"{path}: training.tensor_parallel ({tp}) must divide the "
                 f"device count ({n_devices})")
-        # with TP the batch is sharded over data = n_devices/tp replicas only
-        n_data = n_devices // tp
+        pp = int(training.get("pipeline_parallel", 1))
+        if pp < 1:
+            raise ValueError(
+                f"{path}: training.pipeline_parallel must be >= 1, got {pp}")
+        if pp > 1:
+            if tp > 1 or training.get("zero_optimizer"):
+                raise ValueError(
+                    f"{path}: pipeline_parallel is exclusive with "
+                    "tensor_parallel/zero_optimizer")
+            if multi_process is not None:
+                raise ValueError(
+                    f"{path}: pipeline_parallel is single-controller only")
+            if n_devices != pp:
+                raise ValueError(
+                    f"{path}: pipeline_parallel ({pp}) uses the whole device "
+                    f"list as stages; device_config lists {n_devices}")
+            if training.get("ema", {}).get("enabled"):
+                raise ValueError(
+                    f"{path}: ema is not supported under pipeline_parallel")
+            if batch_size % accum:
+                raise ValueError(
+                    f"{path}: training.batch_size ({batch_size}) must be "
+                    f"divisible by accumulation_steps ({accum}) — the GPipe "
+                    "microbatch count")
+        # with TP the batch is sharded over data = n_devices/tp replicas
+        # only; under PP the batch is not sharded at all (it splits into
+        # microbatches, checked above)
+        n_data = n_devices // tp if pp == 1 else 0
         if n_data and batch_size % (n_data * accum):
             raise ValueError(
                 f"{path}: training.batch_size ({batch_size}) must be divisible "
@@ -510,6 +542,7 @@ class TrainAppConfig:
                           if "dataset" in evaluation else None),
             zero_optimizer=bool(training.get("zero_optimizer", False)),
             tensor_parallel=tp,
+            pipeline_parallel=pp,
             remat=bool(training.get("remat", False)),
             multi_scale_interval=int(ms.get("interval", 10)),
             use_ema=bool(training.get("ema", {}).get("enabled", False)),

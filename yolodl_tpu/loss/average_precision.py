@@ -147,28 +147,45 @@ def _area_of(obj) -> float:
     return float(max(b - t, 0.0) * max(r - l, 0.0))
 
 
-def _match_with_ignores(dets, gts, gt_ig, thr):
+def _iou_matrix(dets, gts) -> np.ndarray:
+    """[D, G] pairwise IoU — computed once per (image, class) and shared
+    by all 10 IoU thresholds."""
+    d = np.asarray([det.tlbr for det in dets], np.float64).reshape(-1, 4)
+    g = np.asarray([gt.tlbr for gt in gts], np.float64).reshape(-1, 4)
+    t = np.maximum(d[:, None, 0], g[None, :, 0])
+    l = np.maximum(d[:, None, 1], g[None, :, 1])
+    b = np.minimum(d[:, None, 2], g[None, :, 2])
+    r = np.minimum(d[:, None, 3], g[None, :, 3])
+    inter = np.clip(b - t, 0, None) * np.clip(r - l, 0, None)
+    area_d = (d[:, 2] - d[:, 0]) * (d[:, 3] - d[:, 1])
+    area_g = (g[:, 2] - g[:, 0]) * (g[:, 3] - g[:, 1])
+    return inter / (area_d[:, None] + area_g[None, :] - inter + 1e-16)
+
+
+def _match_with_ignores(ious, gt_ig, thr):
     """Greedy conf-descending match with COCO ignore semantics.
 
-    ``dets`` are pre-sorted by confidence desc; ``gt_ig`` marks ground
-    truths outside the area range.  Non-ignored GTs are preferred: a
-    detection only falls back to an ignored GT when no eligible
-    non-ignored GT clears ``thr`` (GTs are scanned non-ignored first, and
-    once a non-ignored match is held the scan stops at the ignored tail).
+    ``ious`` is the [D, G] IoU matrix with detections pre-sorted by
+    confidence desc; ``gt_ig`` marks ground truths outside the area
+    range.  Non-ignored GTs are preferred: a detection only falls back to
+    an ignored GT when no eligible non-ignored GT clears ``thr`` (GTs are
+    scanned non-ignored first, and once a non-ignored match is held the
+    scan stops at the ignored tail).
     Returns (matched_gt_index_or_-1, det_matched_to_ignored_gt) per det.
     """
-    order = sorted(range(len(gts)), key=lambda g: gt_ig[g])  # ignored last
-    gt_matched = [False] * len(gts)
-    dtm = np.full(len(dets), -1, np.int64)
-    dt_ig = np.zeros(len(dets), bool)
-    for di, det in enumerate(dets):
+    n_det, n_gt = ious.shape
+    order = sorted(range(n_gt), key=lambda g: gt_ig[g])  # ignored last
+    gt_matched = [False] * n_gt
+    dtm = np.full(n_det, -1, np.int64)
+    dt_ig = np.zeros(n_det, bool)
+    for di in range(n_det):
         best, m = thr, -1
         for gi in order:
             if gt_matched[gi]:
                 continue
             if gt_ig[gi] and m > -1 and not gt_ig[m]:
                 break  # only ignored GTs remain and we already hold a match
-            iou = _iou(det.tlbr, gts[gi].tlbr)
+            iou = ious[di, gi]
             if iou < best:
                 continue
             best, m = iou, gi
@@ -222,7 +239,14 @@ def coco_summary(
     ar = {a: {k: {t: [] for t in thresholds} for k in max_dets}
           for a in AREA_RANGES}
     for cid in class_ids:
-        # per-image match results, computed once per (area, thr)
+        # pairwise IoUs once per (image, class), shared by all thresholds
+        # and area ranges
+        ious = {
+            img: _iou_matrix(dets_by.get((img, cid), []),
+                             gts_by.get((img, cid), []))
+            for img in images
+            if (img, cid) in dets_by or (img, cid) in gts_by
+        }
         for aname, (lo, hi) in AREA_RANGES.items():
             npig = 0
             # per threshold: (conf, tp, ignore) fragments across images
@@ -236,7 +260,7 @@ def coco_summary(
                 npig += sum(1 for ig in gt_ig if not ig)
                 d_out = [not (lo <= _area_of(d) <= hi) for d in dets]
                 for t in thresholds:
-                    dtm, dt_ig = _match_with_ignores(dets, gts, gt_ig, t)
+                    dtm, dt_ig = _match_with_ignores(ious[img], gt_ig, t)
                     # unmatched dets outside the range are ignored too
                     dt_ig |= (dtm == -1) & np.asarray(d_out, bool)
                     frags[t].append((

@@ -270,6 +270,8 @@ class GraphModel:
         rng: Optional[Array] = None,
         node_overrides: Optional[Dict[int, Array]] = None,
         output_key: Optional[int] = None,
+        node_subset: Optional[Any] = None,
+        output_keys: Optional[Any] = None,
     ) -> Tuple[Any, State]:
         """Forward pass → (MergedDetection, new_state).
 
@@ -281,11 +283,20 @@ class GraphModel:
         ``output_key`` returns a specific node's output instead of the
         graph output (unused nodes downstream are dead code under jit) —
         e.g. the pre-softmax logits for numerically-stable CE training.
+        ``node_subset`` executes ONLY the listed node keys (a contiguous
+        pipeline stage, parallel/pipeline.py) — their inputs must be in
+        the subset or supplied via ``node_overrides``; ``x`` may then be
+        None when the Input node is not in the subset.  ``output_keys``
+        returns ``({key: output}, new_state)`` for several nodes at once
+        (a stage's boundary tensors).
         """
-        if data_format == "NCHW":
-            x = jnp.transpose(x, (0, 2, 3, 1))
-        elif data_format != "NHWC":
-            raise ValueError(f"unknown data_format {data_format!r}")
+        if x is not None:
+            if data_format == "NCHW":
+                x = jnp.transpose(x, (0, 2, 3, 1))
+            elif data_format != "NHWC":
+                raise ValueError(f"unknown data_format {data_format!r}")
+        if node_subset is not None:
+            node_subset = set(node_subset)
 
         outputs: Dict[int, Any] = {}
         new_state: State = dict(state)
@@ -302,6 +313,7 @@ class GraphModel:
             self._spd_pair is not None
             and not return_intermediates
             and not node_overrides
+            and node_subset is None
             and x.shape[1] % 2 == 0
             and x.shape[2] % 2 == 0
         ):
@@ -326,7 +338,8 @@ class GraphModel:
         # occur only at region edges; unfolded outputs are still recorded
         # for every region node — XLA dead-code-eliminates unused ones.
         folded: Dict[int, Any] = {}
-        fold_active = bool(self._fold_keys) and not return_intermediates
+        fold_active = (bool(self._fold_keys) and not return_intermediates
+                       and node_subset is None)
         if fold_active:
             from ..ops import fold_region as fr
 
@@ -344,6 +357,8 @@ class GraphModel:
             if key in spd_skip:
                 continue
             if node_overrides and key in node_overrides:
+                continue
+            if node_subset is not None and key not in node_subset:
                 continue
             node = self.graph.nodes[key]
             layer = node.config
@@ -381,6 +396,9 @@ class GraphModel:
 
             if isinstance(layer, cfg.Input):
                 if ik.kind == "placeholder":
+                    if x is None:
+                        raise ValueError(
+                            "x is required when the Input node executes")
                     expect_c = layer.shape[1]
                     if expect_c.is_known and x.shape[-1] != expect_c.size:
                         raise ValueError(
@@ -598,6 +616,8 @@ class GraphModel:
             else:
                 raise NotImplementedError(f"forward for {layer.kind}")
 
+        if output_keys is not None:
+            return {k: outputs[k] for k in output_keys}, new_state
         out_key = self.output_key if output_key is None else output_key
         if return_intermediates:
             named = {

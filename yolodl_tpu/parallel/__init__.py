@@ -7,6 +7,11 @@ from .dp import (  # noqa: F401
     make_dp_train_step, shard_batch, shard_batch_multiprocess,
 )
 from .zero import make_zero_train_step, place_zero_state, zero_init  # noqa: F401
+from .pipeline import (  # noqa: F401
+    PipelineModel,
+    PipelineTrainStep,
+    plan_stages,
+)
 from .tp import (  # noqa: F401
     make_tp_infer,
     make_tp_mesh,
