@@ -290,6 +290,11 @@ def main(argv=None):
         print(f"pipeline: {config.pipeline_parallel} stages "
               f"({', '.join(str(len(p.keys)) + ' nodes' for p in pp_model.stages)}), "
               f"{accum} microbatches/step")
+        if config.eval_interval or config.logging.enable_inference:
+            print("warning: in-training evaluation/inference merges the "
+                  "full model onto the default device; if the model needs "
+                  "pipeline_parallel to fit in one chip's HBM, run eval "
+                  "offline instead (eval CLI on a bigger host)")
     elif config.n_devices > 1:
         if use_tp:
             from ..parallel import (make_tp_train_step, place_tp_state,

@@ -331,23 +331,33 @@ class PipelineTrainState:
         self._pp = pp
         self.ps, self.ss, self.opts = ps, ss, opts
         self.step = step
+        # memoized merges: a checkpoint save reads all three properties
+        # (and eval/inference boundaries re-read params/state) — gather
+        # from the stage devices once per training step, not per access
+        self._merged: Dict[str, Any] = {}
 
     @classmethod
     def from_train_state(cls, pp: PipelineModel, ts) -> "PipelineTrainState":
         return cls(pp, pp.split_params(ts.params), pp.split_state(ts.state),
                    pp.split_opt_state(ts.opt_state), ts.step)
 
+    def _memo(self, key: str, fn):
+        if key not in self._merged:
+            self._merged[key] = fn()
+        return self._merged[key]
+
     @property
     def params(self):
-        return self._pp.merge_params(self.ps)
+        return self._memo("params", lambda: self._pp.merge_params(self.ps))
 
     @property
     def state(self):
-        return self._pp.merge_state(self.ss)
+        return self._memo("state", lambda: self._pp.merge_state(self.ss))
 
     @property
     def opt_state(self):
-        return self._pp.merge_opt_state(self.opts)
+        return self._memo(
+            "opt", lambda: self._pp.merge_opt_state(self.opts))
 
 
 # ----------------------------------------------------------------------
@@ -393,18 +403,16 @@ class PipelineTrainStep:
         last_subset = frozenset(last_plan.keys)
 
         def last_loss(params, state, inputs, x, boxes, classes, mask):
+            from ..train.loop import collect_step_metrics
+
             overrides = dict(zip(last_plan.in_keys, inputs)) or None
             pred, new_state = pp.model.apply(
                 params, state, x, train=True, data_format="NHWC",
                 node_overrides=overrides, node_subset=last_subset)
             out, aux = yolo_loss(pred, boxes, classes, mask, config.loss)
-            metrics = {
-                "total_loss": out.total_loss,
-                "iou_loss": out.iou_loss,
-                "classification_loss": out.classification_loss,
-                "objectness_loss": out.objectness_loss,
-                "num_matched": aux.matching.num_matched(),
-            }
+            # same telemetry as the single-device/DP step (benchmark
+            # accuracy, debug stats, objectness sample — per config flags)
+            metrics = collect_step_metrics(config, out, aux, pred)
             return out.total_loss, (new_state, metrics)
 
         self._last_vag = jax.jit(
@@ -434,15 +442,29 @@ class PipelineTrainStep:
         self._opt_up = [
             jax.jit(self._make_opt_update()) for _ in range(S)
         ]
+        # one fused add program per stage per microbatch (eager per-leaf
+        # jnp.add would dispatch a program per parameter leaf)
+        self._acc = [
+            jax.jit(lambda a, b: jax.tree_util.tree_map(jnp.add, a, b))
+            for _ in range(S)
+        ]
+        self._clamp = [jax.jit(pp.model.clamp_running_vars) for _ in range(S)]
 
     def _make_opt_update(self):
         n = self.n_micro
         optimizer = self.optimizer
+        want_maxima = self.config.log_weights_and_grads
 
         def up(grads, opt_state, params):
             grads = jax.tree_util.tree_map(lambda g: g / n, grads)
             updates, new_opt = optimizer.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), new_opt
+            new_params = optax.apply_updates(params, updates)
+            maxima = {}
+            if want_maxima:
+                from ..train.loop import param_maxima
+
+                maxima = param_maxima(new_params, grads)
+            return new_params, new_opt, maxima
 
         return up
 
@@ -483,8 +505,9 @@ class PipelineTrainStep:
 
         cur_state = list(state_stages)
         grads: List[Any] = [None] * S
-        add = lambda a, b: b if a is None else jax.tree_util.tree_map(
-            jnp.add, a, b)
+
+        def add(s, a, b):
+            return b if a is None else self._acc[s](a, b)
 
         # phase 1: forward wavefront; the last stage folds in loss + VJP
         xs: List[Array] = []
@@ -492,7 +515,6 @@ class PipelineTrainStep:
         states_in: List[List[Any]] = [[None] * M for _ in range(S)]
         gys: List[Tuple] = [None] * M
         metrics_per_m: List[Dict] = []
-        losses = []
         for m in range(M):
             x_m = jax.device_put(micro(images, m), pp.devices[0])
             xs.append(x_m)
@@ -509,13 +531,12 @@ class PipelineTrainStep:
             targets = tuple(
                 jax.device_put(micro(t, m), pp.devices[S - 1])
                 for t in (gt_boxes, gt_classes, gt_mask))
-            (loss, (ns, metrics)), (gp, gin) = self._last_vag(
+            (_, (ns, metrics)), (gp, gin) = self._last_vag(
                 params_stages[S - 1], cur_state[S - 1], carry,
                 x_m if S == 1 else None, *targets)
             cur_state[S - 1] = ns
-            grads[S - 1] = add(grads[S - 1], gp)
+            grads[S - 1] = add(S - 1, grads[S - 1], gp)
             gys[m] = gin
-            losses.append(loss)
             metrics_per_m.append(metrics)
 
         # phase 2: reverse wavefront of recompute-VJPs
@@ -526,22 +547,26 @@ class PipelineTrainStep:
                 gp, gin = self._bwd[s](
                     params_stages[s], states_in[s][m], bounds[s][m],
                     xs[m] if s == 0 else None, gy)
-                grads[s] = add(grads[s], gp)
+                grads[s] = add(s, grads[s], gp)
                 gy = gin
 
         # per-stage optimizer update + BN clamp, each on its own device
         new_params, new_opt = [], []
+        maxima: Dict[str, Array] = {}
         for s in range(S):
-            p, o = self._opt_up[s](grads[s], opt_states[s],
-                                   params_stages[s])
+            p, o, mx = self._opt_up[s](grads[s], opt_states[s],
+                                       params_stages[s])
             new_params.append(p)
             new_opt.append(o)
-            cur_state[s] = pp.model.clamp_running_vars(cur_state[s])
+            maxima.update(mx)
+            cur_state[s] = self._clamp[s](cur_state[s])
 
         metrics = {
             k: (sum(mm[k] for mm in metrics_per_m)
                 if k == "num_matched"
+                else mm0 if k == "obj_sample"  # first microbatch's sample
                 else sum(mm[k] for mm in metrics_per_m) / M)
-            for k in metrics_per_m[0]
+            for k, mm0 in metrics_per_m[0].items()
         }
+        metrics.update(maxima)
         return new_params, cur_state, new_opt, metrics

@@ -129,6 +129,41 @@ def train_init(
     )
 
 
+def collect_step_metrics(config: TrainConfig, out, aux, pred) -> dict:
+    """Per-step metrics dict from the loss output — losses always; the
+    optional telemetry (benchmark accuracy/recall/precision, decoded-box
+    debug stats, the objectness heatmap sample) per the config flags.
+    Shared by the single-device/DP step and the pipeline step so every
+    parallelism path produces the same TensorBoard panels."""
+    metrics = {
+        "total_loss": out.total_loss,
+        "iou_loss": out.iou_loss,
+        "classification_loss": out.classification_loss,
+        "objectness_loss": out.objectness_loss,
+        "num_matched": aux.matching.num_matched(),
+    }
+    if config.benchmark_confidence is not None:
+        from ..loss.benchmark import yolo_benchmark
+
+        bench = yolo_benchmark(pred, aux.matching, config.benchmark_confidence)
+        metrics.update({
+            "obj_accuracy": bench.obj_accuracy,
+            "obj_recall": bench.obj_recall,
+            "obj_precision": bench.obj_precision,
+            "class_accuracy": bench.class_accuracy,
+        })
+    if config.debug_stat:
+        # mean decoded box stats (logging.rs:135-146 debug_stat tuple)
+        mean = jnp.mean(pred.cycxhw, axis=(0, 1))
+        metrics.update({
+            "debug/cy_mean": mean[0], "debug/cx_mean": mean[1],
+            "debug/h_mean": mean[2], "debug/w_mean": mean[3],
+        })
+    if config.return_obj_sample:
+        metrics["obj_sample"] = pred.obj_prob()[0]
+    return metrics
+
+
 def make_batch_grads(
     model: YoloModel,
     config: TrainConfig,
@@ -162,33 +197,7 @@ def make_batch_grads(
     vag = jax.value_and_grad(loss_fn, has_aux=True)
 
     def step_metrics(out, aux, pred):
-        metrics = {
-            "total_loss": out.total_loss,
-            "iou_loss": out.iou_loss,
-            "classification_loss": out.classification_loss,
-            "objectness_loss": out.objectness_loss,
-            "num_matched": aux.matching.num_matched(),
-        }
-        if config.benchmark_confidence is not None:
-            from ..loss.benchmark import yolo_benchmark
-
-            bench = yolo_benchmark(pred, aux.matching, config.benchmark_confidence)
-            metrics.update({
-                "obj_accuracy": bench.obj_accuracy,
-                "obj_recall": bench.obj_recall,
-                "obj_precision": bench.obj_precision,
-                "class_accuracy": bench.class_accuracy,
-            })
-        if config.debug_stat:
-            # mean decoded box stats (logging.rs:135-146 debug_stat tuple)
-            mean = jnp.mean(pred.cycxhw, axis=(0, 1))
-            metrics.update({
-                "debug/cy_mean": mean[0], "debug/cx_mean": mean[1],
-                "debug/h_mean": mean[2], "debug/w_mean": mean[3],
-            })
-        if config.return_obj_sample:
-            metrics["obj_sample"] = pred.obj_prob()[0]
-        return metrics
+        return collect_step_metrics(config, out, aux, pred)
 
     def batch_grads(params, state, images, gt_boxes, gt_classes, gt_mask):
         if accum == 1:
