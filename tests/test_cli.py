@@ -631,6 +631,32 @@ class TestReferenceConfigParity:
         assert cfg.preprocessor.cache_method == "file"
         assert cfg.preprocessor.color_jitter is not None
         assert cfg.preprocessor.affine is not None
+        # pipeline.unordered_records=true in the reference file flows to
+        # the stream's out-of-order reassembly mode
+        assert cfg.preprocessor.unordered is True
+
+    def test_pipeline_device_warns(self, tmp_path, capsys):
+        """preprocessor.pipeline.device other than cpu warns (the host
+        pipeline is CPU + native kernels here; the reference could run its
+        preprocessor on CUDA)."""
+        import json
+
+        from yolodl_tpu.config.app_config import TrainAppConfig
+
+        cfg = {
+            "version": "0.1.0",
+            "model": {"kind": "NewslabV1", "cfg_file": "model.json5"},
+            "dataset": {"kind": {"type": "Csv", "image_size": 32,
+                                 "image_dir": ".", "label_file": "l.csv",
+                                 "classes_file": "c.txt"}},
+            "preprocessor": {"pipeline": {"device": "cuda:0"}},
+            "training": {"batch_size": 2, "optimizer": {"lr": 0.001}},
+        }
+        p = tmp_path / "train_pd.json5"
+        p.write_text(json.dumps(cfg))
+        parsed = TrainAppConfig.load(p)
+        assert parsed.preprocessor.unordered is False
+        assert "pipeline.device" in capsys.readouterr().err
 
     def test_nonuniform_minibatch_warns(self, tmp_path, capsys):
         """NonUniformMultiDevice sizes (config.rs:263-271) are normalized to

@@ -173,6 +173,7 @@ def main(argv=None):
         affine_prob=pre.affine_prob,
         bbox_scaling=pre.bbox_scaling,
         workers=pre.workers,
+        ordered=not pre.unordered,
     )
     stream = TrainingStream(records, loader, stream_cfg)
 

@@ -183,6 +183,11 @@ class PreprocessorConfig:
     workers: int = 2
     affine_prob: float = 1.0  # P(apply the whole affine) per record
     color_jitter_prob: float = 1.0  # P(apply HSV jitter) per record
+    # preprocessor.pipeline.unordered_records / unordered_batches
+    # (training_stream.rs:597-609): true lets the stream yield records as
+    # workers finish instead of reassembling plan order (faster under
+    # skewed decode times, non-deterministic batch composition)
+    unordered: bool = False
 
     @staticmethod
     def parse(raw: dict) -> "PreprocessorConfig":
@@ -233,6 +238,22 @@ class PreprocessorConfig:
                     value_shift=jitter_raw.get("value_shift"),
                 )
 
+        pipeline = raw.get("pipeline", {})
+        unordered = bool(pipeline.get("unordered_records", False)
+                         or pipeline.get("unordered_batches", False))
+        pipe_dev = str(pipeline.get("device", "cpu")).lower()
+        if pipe_dev not in ("cpu", ""):
+            # the reference can run its preprocessor on a CUDA device;
+            # here the host pipeline is CPU (+ native C++ kernels) and the
+            # device work happens inside the jitted step — warn, don't
+            # silently accept a semantic no-op
+            import sys
+
+            print(f"warning: preprocessor.pipeline.device {pipe_dev!r} is "
+                  "not supported; the host pipeline runs on CPU (native "
+                  "decode/affine/HSV kernels) with device-side batching",
+                  file=sys.stderr)
+
         cleanse = raw.get("cleanse", {})
         cache_records = bool(cache.get("records", False))
         if cache_records and not cache.get("cache_dir"):
@@ -255,6 +276,7 @@ class PreprocessorConfig:
             workers=int(raw.get("workers", 2)),
             affine_prob=affine_prob,
             color_jitter_prob=jitter_prob,
+            unordered=unordered,
         )
 
 
