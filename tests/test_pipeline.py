@@ -64,7 +64,71 @@ class TestPlanner:
             plan_stages(model, 400)
 
 
+SPD_STEM_CFG = """
+[net]
+width=64
+height=64
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=1
+pad=1
+activation=mish
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=2
+pad=1
+activation=mish
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+size=1
+stride=1
+pad=1
+filters=12
+activation=linear
+
+[yolo]
+mask=0,1
+anchors=10,14, 23,27
+classes=1
+num=2
+"""
+
+
 class TestForward:
+    def test_spd_stem_stays_active_inside_stage_0(self, tmp_path):
+        """A pipeline stage holding the whole space-to-depth stem trio
+        keeps the rewrite (builder skips it only when the trio is split)."""
+        p = tmp_path / "spd.cfg"
+        p.write_text(SPD_STEM_CFG)
+        model = YoloModel(load_darknet_graph(str(p)))
+        assert model._spd_pair is not None, "cfg should trigger the rewrite"
+        params, state = model.init(jax.random.PRNGKey(0))
+        x = np.asarray(
+            jax.random.uniform(jax.random.PRNGKey(4), (2, 3, 64, 64)),
+            np.float32)
+        ref, _ = model.apply(params, state, x)
+        pp = PipelineModel(model, 2)
+        assert set(model._spd_pair) <= set(pp.stages[0].keys)
+        out, _ = pp.apply(pp.split_params(params), pp.split_state(state), x)
+        np.testing.assert_allclose(
+            np.asarray(out.cycxhw), np.asarray(ref.cycxhw), rtol=0,
+            atol=1e-6)
+
     def test_matches_single_device(self, tiny_model):
         model, params, state = tiny_model
         x = np.asarray(

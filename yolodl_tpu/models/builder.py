@@ -307,13 +307,17 @@ class GraphModel:
             outputs.update(node_overrides)
 
         # space-to-depth stem fast path (exact rewrite; skipped when
-        # intermediates are requested, e.g. by the parity harness)
+        # intermediates are requested, e.g. by the parity harness).  A
+        # pipeline stage (node_subset) keeps the rewrite when it holds the
+        # whole stem trio and receives the raw image.
         spd_skip = set()
         if (
             self._spd_pair is not None
             and not return_intermediates
             and not node_overrides
-            and node_subset is None
+            and (node_subset is None
+                 or set(self._spd_pair) <= node_subset)
+            and x is not None
             and x.shape[1] % 2 == 0
             and x.shape[2] % 2 == 0
         ):
