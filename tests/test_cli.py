@@ -250,6 +250,30 @@ class TestTrainCli:
         ckpts2 = os.listdir(workspace / "logs_pp" / runs2[-1] / "checkpoints")
         assert any("_000004_" in n for n in ckpts2), ckpts2
 
+    def test_train_pipeline_x_dp_cli(self, workspace):
+        """pipeline_parallel=2 on 4 devices folds into 2 stages x dp=2:
+        each stage's group shards its microbatch via GSPMD."""
+        import json
+
+        cfg = json.loads((workspace / "train.json5").read_text())
+        cfg["training"]["device_config"] = {
+            "type": "MultiDevice", "devices": [f"tpu:{i}" for i in range(4)]}
+        cfg["training"]["pipeline_parallel"] = 2
+        cfg["training"]["accumulation_steps"] = 2
+        cfg["training"]["batch_size"] = 4
+        cfg["logging"] = {"dir": str(workspace / "logs_ppdp")}
+        (workspace / "train_ppdp.json5").write_text(json.dumps(cfg))
+        out = run_cli(
+            "yolodl_tpu.cli.train_main",
+            "--config-file", str(workspace / "train_ppdp.json5"),
+            "--max-steps", "2",
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        assert "x dp=2, 2 microbatches/step" in out.stdout
+        runs = os.listdir(workspace / "logs_ppdp")
+        ckpts = os.listdir(workspace / "logs_ppdp" / runs[0] / "checkpoints")
+        assert any("_000002_" in n for n in ckpts), ckpts
+
     def test_pipeline_parallel_exclusive_with_tp(self, workspace):
         import json
 

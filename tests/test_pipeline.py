@@ -229,6 +229,57 @@ class TestForward:
                     np.asarray(a), np.asarray(b), rtol=0, atol=1e-5),
                 ref_state[name], merged_state[name])
 
+    def test_pp_dp_composition(self, tiny_model):
+        """dp>1: each stage owns a device GROUP; params replicate within
+        the group, the microbatch shards over it via GSPMD.  Forward and
+        the GPipe step match the single-device references exactly."""
+        from yolodl_tpu.parallel.pipeline import PipelineTrainStep
+        from yolodl_tpu.train.loop import (
+            TrainConfig, TrainState, make_optimizer, make_train_step,
+        )
+        from tests.test_loss import pad_targets
+
+        model, params, state = tiny_model
+        pp = PipelineModel(model, 2, dp=2)
+        assert [len(g) for g in pp.groups] == [2, 2]
+        ps, ss = pp.split_params(params), pp.split_state(state)
+        for s, sub in enumerate(ps):
+            for leaf in jax.tree_util.tree_leaves(sub):
+                assert leaf.devices() == set(pp.groups[s])
+
+        x = np.asarray(
+            jax.random.uniform(jax.random.PRNGKey(5), (4, 3, 96, 96)),
+            np.float32)
+        ref, _ = model.apply(params, state, x)
+        out, _ = pp.apply(ps, ss, x)
+        np.testing.assert_allclose(
+            np.asarray(out.cycxhw), np.asarray(ref.cycxhw), rtol=0,
+            atol=2e-6)
+
+        config = TrainConfig(optimizer="sgd", momentum=0.9)
+        boxes, classes, mask = pad_targets(
+            [[(0.5, 0.5, 0.3, 0.3, 0)]] * 4)
+        optimizer = make_optimizer(config)
+        params_ref = jax.tree_util.tree_map(jnp.array, params)
+        state_ref = jax.tree_util.tree_map(jnp.array, state)
+        ts = TrainState(params_ref, state_ref, optimizer.init(params_ref),
+                        jnp.zeros((), jnp.int32), None)
+        step = make_train_step(model, optimizer, config, accum=2)
+
+        pts = PipelineTrainStep(pp, config, n_micro=2)
+        opts = pts.init_opt(ps)
+        ps, ss, opts, metrics = pts(ps, ss, opts, x, boxes, classes, mask)
+        ts, ref_metrics = step(ts, x, boxes, classes, mask)
+        assert float(metrics["total_loss"]) == pytest.approx(
+            float(ref_metrics["total_loss"]), abs=1e-5)
+        merged = pp.merge_params(ps)
+        ref_params = jax.device_get(ts.params)
+        for name in ref_params:
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=0, atol=3e-6),
+                ref_params[name], merged[name])
+
     def test_rejects_unsupported_knobs(self, tiny_model):
         from yolodl_tpu.parallel.pipeline import PipelineTrainStep
         from yolodl_tpu.train.loop import TrainConfig

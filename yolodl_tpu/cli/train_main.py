@@ -283,14 +283,15 @@ def main(argv=None):
         from ..parallel import PipelineModel, PipelineTrainStep
         from ..parallel.pipeline import PipelineTrainState
 
-        pp_model = PipelineModel(model, config.pipeline_parallel)
+        pp_dp = config.n_devices // config.pipeline_parallel
+        pp_model = PipelineModel(model, config.pipeline_parallel, dp=pp_dp)
         pts_step = PipelineTrainStep(pp_model, train_cfg, n_micro=accum)
         ts = PipelineTrainState.from_train_state(pp_model, ts)
         step_fn = pts_step.step_fn()
         place = lambda batch: batch
         print(f"pipeline: {config.pipeline_parallel} stages "
-              f"({', '.join(str(len(p.keys)) + ' nodes' for p in pp_model.stages)}), "
-              f"{accum} microbatches/step")
+              f"({', '.join(str(len(p.keys)) + ' nodes' for p in pp_model.stages)})"
+              f" x dp={pp_dp}, {accum} microbatches/step")
         if config.eval_interval or config.logging.enable_inference:
             print("warning: in-training evaluation/inference merges the "
                   "full model onto the default device; if the model needs "

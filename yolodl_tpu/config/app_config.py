@@ -511,18 +511,21 @@ class TrainAppConfig:
             if multi_process is not None:
                 raise ValueError(
                     f"{path}: pipeline_parallel is single-controller only")
-            if n_devices != pp:
+            if n_devices % pp:
                 raise ValueError(
-                    f"{path}: pipeline_parallel ({pp}) uses the whole device "
-                    f"list as stages; device_config lists {n_devices}")
+                    f"{path}: pipeline_parallel ({pp}) must divide the "
+                    f"device count ({n_devices}); devices fold into "
+                    "(stages x per-stage data-parallel groups)")
             if training.get("ema", {}).get("enabled"):
                 raise ValueError(
                     f"{path}: ema is not supported under pipeline_parallel")
-            if batch_size % accum:
+            pp_dp = n_devices // pp
+            if batch_size % (accum * pp_dp):
                 raise ValueError(
                     f"{path}: training.batch_size ({batch_size}) must be "
-                    f"divisible by accumulation_steps ({accum}) — the GPipe "
-                    "microbatch count")
+                    f"divisible by accumulation_steps x per-stage "
+                    f"data-parallel degree ({accum} x {pp_dp}) — microbatches "
+                    "shard over each stage's device group")
         # with TP the batch is sharded over data = n_devices/tp replicas
         # only; under PP the batch is not sharded at all (it splits into
         # microbatches, checked above)

@@ -175,24 +175,44 @@ def plan_stages(model, n_stages: int, max_cross: int = 4) -> List[StagePlan]:
 class PipelineModel:
     """A GraphModel executed as ``n_stages`` device-pinned programs.
 
-    Parameters/BN-state/optimizer state are SPLIT by stage: device ``s``
-    only ever holds stage ``s``'s slices.  ``split_params`` /
+    Parameters/BN-state/optimizer state are SPLIT by stage: device group
+    ``s`` only ever holds stage ``s``'s slices.  ``split_params`` /
     ``merge_params`` convert to and from the single-device layout, so
     checkpoints stay in the standard format.
+
+    ``dp > 1`` composes pipeline with data parallelism: each stage owns a
+    GROUP of ``dp`` devices forming a 1-D data mesh; the stage's params
+    replicate within the group and the (micro)batch axis shards over it
+    via GSPMD — XLA inserts the within-group gradient all-reduce itself,
+    and semantics stay the single-device step's by construction.
     """
 
     def __init__(self, model, n_stages: int,
-                 devices: Optional[Sequence] = None, max_cross: int = 4):
+                 devices: Optional[Sequence] = None, max_cross: int = 4,
+                 dp: int = 1):
+        import numpy as np
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        if dp < 1:
+            raise ValueError(f"dp must be >= 1, got {dp}")
         self.model = model
         self.stages = plan_stages(model, n_stages, max_cross)
+        need = n_stages * dp
         if devices is None:
-            devices = jax.devices()[:n_stages]
-        if len(devices) < n_stages:
+            devices = jax.devices()[:need]
+        if len(devices) < need:
             raise ValueError(
-                f"{n_stages} stages need {n_stages} devices, have "
+                f"{n_stages} stages x dp={dp} need {need} devices, have "
                 f"{len(devices)}")
-        self.devices = list(devices[:n_stages])
+        self.groups = [list(devices[s * dp:(s + 1) * dp])
+                       for s in range(n_stages)]
+        # first device of each group — display/compat handle
+        self.devices = [g[0] for g in self.groups]
+        self.dp = dp
         self.n_stages = n_stages
+        self.meshes = [Mesh(np.asarray(g), ("data",)) for g in self.groups]
+        self._repl = [NamedSharding(m, P()) for m in self.meshes]
+        self._batch = [NamedSharding(m, P("data")) for m in self.meshes]
         self._names = [
             tuple(model._pname[k] for k in p.keys) for p in self.stages
         ]
@@ -227,7 +247,7 @@ class PipelineModel:
                            if is_pd(d) else d),
                 opt_state, is_leaf=is_pd)
             if place:
-                sub = jax.device_put(sub, self.devices[s])
+                sub = jax.device_put(sub, self._repl[s])
             out.append(sub)
         return out
 
@@ -250,7 +270,7 @@ class PipelineModel:
         for s, names in enumerate(self._names):
             sub = {n: params[n] for n in names if n in params}
             if place:
-                sub = jax.device_put(sub, self.devices[s])
+                sub = jax.device_put(sub, self._repl[s])
             out.append(sub)
         return out
 
@@ -299,13 +319,16 @@ class PipelineModel:
         """
         if data_format == "NCHW":
             x = jnp.transpose(x, (0, 2, 3, 1))
-        x = jax.device_put(x, self.devices[0])
+        if x.shape[0] % self.dp:
+            raise ValueError(
+                f"batch {x.shape[0]} not divisible by dp={self.dp}")
+        x = jax.device_put(x, self._batch[0])
         carry: Tuple = ()
         new_states = []
         out = None
         for s in range(self.n_stages):
             fn = self._stage_fn(s, train)
-            carry = tuple(jax.device_put(t, self.devices[s]) for t in carry)
+            carry = tuple(jax.device_put(t, self._batch[s]) for t in carry)
             out, ns = fn(params_stages[s], state_stages[s], carry,
                          x if s == 0 else None)
             new_states.append(ns)
@@ -440,7 +463,7 @@ class PipelineTrainStep:
 
         self._bwd = [make_bwd(s) for s in range(S - 1)]
         self._opt_up = [
-            jax.jit(self._make_opt_update()) for _ in range(S)
+            jax.jit(self._make_opt_update(pp._repl[s])) for s in range(S)
         ]
         # one fused add program per stage per microbatch (eager per-leaf
         # jnp.add would dispatch a program per parameter leaf)
@@ -450,13 +473,17 @@ class PipelineTrainStep:
         ]
         self._clamp = [jax.jit(pp.model.clamp_running_vars) for _ in range(S)]
 
-    def _make_opt_update(self):
+    def _make_opt_update(self, repl):
         n = self.n_micro
         optimizer = self.optimizer
         want_maxima = self.config.log_weights_and_grads
 
         def up(grads, opt_state, params):
-            grads = jax.tree_util.tree_map(lambda g: g / n, grads)
+            # pin grads replicated within the stage's group (dp > 1): the
+            # bwd program's inferred output sharding isn't contractual
+            grads = jax.tree_util.tree_map(
+                lambda g: jax.lax.with_sharding_constraint(g / n, repl),
+                grads)
             updates, new_opt = optimizer.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
             maxima = {}
@@ -501,6 +528,10 @@ class PipelineTrainStep:
             raise ValueError(
                 f"batch size {batch} not divisible by n_micro {M}")
         mb = batch // M
+        if mb % pp.dp:
+            raise ValueError(
+                f"microbatch size {mb} not divisible by the per-stage "
+                f"data-parallel degree dp={pp.dp}")
         micro = lambda t, m: t[m * mb:(m + 1) * mb]
 
         cur_state = list(state_stages)
@@ -516,7 +547,7 @@ class PipelineTrainStep:
         gys: List[Tuple] = [None] * M
         metrics_per_m: List[Dict] = []
         for m in range(M):
-            x_m = jax.device_put(micro(images, m), pp.devices[0])
+            x_m = jax.device_put(micro(images, m), pp._batch[0])
             xs.append(x_m)
             carry: Tuple = ()
             for s in range(S - 1):
@@ -526,10 +557,10 @@ class PipelineTrainStep:
                     params_stages[s], cur_state[s], carry,
                     x_m if s == 0 else None)
                 cur_state[s] = ns
-                carry = tuple(jax.device_put(t, pp.devices[s + 1])
+                carry = tuple(jax.device_put(t, pp._batch[s + 1])
                               for t in out)
             targets = tuple(
-                jax.device_put(micro(t, m), pp.devices[S - 1])
+                jax.device_put(micro(t, m), pp._batch[S - 1])
                 for t in (gt_boxes, gt_classes, gt_mask))
             (_, (ns, metrics)), (gp, gin) = self._last_vag(
                 params_stages[S - 1], cur_state[S - 1], carry,
@@ -543,7 +574,7 @@ class PipelineTrainStep:
         for m in range(M):
             gy = gys[m]
             for s in range(S - 2, -1, -1):
-                gy = tuple(jax.device_put(t, pp.devices[s]) for t in gy)
+                gy = tuple(jax.device_put(t, pp._batch[s]) for t in gy)
                 gp, gin = self._bwd[s](
                     params_stages[s], states_in[s][m], bounds[s][m],
                     xs[m] if s == 0 else None, gy)
