@@ -900,12 +900,15 @@ activation=linear
         out2 = run_cli(
             "yolodl_tpu.cli.classify_main",
             "--config-file", str(class_workspace / "classify.json5"),
-            "--eval",
+            "--eval", "--topk", "2",
         )
         assert out2.returncode == 0, out2.stderr[-3000:]
         assert "restored checkpoint" in out2.stdout
         acc = float(out2.stdout.split("top-1 accuracy:")[1].split()[0])
         assert acc > 0.9, out2.stdout
+        # top-k accuracy (darknet validate_classifier's topk) dominates top-1
+        acc2 = float(out2.stdout.split("top-2 accuracy:")[1].split()[0])
+        assert acc2 >= acc
 
 
 class TestDetectDarknetWeights:

@@ -53,6 +53,9 @@ def main(argv=None):
     parser.add_argument("--eval", action="store_true",
                         help="evaluate top-1 accuracy from the most recent "
                              "checkpoint instead of training")
+    parser.add_argument("--topk", type=int, default=5,
+                        help="also report top-K accuracy with --eval "
+                             "(darknet validate_classifier's topk; 1 = off)")
     args = parser.parse_args(argv)
 
     import json5
@@ -139,20 +142,30 @@ def main(argv=None):
             print(f"no checkpoint found under {log_dir} — "
                   "evaluating the fresh initialization")
 
+        # darknet's validate_classifier reports top-1 AND top-k
+        # (classifier.c: topk_accuracy with [net] top, default 5)
+        k = max(1, min(int(args.topk), len(classes)))
+
         @jax.jit
         def infer(params, state, images):
             out, _ = model.apply(params, state, images, train=False)
-            return jnp.argmax(out.reshape(out.shape[0], -1), -1)
+            flat = out.reshape(out.shape[0], -1)
+            return jax.lax.top_k(flat, k)[1]
 
         batch_size = int(training.get("batch_size", 32))
-        correct = total = 0
+        correct = correct_k = total = 0
         for i in range(0, len(records), batch_size):
             chunk = records[i:i + batch_size]
             images, labels = load_batch(chunk)
-            pred = np.asarray(infer(ts.params, ts.state, images))
-            correct += int((pred == np.asarray(labels)).sum())
+            topk = np.asarray(infer(ts.params, ts.state, images))
+            labels = np.asarray(labels)
+            correct += int((topk[:, 0] == labels).sum())
+            correct_k += int((topk == labels[:, None]).any(-1).sum())
             total += len(chunk)
         print(f"top-1 accuracy: {correct / total:.4f} ({correct}/{total})")
+        if k > 1:
+            print(f"top-{k} accuracy: {correct_k / total:.4f} "
+                  f"({correct_k}/{total})")
         return
 
     os.makedirs(ckpt_dir, exist_ok=True)
