@@ -246,6 +246,8 @@ class TestTrainCli:
         )
         assert out2.returncode == 0, out2.stderr[-3000:]
         assert "restored checkpoint at step 2" in out2.stdout
+        # exact-resume data order: 2 steps x batch 2 already consumed
+        assert "data stream resumed at record 4" in out2.stdout
         runs2 = sorted(os.listdir(workspace / "logs_pp"))
         ckpts2 = os.listdir(workspace / "logs_pp" / runs2[-1] / "checkpoints")
         assert any("_000004_" in n for n in ckpts2), ckpts2

@@ -709,6 +709,27 @@ class TestPipelineWorkers:
             np.testing.assert_allclose(a.images, b.images)
             np.testing.assert_allclose(a.boxes, b.boxes)
 
+    def test_start_records_resumes_exact_data_order(self, image_dir):
+        """start_records=N replays the uninterrupted run's stream from
+        record N bitwise (per-slot RNG keys; spans an epoch boundary)."""
+        tmp, records = image_dir
+        kw = dict(batch_size=2, max_gt=4, seed=7, mosaic_prob=0.5, workers=2)
+        base = TrainingStream(records, OnDemandLoader((24, 24)),
+                              TrainingStreamConfig(**kw))
+        it = iter(base)
+        full = [next(it) for _ in range(8)]
+
+        skip_batches = 3
+        resumed = TrainingStream(
+            records, OnDemandLoader((24, 24)),
+            TrainingStreamConfig(start_records=skip_batches * 2, **kw))
+        it2 = iter(resumed)
+        for a in full[skip_batches:]:
+            b = next(it2)
+            np.testing.assert_array_equal(a.images, b.images)
+            np.testing.assert_array_equal(a.boxes, b.boxes)
+            np.testing.assert_array_equal(a.classes, b.classes)
+
     def test_unordered_mode_yields_all(self, image_dir):
         tmp, records = image_dir
         cfg2 = TrainingStreamConfig(batch_size=2, max_gt=4, seed=1, workers=3,

@@ -272,6 +272,16 @@ def main(argv=None):
                           jnp.asarray(config.override_initial_step, jnp.int32),
                           ts.ema_params)
 
+    # exact-resume data order: skip the records the interrupted run already
+    # consumed, so the continuation sees the same shuffles/augmentations an
+    # uninterrupted run would (per-slot RNG keys make the skip bitwise-
+    # faithful; the reference restarts its shuffles on resume)
+    if int(ts.step):
+        # one optimizer step consumes one logical batch (scan mode stacks K
+        # batches but advances the step by K — same records-per-step)
+        stream_cfg.start_records = int(ts.step) * local_batch
+        print(f"data stream resumed at record {stream_cfg.start_records}")
+
     # device placement
     accum = config.accumulation_steps
     if use_pp:

@@ -53,6 +53,13 @@ class TrainingStreamConfig:
     # ordered=True reassembles records in plan order (deterministic batches,
     # the reference's unordered_records=false); False yields as they finish
     ordered: bool = True
+    # resume the data order mid-run: skip this many records before the
+    # first yield.  Because every slot's augmentation RNG is keyed by
+    # (seed, epoch, slot), the continuation is bitwise-identical to an
+    # uninterrupted run — checkpoint resume replays the exact data order
+    # it would have seen (the reference restarts its shuffles from
+    # scratch on resume).  Set by the train CLI to step x batch_size.
+    start_records: int = 0
     # optional per-stage debug hook: called as hook(stage_name, DataRecord)
     # after each augmentation stage (the reference broadcasts per-stage debug
     # images to its logger, training_stream.rs:340-577)
@@ -205,7 +212,8 @@ class TrainingStream:
         # ticket while the needed serial is still unproduced).
         window_cap = out_q.maxsize + 2 * workers
         window = threading.Condition()
-        consumed = [0]
+        start = max(0, int(cfg.start_records))
+        consumed = [start]
         n_slots_total = len(self.records)
 
         def producer(worker_id: int):
@@ -216,12 +224,14 @@ class TrainingStream:
             interleaving."""
             if worker_id >= n_slots_total:
                 return  # its strided slot range is empty in every epoch
-            epoch = 0
+            epoch = start // n_slots_total  # resume: skip whole epochs
             try:
                 while not stop.is_set():
                     plan = self._epoch_plan(epoch)
                     for slot in range(worker_id, len(plan), workers):
                         serial = epoch * n_slots_total + slot
+                        if serial < start:
+                            continue  # resume: partial first epoch
                         with window:
                             while (serial >= consumed[0] + window_cap
                                    and not stop.is_set()):
@@ -245,7 +255,7 @@ class TrainingStream:
 
         n_slots = len(self.records)
         pending = {}
-        next_serial = 0
+        next_serial = start
 
         def advance_window():
             with window:
