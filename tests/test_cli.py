@@ -110,6 +110,15 @@ class TestToolCli:
         assert out.returncode == 0, out.stderr
         assert "MergeDetect2D" in out.stdout
 
+    def test_info_pipeline_stages(self, workspace):
+        out = run_cli("yolodl_tpu.cli.tool_main", "info",
+                      os.path.join(REPO, "cfg/darknet/yolov4-tiny.cfg"),
+                      "--pipeline-stages", "3")
+        assert out.returncode == 0, out.stderr
+        assert "pipeline plan (3 stages):" in out.stdout
+        # three stage rows, last one ends at the graph output
+        assert "(output)" in out.stdout
+
     def test_dot_darknet(self, workspace, tmp_path):
         out = run_cli(
             "yolodl_tpu.cli.tool_main", "make-dot-file",

@@ -24,6 +24,9 @@ def main(argv=None):
 
     info = sub.add_parser("info", help="print per-node table")
     info.add_argument("model_file")
+    info.add_argument("--pipeline-stages", type=int, default=0,
+                      help="also print the pipeline-parallel stage plan "
+                           "for N stages (balanced cuts, boundary tensors)")
 
     dot = sub.add_parser("make-dot-file", help="export Graphviz DOT")
     dot.add_argument("model_file")
@@ -86,10 +89,33 @@ def main(argv=None):
 
     if args.command == "info":
         print(graph.info_table())
+        if args.pipeline_stages > 1:
+            _print_stage_plan(graph, args.pipeline_stages)
     else:
         with open(args.output_file, "w") as f:
             f.write(graph.to_dot())
         print(f"wrote {args.output_file}")
+
+
+def _print_stage_plan(graph, n_stages: int):
+    """The pipeline planner's cut table: per stage the node range, FLOP
+    share, and the boundary tensors that cross to the next stage."""
+    from ..models import YoloModel
+    from ..parallel.pipeline import plan_stages
+
+    model = YoloModel(graph)
+    plans = plan_stages(model, n_stages)
+    total = sum(p.cost for p in plans) or 1.0
+    print(f"\npipeline plan ({n_stages} stages):")
+    print(f"{'stage':>5}  {'nodes':>6}  {'flops%':>7}  boundary out")
+    for s, p in enumerate(plans):
+        names = []
+        for k in p.out_keys:
+            node = graph.nodes[k]
+            shape = node.output_shape
+            names.append(f"{node.path or k}{shape!r}")
+        print(f"{s:>5}  {len(p.keys):>6}  {100 * p.cost / total:>6.1f}%  "
+              f"{', '.join(names) or '(output)'}")
 
 
 def _calc_anchors(args):
