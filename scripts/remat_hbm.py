@@ -44,15 +44,16 @@ def analyze(remat: bool):
                       remat="blocks" if remat else "off")
     config = TrainConfig()
     ts, opt = train_init(model, config, seed=0)
-    step = make_train_step(model, opt, config)
+    # the raw traced step (make_train_step's jit=False escape hatch, the
+    # same one make_multi_step uses), jitted once here with donation
+    step = make_train_step(model, opt, config, jit=False)
 
     images = jnp.zeros((BATCH, 3, SIZE, SIZE), jnp.bfloat16)
     boxes = jnp.zeros((BATCH, 64, 4), jnp.float32)
     classes = jnp.zeros((BATCH, 64), jnp.int32)
     mask = jnp.zeros((BATCH, 64), bool)
 
-    lowered = jax.jit(step.__wrapped__ if hasattr(step, "__wrapped__")
-                      else step, donate_argnums=(0,)).lower(
+    lowered = jax.jit(step, donate_argnums=(0,)).lower(
         ts, images, boxes, classes, mask)
     compiled = lowered.compile()
     mem = compiled.memory_analysis()

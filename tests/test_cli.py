@@ -285,6 +285,50 @@ class TestTrainCli:
         ckpts = os.listdir(workspace / "logs_ppdp" / runs[0] / "checkpoints")
         assert any("_000002_" in n for n in ckpts), ckpts
 
+    def test_fromfile_and_override_step_do_not_seek_data(self, workspace):
+        """The exact-resume data fast-forward is FromRecent-only: a
+        FromFile fine-tune (foreign checkpoint) and override_initial_step
+        (pure step forcing) never consumed this stream's records."""
+        import json
+
+        out = run_cli(
+            "yolodl_tpu.cli.train_main",
+            "--config-file", str(workspace / "train.json5"),
+            "--max-steps", "2",
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        runs = sorted(os.listdir(workspace / "logs"))
+        ckpt_dir = workspace / "logs" / runs[-1] / "checkpoints"
+        ckpt = sorted(os.listdir(ckpt_dir))[-1]
+
+        cfg = json.loads((workspace / "train.json5").read_text())
+        cfg["training"]["load_checkpoint"] = {
+            "type": "FromFile", "file": str(ckpt_dir / ckpt)}
+        (workspace / "train_ff.json5").write_text(json.dumps(cfg))
+        out2 = run_cli(
+            "yolodl_tpu.cli.train_main",
+            "--config-file", str(workspace / "train_ff.json5"),
+            "--max-steps", "3",
+        )
+        assert out2.returncode == 0, out2.stderr[-3000:]
+        assert "restored checkpoint at step 2" in out2.stdout
+        assert "data stream resumed" not in out2.stdout
+
+        cfg = json.loads((workspace / "train.json5").read_text())
+        cfg["training"]["override_initial_step"] = 7
+        cfg["logging"] = {"dir": str(workspace / "logs_ov")}
+        (workspace / "train_ov.json5").write_text(json.dumps(cfg))
+        out3 = run_cli(
+            "yolodl_tpu.cli.train_main",
+            "--config-file", str(workspace / "train_ov.json5"),
+            "--max-steps", "9",
+        )
+        assert out3.returncode == 0, out3.stderr[-3000:]
+        assert "data stream resumed" not in out3.stdout
+        runs3 = os.listdir(workspace / "logs_ov")
+        ckpts3 = os.listdir(workspace / "logs_ov" / runs3[0] / "checkpoints")
+        assert any("_000009_" in n for n in ckpts3), ckpts3
+
     def test_pipeline_parallel_exclusive_with_tp(self, workspace):
         import json
 

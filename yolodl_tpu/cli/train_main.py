@@ -275,12 +275,16 @@ def main(argv=None):
     # exact-resume data order: skip the records the interrupted run already
     # consumed, so the continuation sees the same shuffles/augmentations an
     # uninterrupted run would (per-slot RNG keys make the skip bitwise-
-    # faithful; the reference restarts its shuffles on resume)
-    if int(ts.step):
+    # faithful; the reference restarts its shuffles on resume).  Only a
+    # FromRecent restore means "continue THIS run's data stream" — FromFile
+    # fine-tunes from a foreign checkpoint and override_initial_step is a
+    # pure step-forcing knob; neither consumed this dataset's records.
+    if restored is not None and config.checkpoint.mode == "from_recent":
         # one optimizer step consumes one logical batch (scan mode stacks K
         # batches but advances the step by K — same records-per-step)
-        stream_cfg.start_records = int(ts.step) * local_batch
-        print(f"data stream resumed at record {stream_cfg.start_records}")
+        stream_cfg.start_records = int(restored[3]["step"]) * local_batch
+        if stream_cfg.start_records:
+            print(f"data stream resumed at record {stream_cfg.start_records}")
 
     # device placement
     accum = config.accumulation_steps

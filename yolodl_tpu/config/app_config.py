@@ -239,8 +239,13 @@ class PreprocessorConfig:
                 )
 
         pipeline = raw.get("pipeline", {})
-        unordered = bool(pipeline.get("unordered_records", False)
-                         or pipeline.get("unordered_batches", False))
+        # unordered_records=true PERMITS out-of-order record reassembly
+        # (the perf knob); unordered_batches alone is a no-op here — batch
+        # assembly is single-threaded downstream of the record stream, so
+        # batch composition stays deterministic and emission order is
+        # already in-order (a valid refinement: the flag only permits
+        # disorder, it never requires it; training_stream.rs:597-609)
+        unordered = bool(pipeline.get("unordered_records", False))
         pipe_dev = str(pipeline.get("device", "cpu")).lower()
         if pipe_dev not in ("cpu", ""):
             # the reference can run its preprocessor on a CUDA device;
