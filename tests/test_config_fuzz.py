@@ -105,6 +105,94 @@ def test_json5_model_fuzz(tmp_path):
     assert checked == 40
 
 
+def test_app_config_fuzz(tmp_path):
+    """Mutations of the reference's own train.json5 through
+    TrainAppConfig.load: clean ValueError/KeyError/TypeError-at-coercion,
+    never an unrelated crash or a silent mis-parse of a corrupt file."""
+    import json
+
+    import json5
+
+    from yolodl_tpu.config.app_config import TrainAppConfig
+
+    base = json5.load(open(os.path.join(REPO, "cfg/train.json5")))
+    rng = random.Random(3)
+
+    def paths(d, pfx=()):
+        for k, v in d.items():
+            yield pfx + (k,)
+            if isinstance(v, dict):
+                yield from paths(v, pfx + (k,))
+
+    all_paths = list(paths(base))
+    survived = parsed = 0
+    for k in range(60):
+        cfg = json.loads(json.dumps(base))
+        target = rng.choice(all_paths)
+        node = cfg
+        for key in target[:-1]:
+            node = node[key]
+        kind = rng.randrange(3)
+        if kind == 0:
+            del node[target[-1]]
+        elif kind == 1:
+            node[target[-1]] = rng.choice(["banana", -3, None, [1, 2]])
+        else:
+            node[target[-1]] = {"type": "Banana"}
+        p = tmp_path / f"t{k}.json5"
+        p.write_text(json.dumps(cfg))
+        try:
+            TrainAppConfig.load(str(p))
+            parsed += 1
+        except (ValueError, KeyError, TypeError):
+            survived += 1
+        # anything else (AttributeError, IndexError, RecursionError...)
+        # propagates and fails the test
+    assert survived > 10 and parsed > 10, (survived, parsed)
+
+
+def test_detect_config_fuzz(tmp_path):
+    """Same mutation battery over the reference's detect.json5."""
+    import json
+
+    import json5
+
+    from yolodl_tpu.config.app_config import DetectAppConfig
+
+    base = json5.load(open(os.path.join(REPO, "cfg/detect.json5")))
+    rng = random.Random(5)
+
+    def paths(d, pfx=()):
+        for k, v in d.items():
+            yield pfx + (k,)
+            if isinstance(v, dict):
+                yield from paths(v, pfx + (k,))
+
+    all_paths = list(paths(base))
+    survived = parsed = 0
+    for k in range(60):
+        cfg = json.loads(json.dumps(base))
+        target = rng.choice(all_paths)
+        node = cfg
+        for key in target[:-1]:
+            node = node[key]
+        kind = rng.randrange(3)
+        if kind == 0:
+            del node[target[-1]]
+        elif kind == 1:
+            node[target[-1]] = rng.choice(["banana", -3, None, [1, 2]])
+        else:
+            node[target[-1]] = {"type": "Banana"}
+        p = tmp_path / f"d{k}.json5"
+        p.write_text(json.dumps(cfg))
+        try:
+            DetectAppConfig.load(str(p))
+            parsed += 1
+        except (ValueError, KeyError, TypeError):
+            survived += 1
+    assert survived > 10 and parsed > 10, (survived, parsed)
+
+
 @pytest.mark.parametrize("snippet", [
     "[net]\nwidth=0\nheight=32\nchannels=3\n[convolutional]\nfilters=8\n",
     "[net]\nwidth=32\nheight=32\nchannels=3\n[route]\nlayers=-99\n",

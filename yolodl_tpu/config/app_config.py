@@ -36,11 +36,38 @@ SUPPORTED_VERSION = "0.1.0"
 
 
 def _check_version(raw: dict, path) -> None:
+    if not isinstance(raw, dict):
+        raise ValueError(f"{path}: config root must be an object")
     version = raw.get("version")
     if version != SUPPORTED_VERSION:
         raise ValueError(
             f"{path}: config version {version!r} != supported {SUPPORTED_VERSION!r}"
         )
+
+
+def _as_dict(val, what: str) -> dict:
+    """Coerce an optional sub-config to a dict: null → {}, non-object →
+    clean ValueError (corrupt configs must not crash downstream)."""
+    if val is None:
+        return {}
+    if not isinstance(val, dict):
+        raise ValueError(f"config entry {what!r} must be an object, "
+                         f"got {type(val).__name__}")
+    return val
+
+
+def _dict_section(raw: dict, key: str, path, required: bool = True) -> dict:
+    """A top-level config section that must be a JSON object — corrupt
+    files get one clean ValueError, not an AttributeError downstream."""
+    if key not in raw or raw[key] is None:
+        if required:
+            raise ValueError(f"{path}: missing required section {key!r}")
+        return {}
+    val = raw[key]
+    if not isinstance(val, dict):
+        raise ValueError(f"{path}: section {key!r} must be an object, "
+                         f"got {type(val).__name__}")
+    return val
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,8 +87,8 @@ class DatasetConfig:
     def parse(raw: dict, class_whitelist=()) -> "DatasetConfig":
         """``class_whitelist`` overrides ``raw["class_whitelist"]`` when
         given (programmatic callers); the config key is the default."""
-        kind_raw = raw["kind"]
-        t = kind_raw["type"].lower()
+        kind_raw = _as_dict(raw["kind"], "dataset.kind")
+        t = str(kind_raw["type"]).lower()
         return DatasetConfig(
             kind=t,
             image_size=int(kind_raw["image_size"]),
@@ -191,7 +218,8 @@ class PreprocessorConfig:
 
     @staticmethod
     def parse(raw: dict) -> "PreprocessorConfig":
-        cache = raw.get("cache", {})
+        raw = _as_dict(raw, "preprocessor")
+        cache = _as_dict(raw.get("cache"), "preprocessor.cache")
         method_raw = cache.get("method", "NoCache")
         methods = {
             "NoCache": "none", "MemoryCache": "memory", "FileCache": "file",
@@ -203,8 +231,8 @@ class PreprocessorConfig:
                 f"{sorted(methods)}")
         method = methods[method_raw]
 
-        mixup = raw.get("mixup", {})
-        affine_raw = raw.get("random_affine", {})
+        mixup = _as_dict(raw.get("mixup"), "preprocessor.mixup")
+        affine_raw = _as_dict(raw.get("random_affine"), "preprocessor.random_affine")
         affine = None
         affine_prob = 1.0
         if affine_raw:
@@ -222,11 +250,11 @@ class PreprocessorConfig:
                 scale=tuple(affine_raw["scale"]) if "scale" in affine_raw else None,
                 horizontal_flip_prob=float(affine_raw.get("horizontal_flip_prob", 0.0)),
                 vertical_flip_prob=float(affine_raw.get("vertical_flip_prob", 0.0)),
-                min_bbox_size=raw.get("cleanse", {}).get("min_bbox_size"),
-                min_bbox_cropping_ratio=raw.get("cleanse", {}).get("min_bbox_cropping_ratio"),
+                min_bbox_size=_as_dict(raw.get("cleanse"), "preprocessor.cleanse").get("min_bbox_size"),
+                min_bbox_cropping_ratio=_as_dict(raw.get("cleanse"), "preprocessor.cleanse").get("min_bbox_cropping_ratio"),
             )
 
-        jitter_raw = raw.get("color_jitter", {})
+        jitter_raw = _as_dict(raw.get("color_jitter"), "preprocessor.color_jitter")
         jitter = None
         jitter_prob = 1.0
         if jitter_raw:
@@ -238,7 +266,7 @@ class PreprocessorConfig:
                     value_shift=jitter_raw.get("value_shift"),
                 )
 
-        pipeline = raw.get("pipeline", {})
+        pipeline = _as_dict(raw.get("pipeline"), "preprocessor.pipeline")
         # unordered_records=true PERMITS out-of-order record reassembly
         # (the perf knob); unordered_batches alone is a no-op here — batch
         # assembly is single-threaded downstream of the record stream, so
@@ -259,7 +287,7 @@ class PreprocessorConfig:
                   "decode/affine/HSV kernels) with device-side batching",
                   file=sys.stderr)
 
-        cleanse = raw.get("cleanse", {})
+        cleanse = _as_dict(raw.get("cleanse"), "preprocessor.cleanse")
         cache_records = bool(cache.get("records", False))
         if cache_records and not cache.get("cache_dir"):
             raise ValueError("preprocessor.cache.records requires cache_dir")
@@ -296,6 +324,7 @@ class LoggingConfig:
 
     @staticmethod
     def parse(raw: dict) -> "LoggingConfig":
+        raw = _as_dict(raw, "logging")
         return LoggingConfig(
             dir=raw.get("dir", "logs"),
             enable_images=bool(raw.get("enable_images", False)),
@@ -309,16 +338,16 @@ class LoggingConfig:
 def parse_loss_config(raw: dict) -> LossConfig:
     """training.loss block → LossConfig (train/src config loss parity)."""
     matcher = MatcherConfig(
-        match_grid=raw.get("match_grid_method", "Rect4").lower(),
+        match_grid=str(raw.get("match_grid_method", "Rect4")).lower(),
         anchor_scale_thresh=float(raw.get("anchor_scale_thresh", 4.0)),
     )
     return LossConfig(
-        box_metric=raw.get("box_metric", "DIoU").lower(),
-        objectness_loss_kind=raw.get("objectness_loss_fn", "Bce").lower(),
+        box_metric=str(raw.get("box_metric", "DIoU")).lower(),
+        objectness_loss_kind=str(raw.get("objectness_loss_fn", "Bce")).lower(),
         classification_loss_kind={
             "bce": "bce", "focal": "focal", "crossentropy": "cross_entropy",
             "cross_entropy": "cross_entropy", "l2": "l2",
-        }[raw.get("classification_loss_fn", "Bce").lower()],
+        }[str(raw.get("classification_loss_fn", "Bce")).lower()],
         objectness_pos_weight=raw.get("objectness_positive_weight"),
         iou_loss_weight=float(raw.get("iou_loss_weight", 0.05)),
         objectness_loss_weight=float(raw.get("objectness_loss_weight", 1.0)),
@@ -338,9 +367,15 @@ class CheckpointPolicy:
 
     @staticmethod
     def parse(raw: dict, save_steps: int) -> "CheckpointPolicy":
-        t = raw.get("type", "Disabled").lower()
-        mode = {"disabled": "disabled", "fromrecent": "from_recent",
-                "fromfile": "from_file"}[t.replace("_", "")]
+        raw = _as_dict(raw, "training.load_checkpoint")
+        t = str(raw.get("type", "Disabled")).lower().replace("_", "")
+        try:
+            mode = {"disabled": "disabled", "fromrecent": "from_recent",
+                    "fromfile": "from_file"}[t]
+        except KeyError:
+            raise ValueError(
+                f"load_checkpoint.type must be Disabled/FromRecent/FromFile,"
+                f" got {raw.get('type')!r}") from None
         return CheckpointPolicy(mode=mode, file=raw.get("file", ""),
                                 save_steps=save_steps)
 
@@ -431,14 +466,23 @@ class TrainAppConfig:
             raw = json5.load(f)
         _check_version(raw, path)
 
-        model = raw["model"]
-        kind = {"newslabv1": "newslab_v1", "darknet": "darknet"}[
-            model.get("kind", "NewslabV1").lower()
-        ]
+        model = _dict_section(raw, "model", path)
+        kind_raw = model.get("kind", "NewslabV1")
+        try:
+            kind = {"newslabv1": "newslab_v1", "darknet": "darknet"}[
+                str(kind_raw).lower()
+            ]
+        except KeyError:
+            raise ValueError(
+                f"{path}: model.kind must be NewslabV1 or Darknet, "
+                f"got {kind_raw!r}") from None
 
-        training = raw["training"]
+        training = _dict_section(raw, "training", path)
         device_cfg = training.get("device_config", {"type": "SingleDevice"})
-        dtype = device_cfg.get("type", "SingleDevice").lower()
+        if not isinstance(device_cfg, dict):
+            raise ValueError(
+                f"{path}: training.device_config must be an object")
+        dtype = str(device_cfg.get("type", "SingleDevice")).lower()
         multi_process = None
         if dtype == "singledevice":
             n_devices = 1
@@ -474,10 +518,10 @@ class TrainAppConfig:
         else:
             raise ValueError(f"unknown device_config type {dtype!r}")
 
-        opt = training.get("optimizer", {})
-        benchmark = raw.get("benchmark", {})
-        evaluation = raw.get("evaluation", {})
-        ms = training.get("multi_scale", {})
+        opt = _as_dict(training.get("optimizer"), "training.optimizer")
+        benchmark = _as_dict(raw.get("benchmark"), "benchmark")
+        evaluation = _as_dict(raw.get("evaluation"), "evaluation")
+        ms = _as_dict(training.get("multi_scale"), "training.multi_scale")
         batch_size = int(training["batch_size"])
         accum = int(training.get("accumulation_steps", 1))
         if accum < 1:
@@ -554,7 +598,7 @@ class TrainAppConfig:
             optimizer=str(opt.get("type", "adam")).lower(),
             momentum=float(opt.get("momentum", 0.937)),
             weight_decay=float(opt.get("weight_decay", 0.0)),
-            loss=parse_loss_config(training.get("loss", {})),
+            loss=parse_loss_config(_as_dict(training.get("loss"), "training.loss")),
             checkpoint=CheckpointPolicy.parse(
                 training.get("load_checkpoint", {}),
                 int(training.get("save_checkpoint_steps", 0)),
@@ -575,8 +619,8 @@ class TrainAppConfig:
             pipeline_parallel=pp,
             remat=bool(training.get("remat", False)),
             multi_scale_interval=int(ms.get("interval", 10)),
-            use_ema=bool(training.get("ema", {}).get("enabled", False)),
-            ema_decay=float(training.get("ema", {}).get("decay", 0.9999)),
+            use_ema=bool(_as_dict(training.get("ema"), "training.ema").get("enabled", False)),
+            ema_decay=float(_as_dict(training.get("ema"), "training.ema").get("decay", 0.9999)),
         )
 
 
@@ -598,8 +642,8 @@ class DetectAppConfig:
         with open(path) as f:
             raw = json5.load(f)
         _check_version(raw, path)
-        model = raw["model"]
-        output = raw.get("output", {})
+        model = _dict_section(raw, "model", path)
+        output = _as_dict(raw.get("output"), "output")
         return DetectAppConfig(
             model_file=model["cfg_file"],
             model_kind={"newslabv1": "newslab_v1", "darknet": "darknet"}[

@@ -68,7 +68,11 @@ class LrScheduleConfig:
             return LrScheduleConfig()
         if isinstance(raw, (int, float)):
             return LrScheduleConfig(kind="constant", lr=float(raw))
-        t = raw.get("type", "Constant").lower()
+        if not isinstance(raw, dict):
+            raise ValueError(
+                f"lr_schedule must be a number or an object, got "
+                f"{type(raw).__name__}")
+        t = str(raw.get("type", "Constant")).lower()
         if t == "constant":
             return LrScheduleConfig(kind="constant", lr=float(raw["lr"]))
         if t in ("stepwise", "step_wise"):
