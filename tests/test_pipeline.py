@@ -280,6 +280,37 @@ class TestForward:
                     np.asarray(a), np.asarray(b), rtol=0, atol=3e-6),
                 ref_params[name], merged[name])
 
+    def test_opt_state_split_merge_roundtrip(self, tiny_model):
+        """The structural optax-state split: node-name-keyed dicts filter
+        per stage, scalar leaves (Adam count) replicate; merge restores
+        the exact single-device layout for both adam and sgd chains."""
+        import optax
+
+        from yolodl_tpu.train.loop import TrainConfig, make_optimizer
+
+        model, params, state = tiny_model
+        pp = PipelineModel(model, 3)
+        for opt_name in ("adam", "sgd"):
+            opt = make_optimizer(TrainConfig(optimizer=opt_name,
+                                             clip_grad_value=1.0))
+            full = opt.init(params)
+            parts = pp.split_opt_state(full)
+            # each stage's mu/nu/trace dicts hold only its node names
+            names_by_stage = [set(n) for n in pp._names]
+            for s, part in enumerate(parts):
+                for leaf_dict in jax.tree_util.tree_leaves(
+                        part, is_leaf=lambda x: isinstance(x, dict)
+                        and x and set(x) <= pp._all_names()):
+                    if isinstance(leaf_dict, dict):
+                        assert set(leaf_dict) <= names_by_stage[s]
+            merged = pp.merge_opt_state(parts)
+            ref_flat, ref_tree = jax.tree_util.tree_flatten(
+                jax.device_get(full))
+            got_flat, got_tree = jax.tree_util.tree_flatten(merged)
+            assert ref_tree == got_tree
+            for a, b in zip(ref_flat, got_flat):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_rejects_unsupported_knobs(self, tiny_model):
         from yolodl_tpu.parallel.pipeline import PipelineTrainStep
         from yolodl_tpu.train.loop import TrainConfig
