@@ -32,7 +32,19 @@ import re
 import sys
 import time
 
+# force the CPU backend before any jax import (the session presets the
+# axon TPU platform, which hangs the whole sweep when the tunnel is down;
+# same header as the other corpus sweeps)
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+# sitecustomize re-forces the axon platform via jax.config at interpreter
+# start — env vars alone are too late (CLAUDE.md / tests/conftest.py)
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
