@@ -18,7 +18,8 @@ sequence nets ([rnn]/[gru]/[lstm]/[crnn] under lax.scan).
 dominate; ~50 min with --all) — run as a release check, not in the unit
 suite:
     python scripts/corpus_train_sweep.py [--all] [--cfg NAME ...]
-Last result (2026-08-17): --all train ok: 73/73 — every buildable corpus
+Last result (2026-08-18, after the pipeline/COCO/resume arc): --all
+train ok: 73/73 — every buildable corpus
 cfg takes a finite gradient step that moves its parameters.  The sweep
 caught two real bugs on first run: sequence-net training crashed in
 clamp_running_vars (bool bn configs) and go.test.cfg trained with frozen
