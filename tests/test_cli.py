@@ -789,6 +789,10 @@ class TestReferenceConfigParity:
         assert cfg.dataset.kind == "iii"
         assert cfg.nms_iou_thresh == 0.5
         assert cfg.nms_conf_thresh == 0.4
+        # preprocess block (detect/src/config.rs) flows to GT sanitizing
+        assert cfg.bbox_scaling == 1.0
+        assert cfg.out_of_bound_tolerance == 10
+        assert cfg.min_bbox_size == 0.05
 
 
 class TestMultiScale:

@@ -342,6 +342,26 @@ class TestDatasets:
         # clamped box: t/l were -1 → 0, so h/w shrink to 3 and center moves to 1.5
         np.testing.assert_allclose(out.boxes_pixel[1], [1.5, 1.5, 3.0, 3.0])
 
+    def test_sanitized_bbox_scaling(self):
+        rec = FileRecord(
+            path="x", height=20, width=20,
+            boxes_pixel=np.array([[10.0, 10.0, 8.0, 8.0]]),
+            classes=np.array([0]),
+        )
+
+        class Fake:
+            def records(self):
+                return [rec]
+
+            classes = ["a"]
+
+        # detect preprocess.bbox_scaling scales extents about the center
+        # before sanitizing (detect/src/config.rs preprocess)
+        out = SanitizedDataset(Fake(), bbox_scaling=1.5)[0]
+        np.testing.assert_allclose(out.boxes_pixel[0], [10.0, 10.0, 12.0, 12.0])
+        # the source record is untouched (scaling copies)
+        np.testing.assert_allclose(rec.boxes_pixel[0], [10.0, 10.0, 8.0, 8.0])
+
     def test_classes_file(self, tmp_path):
         (tmp_path / "c.txt").write_text("a\n\nb\n")
         assert load_classes_file(tmp_path / "c.txt") == ["a", "b"]

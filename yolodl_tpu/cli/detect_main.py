@@ -83,7 +83,12 @@ def main(argv=None):
     if args.checkpoint and not args.artifact:
         params, state, _, _ = load_checkpoint(args.checkpoint, params, state)
 
-    dataset = SanitizedDataset(config.dataset.open(base_dir))
+    dataset = SanitizedDataset(
+        config.dataset.open(base_dir),
+        out_of_bound_tolerance=config.out_of_bound_tolerance,
+        min_bbox_size=config.min_bbox_size,
+        bbox_scaling=config.bbox_scaling,
+    )
     size = config.dataset.image_size
     loader = make_decode_loader((size, size))
     os.makedirs(config.output_dir, exist_ok=True)

@@ -70,7 +70,12 @@ def main(argv=None):
                 raise SystemExit("checkpoint has no EMA parameters")
             params = meta["ema"]
 
-    dataset = SanitizedDataset(config.dataset.open(base_dir))
+    dataset = SanitizedDataset(
+        config.dataset.open(base_dir),
+        out_of_bound_tolerance=config.out_of_bound_tolerance,
+        min_bbox_size=config.min_bbox_size,
+        bbox_scaling=config.bbox_scaling,
+    )
     size = config.dataset.image_size
     loader = make_decode_loader((size, size))
 

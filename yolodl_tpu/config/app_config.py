@@ -635,6 +635,11 @@ class DetectAppConfig:
     nms_iou_thresh: float
     nms_conf_thresh: float
     weights_file: str = ""
+    # detect preprocess block (detect/src/config.rs preprocess): GT
+    # sanitize/scale knobs applied before drawing/evaluation
+    bbox_scaling: float = 1.0
+    out_of_bound_tolerance: float = 0.0
+    min_bbox_size: float = 0.0
 
     @staticmethod
     def load(path) -> "DetectAppConfig":
@@ -644,16 +649,21 @@ class DetectAppConfig:
         _check_version(raw, path)
         model = _dict_section(raw, "model", path)
         output = _as_dict(raw.get("output"), "output")
+        pre = _as_dict(raw.get("preprocess"), "preprocess")
         return DetectAppConfig(
             model_file=model["cfg_file"],
             model_kind={"newslabv1": "newslab_v1", "darknet": "darknet"}[
-                model.get("kind", "NewslabV1").lower()
+                str(model.get("kind", "NewslabV1")).lower()
             ],
             minibatch_size=int(model.get("minibatch_size", 1)),
             n_devices=max(len(model.get("devices", [0])), 1),
-            dataset=DatasetConfig.parse(raw["input"]),
+            dataset=DatasetConfig.parse(_dict_section(raw, "input", path)),
             output_dir=output.get("output_dir", "detect_output"),
             nms_iou_thresh=float(output.get("nms_iou_thresh", 0.6)),
             nms_conf_thresh=float(output.get("nms_conf_thresh", 0.1)),
             weights_file=model.get("weights_file", ""),
+            bbox_scaling=float(pre.get("bbox_scaling", 1.0)),
+            out_of_bound_tolerance=float(
+                pre.get("out_of_bound_tolerance", 0.0)),
+            min_bbox_size=float(pre.get("min_bbox_size", 0.0)),
         )

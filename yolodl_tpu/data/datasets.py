@@ -281,7 +281,7 @@ class SanitizedDataset(_ListDataset):
     size) — a box is dropped when h/img_h ≤ min or w/img_w ≤ min."""
 
     def __init__(self, inner: _ListDataset, out_of_bound_tolerance: float = 0.0,
-                 min_bbox_size: float = 0.0):
+                 min_bbox_size: float = 0.0, bbox_scaling: float = 1.0):
         if not 0.0 <= min_bbox_size <= 1.0:
             raise ValueError(
                 f"min_bbox_size must be in [0, 1] (image ratio), got "
@@ -289,6 +289,13 @@ class SanitizedDataset(_ListDataset):
         records = []
         for rec in inner.records():
             boxes = rec.boxes_pixel
+            if len(boxes) and bbox_scaling != 1.0:
+                # scale box extents about their centers before sanitizing
+                # (the detect CLI's preprocess.bbox_scaling,
+                # detect/src/config.rs preprocess — same semantics as the
+                # training cleanse knob, training_stream.rs:320-329)
+                boxes = boxes.copy()
+                boxes[:, 2:] *= bbox_scaling
             if len(boxes):
                 cy, cx, h, w = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
                 t, b = cy - h / 2, cy + h / 2
