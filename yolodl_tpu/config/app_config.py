@@ -650,6 +650,16 @@ class DetectAppConfig:
         model = _dict_section(raw, "model", path)
         output = _as_dict(raw.get("output"), "output")
         pre = _as_dict(raw.get("preprocess"), "preprocess")
+        pre_dev = str(pre.get("device", "cpu")).lower()
+        if pre_dev not in ("cpu", ""):
+            import sys
+
+            print(f"warning: preprocess.device {pre_dev!r} is not "
+                  "supported; host preprocessing runs on CPU",
+                  file=sys.stderr)
+        # preprocess.min_bbox_cropping_ratio is accepted but inert: it
+        # gates affine-crop box survival and detect performs no cropping
+        # (same in the reference's detect input stream)
         return DetectAppConfig(
             model_file=model["cfg_file"],
             model_kind={"newslabv1": "newslab_v1", "darknet": "darknet"}[
