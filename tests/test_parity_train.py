@@ -169,6 +169,55 @@ activation=linear
 type=sse
 """
 
+# ROUTE_NET with stopbackward on the mish conv (L2): darknet's backward
+# loop breaks there (network.c:362), freezing L0/L1/L2 — including L0,
+# whose output still escapes past the cut via route L4 (layers=-1,-4).
+FREEZE_NET = ROUTE_NET.replace(
+    "activation=mish", "activation=mish\nstopbackward=800")
+
+# onlyforward on a route (the yolov4-tiny_contrastive.cfg idiom): L1's
+# backward is skipped (network.c:363) so no gradient reaches L0 through
+# it, but L0 still trains via route L3's direct reference.
+ONLYFWD_NET = """
+[convolutional]
+filters=8
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[route]
+layers=0
+onlyforward=1
+
+[convolutional]
+filters=8
+size=3
+stride=1
+pad=1
+activation=mish
+
+[route]
+layers=0,2
+
+[convolutional]
+filters=12
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+filters=4
+size=1
+stride=1
+pad=1
+activation=linear
+
+[cost]
+type=sse
+"""
+
 
 def real_image_batch():
     """Four real photographs (darknet's own sample data) at 32x32 CHW f32."""
@@ -312,6 +361,28 @@ class TestTrainingParity:
         assert_losses_and_weights_match(
             oracle, model, params, state, n_steps=5,
             lr_fn=lambda step: 0.001, expect_convs=5)
+
+    def test_stopbackward_freeze_matches_darknet(self, tmp_path):
+        """stopbackward mid-net: the flagged conv and every earlier layer
+        stay frozen (darknet still weight-decays their kernels — the
+        update loop runs unconditionally, convolutional_layer.c:1612),
+        the suffix trains.  Per-step losses and ALL conv kernels/biases
+        match darknet-C, pinning the loop-break subtlety: L0 feeds a
+        route after the cut yet must not receive gradient."""
+        _, model, params, state, oracle = build_pair(tmp_path, FREEZE_NET)
+        dk_losses = assert_losses_and_weights_match(
+            oracle, model, params, state, n_steps=5,
+            lr_fn=lambda step: 0.001, expect_convs=4)
+        assert len(dk_losses) == 5
+
+    def test_onlyforward_partial_gradient_matches_darknet(self, tmp_path):
+        """onlyforward on a route: L0's gradient arrives ONLY via the
+        other consumer path — weight trajectories match darknet-C, so the
+        partial gradient is exact, not merely zero/nonzero."""
+        _, model, params, state, oracle = build_pair(tmp_path, ONLYFWD_NET)
+        assert_losses_and_weights_match(
+            oracle, model, params, state, n_steps=5,
+            lr_fn=lambda step: 0.001, expect_convs=4)
 
     def test_burn_in_lr_policy_matches_darknet(self, tmp_path):
         """burn_in warm-up: lr(t) = base·(t/burn_in)^power with darknet's

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import re
+import warnings
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 # ---------------------------------------------------------------------------
@@ -446,6 +447,17 @@ Layer = Union[Convolutional, Route, Shortcut, MaxPool, UpSample, Yolo,
 class Darknet:
     net: Net
     layers: Tuple[Layer, ...]
+    # generic per-layer training options (parser.c:1589-1593, parsed for
+    # every section kind).  ``stop_backward`` holds (layer_index, value)
+    # pairs for layers with a nonzero ``stopbackward``: darknet's backward
+    # loop breaks at such a layer (network.c:362), so it AND every earlier
+    # layer get no gradient/update — the cfg idiom for frozen-backbone
+    # fine-tuning (yolov4-custom.cfg).  ``only_forward`` lists layers whose
+    # own backward is skipped (network.c:363): no updates for that layer
+    # and no gradient through it, but earlier layers still train via other
+    # paths (yolov4-tiny_contrastive.cfg routes).
+    stop_backward: Tuple[Tuple[int, int], ...] = ()
+    only_forward: Tuple[int, ...] = ()
 
     @staticmethod
     def load(path) -> "Darknet":
@@ -503,9 +515,24 @@ def _build(sections: List[Tuple[str, Dict[str, str]]]) -> Darknet:
 
     net = _parse_net(sections[0][1])
     layers: List[Layer] = []
-    for name, d in sections[1:]:
+    stop_backward: List[Tuple[int, int]] = []
+    only_forward: List[int] = []
+    for i, (name, d) in enumerate(sections[1:]):
         layers.append(_parse_layer(name, d))
-    return Darknet(net=net, layers=tuple(layers))
+        # generic per-layer training options (parser.c:1589-1593)
+        if _get_int(d, "stopbackward", 0):
+            stop_backward.append((i, _get_int(d, "stopbackward", 0)))
+        if _get_int(d, "onlyforward", 0):
+            only_forward.append(i)
+        for key in ("dont_update", "burnin_update", "train_only_bn",
+                    "dontload", "dontloadscales"):
+            if _get_int(d, key, 0):
+                warnings.warn(
+                    f"layer {i} [{name}]: {key} is parsed by darknet "
+                    f"(parser.c:1589-1596) but not supported here — ignored")
+    return Darknet(net=net, layers=tuple(layers),
+                   stop_backward=tuple(stop_backward),
+                   only_forward=tuple(only_forward))
 
 
 def _parse_net(d: Dict[str, str]) -> Net:
@@ -752,7 +779,9 @@ def to_cfg_string(darknet: Darknet) -> str:
     if net.time_steps != 1:
         out.append(f"time_steps={net.time_steps}")
 
-    for layer in darknet.layers:
+    stop_by_idx = dict(darknet.stop_backward)
+    only_fwd = set(darknet.only_forward)
+    for idx, layer in enumerate(darknet.layers):
         out.append("")
         if isinstance(layer, Convolutional):
             out.append("[convolutional]")
@@ -864,4 +893,10 @@ def to_cfg_string(darknet: Darknet) -> str:
             out.append(f"[{layer.section}]")
             for key, value in layer.raw.items():
                 out.append(f"{key}={value}")
+        if not isinstance(layer, Unimplemented):
+            # generic training options (Unimplemented keeps them in raw)
+            if idx in stop_by_idx:
+                out.append(f"stopbackward={stop_by_idx[idx]}")
+            if idx in only_fwd:
+                out.append("onlyforward=1")
     return "\n".join(out) + "\n"

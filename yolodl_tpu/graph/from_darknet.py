@@ -283,7 +283,25 @@ def graph_from_darknet(darknet: dk.Darknet) -> Graph:
     # classifier cfgs (no [yolo] heads) end at their last layer
 
     model = cfg.Model(groups={"darknet": tuple(layers)}, main_group="darknet")
-    return _flatten(model)
+    graph = _flatten(model)
+
+    # generic per-layer training options → gradient-stop set.  darknet's
+    # backward loop runs last→first and BREAKS at a stopbackward layer
+    # (network.c:362): that layer and every earlier one get no gradient or
+    # weight update — even skip-route sources feeding later layers, because
+    # their own backward never runs.  onlyforward (network.c:363) skips one
+    # layer's backward: no updates for it, no gradient through it.  Both
+    # map to lax.stop_gradient on node outputs (models/builder.py); frozen
+    # BN layers still update running stats in the training forward, exactly
+    # as darknet's forward does.
+    frozen: set = set()
+    if darknet.stop_backward:
+        last = max(i for i, _ in darknet.stop_backward)
+        frozen.update(f"layer{j}" for j in range(last + 1))
+    frozen.update(f"layer{i}" for i in darknet.only_forward)
+    if frozen:
+        graph.stop_gradient_paths = frozenset(frozen)
+    return graph
 
 
 def load_darknet_graph(path) -> Graph:

@@ -108,6 +108,10 @@ class Graph:
         self.by_path: Dict[str, int] = {
             n.path: n.key for n in nodes if n.path is not None
         }
+        # node paths whose outputs are gradient-stopped during training
+        # (darknet stopbackward/onlyforward, network.c:362-363 — set by
+        # graph_from_darknet; models/builder.py consumes it)
+        self.stop_gradient_paths: frozenset = frozenset()
 
     # -- constructors -------------------------------------------------------
 

@@ -88,6 +88,18 @@ class GraphModel:
         for key, node in graph.nodes.items():
             self._pname[key] = node.path if node.path is not None else f"node{key}"
 
+        # darknet stopbackward/onlyforward (network.c:362-363, set by
+        # graph_from_darknet): these nodes' outputs are wrapped in
+        # lax.stop_gradient, so their params get exactly-zero gradients and
+        # nothing flows upstream through them — XLA then prunes the frozen
+        # prefix's backward entirely (frozen-backbone fine-tuning).  BN
+        # running stats still update in the training forward, as darknet's
+        # forward does for frozen layers.
+        sg_paths = getattr(graph, "stop_gradient_paths", frozenset()) or frozenset()
+        self._sg_keys: set = {
+            key for key, name in self._pname.items() if name in sg_paths
+        }
+
         # space-to-depth stem eligibility: Input → conv0 → conv1 where conv0
         # has no other consumer (ops/spd_stem.py)
         self._spd_pair = None
@@ -108,6 +120,9 @@ class GraphModel:
                 and n1.input_keys.single_key == k0
                 and consumers_of_k0 == [k1]
                 and spd.stem_is_eligible(n0.config, n1.config)
+                # the fused stem applies one stop_gradient at its output —
+                # only valid when the two convs share freeze status
+                and (k0 in self._sg_keys) == (k1 in self._sg_keys)
             ):
                 self._spd_pair = (k_in, k0, k1)
 
@@ -334,7 +349,12 @@ class GraphModel:
             if s1:
                 new_state[name1] = s1
             outputs[k_in] = x
-            outputs[k1] = out1
+            # frozen stem (darknet stopbackward prefix): one stop_gradient
+            # at the fused output freezes both convs (k0's only consumer
+            # is k1 by eligibility; __init__ keeps the pair only when the
+            # two convs share freeze status)
+            outputs[k1] = (jax.lax.stop_gradient(out1)
+                           if k1 in self._sg_keys else out1)
             spd_skip = {k_in, k0, k1}
 
         # W-folded execution of low-channel regions (exact rewrite;
@@ -381,6 +401,8 @@ class GraphModel:
                             train)
                         if s:
                             new_state[name] = s
+                        if key in self._sg_keys:
+                            out_f = jax.lax.stop_gradient(out_f)
                         folded[key] = out_f
                         outputs[key] = fr.unfold_w(out_f)
                         continue
@@ -393,6 +415,8 @@ class GraphModel:
                         if isinstance(layer, cfg.DarknetShortcut):
                             from .. import activations
                             out_f = activations.apply(layer.act, out_f)
+                        if key in self._sg_keys:
+                            out_f = jax.lax.stop_gradient(out_f)
                         folded[key] = out_f
                         outputs[key] = fr.unfold_w(out_f)
                         continue
@@ -619,6 +643,12 @@ class GraphModel:
                 outputs[key] = h
             else:
                 raise NotImplementedError(f"forward for {layer.kind}")
+
+            if key in self._sg_keys:
+                # darknet stopbackward/onlyforward: zero gradient for this
+                # node's params and nothing upstream through it
+                outputs[key] = jax.tree_util.tree_map(
+                    jax.lax.stop_gradient, outputs[key])
 
         if output_keys is not None:
             return {k: outputs[k] for k in output_keys}, new_state
