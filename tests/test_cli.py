@@ -146,6 +146,41 @@ class TestTrainCli:
         # tensorboard event file written
         assert any(name.startswith("events.out") for name in os.listdir(run_dir))
 
+    def test_train_freeze_through(self, workspace):
+        """training.freeze_through freezes a node and its ancestors via
+        the production CLI: the frozen conv's params are bit-identical
+        across optimizer steps while downstream layers train."""
+        cfg = json.loads((workspace / "train.json5").read_text())
+        cfg["training"]["freeze_through"] = "node1"  # first (unnamed) conv
+        cfg["training"]["save_checkpoint_steps"] = 1
+        (workspace / "train_freeze.json5").write_text(json.dumps(cfg))
+        out = run_cli(
+            "yolodl_tpu.cli.train_main",
+            "--config-file", str(workspace / "train_freeze.json5"),
+            "--max-steps", "3",
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        assert "freezing 2 node(s)" in out.stdout  # input + node1
+        runs = sorted(os.listdir(workspace / "logs"))
+        ckpt_dir = workspace / "logs" / runs[-1] / "checkpoints"
+        ckpts = sorted(ckpt_dir / n for n in os.listdir(ckpt_dir))
+        assert len(ckpts) >= 2
+        za, zb = np.load(ckpts[0]), np.load(ckpts[-1])
+        assert np.array_equal(za["params/node1/w"], zb["params/node1/w"])
+        assert not np.array_equal(za["params/head/w"], zb["params/head/w"])
+
+    def test_train_freeze_unknown_node_fails_cleanly(self, workspace):
+        cfg = json.loads((workspace / "train.json5").read_text())
+        cfg["training"]["freeze"] = ["nonexistent"]
+        (workspace / "train_badfreeze.json5").write_text(json.dumps(cfg))
+        out = run_cli(
+            "yolodl_tpu.cli.train_main",
+            "--config-file", str(workspace / "train_badfreeze.json5"),
+            "--max-steps", "1",
+        )
+        assert out.returncode != 0
+        assert "unknown node path 'nonexistent'" in out.stderr
+
     def test_train_records_cache(self, workspace):
         """preprocessor.cache.records caches the parsed annotations: the
         first run writes records-*.npz, the second serves from it."""

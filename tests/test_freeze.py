@@ -89,6 +89,48 @@ class TestParser:
         assert isinstance(net.layers[idx], dk.Convolutional)
 
 
+class TestFreezeConfig:
+    def test_ancestor_paths_and_node_fallback(self):
+        # darknet graph: all nodes named layerN
+        text = (HEAD + CONV.format(extra="") + CONV.format(extra="") +
+                "\n[route]\nlayers=0,1\n" + CONV.format(extra=""))
+        graph = graph_from_darknet(dk.Darknet.from_str(text))
+        anc = graph.ancestor_paths("layer2")
+        assert anc == frozenset({"input", "layer0", "layer1", "layer2"})
+        with pytest.raises(ValueError, match="unknown node path"):
+            graph.ancestor_paths("nope")
+
+    def test_training_freeze_parses(self, tmp_path):
+        import json
+
+        from yolodl_tpu.config.app_config import TrainAppConfig
+
+        cfg = {
+            "version": "0.1.0",
+            "model": {"kind": "Darknet", "cfg_file": "m.cfg"},
+            "dataset": {"kind": {"type": "Csv", "image_size": 32,
+                                  "input_channels": 3, "image_dir": "i",
+                                  "label_file": "l.csv",
+                                  "classes_file": "c.txt"}},
+            "logging": {"dir": "logs"},
+            "preprocessor": {},
+            "training": {
+                "batch_size": 2,
+                "device_config": {"type": "SingleDevice", "device": "tpu:0"},
+                "optimizer": {"lr_schedule": {"type": "Constant", "lr": 0.01}},
+                "loss": {},
+                "freeze": ["layer0", "layer3"],
+                "freeze_through": "layer5",
+            },
+            "benchmark": {"nms_iou_thresh": 0.5, "nms_conf_thresh": 0.4},
+        }
+        p = tmp_path / "train.json5"
+        p.write_text(json.dumps(cfg))
+        parsed = TrainAppConfig.load(p)
+        assert parsed.freeze == ("layer0", "layer3")
+        assert parsed.freeze_through == "layer5"
+
+
 class TestFreezeSemantics:
     def _model(self, text):
         import jax

@@ -104,6 +104,24 @@ def main(argv=None):
         graph = load_darknet_graph(model_path)
     else:
         graph = Graph.load_newslab_v1_json(model_path)
+    if config.freeze or config.freeze_through:
+        # frozen-layer fine-tuning: merge with any cfg-level stopbackward
+        frozen = set(graph.stop_gradient_paths)
+        for p in config.freeze:
+            try:
+                graph.resolve_path(p)
+            except ValueError as e:
+                raise SystemExit(f"training.freeze: {e}")
+            frozen.add(p)
+        if config.freeze_through:
+            try:
+                frozen |= graph.ancestor_paths(config.freeze_through)
+            except ValueError as e:
+                raise SystemExit(f"training.freeze_through: {e}")
+        graph.stop_gradient_paths = frozenset(frozen)
+        print(f"freezing {len(frozen)} node(s): "
+              + ", ".join(sorted(frozen)[:8])
+              + (" ..." if len(frozen) > 8 else ""))
     model = YoloModel(graph, remat="blocks" if config.remat else "off")
 
     # lr_schedule {type: FromModelCfg}: adopt the darknet [net] policy

@@ -455,6 +455,13 @@ class TrainAppConfig:
     # FLOPs for the dominant share of activation HBM; the lever for large
     # inputs/batches, composing with accumulation_steps (batch axis)
     remat: bool = False
+    # frozen-layer fine-tuning (beyond-reference; the JSON5 face of
+    # darknet's stopbackward, network.c:362).  ``freeze`` stop-gradients
+    # the listed node paths; ``freeze_through`` freezes a node AND every
+    # ancestor (the frozen-backbone idiom).  Zero-gradient params stay put
+    # and XLA prunes their backward.  Merges with cfg-level stopbackward.
+    freeze: Tuple[str, ...] = ()
+    freeze_through: str = ""
     # device_config {"type": "MultiProcess", ...}: n_devices is resolved at
     # runtime (jax.device_count() after joining the distributed runtime)
     multi_process: Optional[MultiProcessConfig] = None
@@ -618,6 +625,8 @@ class TrainAppConfig:
             tensor_parallel=tp,
             pipeline_parallel=pp,
             remat=bool(training.get("remat", False)),
+            freeze=tuple(str(p) for p in training.get("freeze", ())),
+            freeze_through=str(training.get("freeze_through", "")),
             multi_scale_interval=int(ms.get("interval", 10)),
             use_ema=bool(_as_dict(training.get("ema"), "training.ema").get("enabled", False)),
             ema_decay=float(_as_dict(training.get("ema"), "training.ema").get("decay", 0.9999)),

@@ -128,6 +128,41 @@ class Graph:
     def input_nodes(self) -> List[Node]:
         return [n for n in self.nodes.values() if isinstance(n.config, cfg.Input)]
 
+    def ancestor_paths(self, path: str) -> frozenset:
+        """The node at ``path`` plus every transitive input's path — the
+        freeze set for frozen-prefix fine-tuning (training.freeze_through;
+        the NEWSLAB-side generalization of darknet's stopbackward prefix,
+        network.c:362)."""
+        key = self.resolve_path(path)
+        seen: set = set()
+        stack = [key]
+        while stack:
+            k = stack.pop()
+            if k in seen:
+                continue
+            seen.add(k)
+            stack.extend(self.nodes[k].input_keys.iter_keys())
+        # unnamed nodes use the builder's node{key} fallback naming so the
+        # freeze set covers them too
+        return frozenset(
+            self.nodes[k].path if self.nodes[k].path is not None else f"node{k}"
+            for k in seen
+        )
+
+    def resolve_path(self, path: str) -> int:
+        """Node key for a dotted path, accepting the ``node{key}`` fallback
+        naming of unnamed nodes (models/builder.py param names)."""
+        if path in self.by_path:
+            return self.by_path[path]
+        if path.startswith("node") and path[4:].isdigit():
+            key = int(path[4:])
+            if key in self.nodes and self.nodes[key].path is None:
+                return key
+        known = ", ".join(
+            n.path if n.path is not None else f"node{n.key}"
+            for n in self.nodes.values())
+        raise ValueError(f"unknown node path {path!r} (nodes: {known})")
+
     def output_node(self) -> Node:
         """The unique sink node (no other node consumes it)."""
         consumed = {k for n in self.nodes.values() for k in n.input_keys.iter_keys()}

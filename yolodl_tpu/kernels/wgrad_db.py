@@ -154,7 +154,7 @@ def wgrad_db(xp: Array, g: Array, k: int, interpret=None) -> Array:
         functools.partial(_wgrad_db_kernel, k=k, rows=rows, ow=w, ci=ci_pad),
         grid=(b, h // rows),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # xp in HBM; manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # xp in HBM; manual DMA
             pl.BlockSpec((1, rows, w, co), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],

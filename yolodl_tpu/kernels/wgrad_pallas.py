@@ -103,7 +103,7 @@ def wgrad_lowch(xp: Array, g: Array, k: int, interpret=None) -> Array:
         functools.partial(_wgrad_kernel, k=k, rows=rows, w_in=wp, ci=ci),
         grid=(b, h // rows),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # xp stays in HBM; manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # xp stays in HBM; manual DMA
             pl.BlockSpec((1, rows, w, co), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
