@@ -356,11 +356,39 @@ class TestDatasets:
             classes = ["a"]
 
         # detect preprocess.bbox_scaling scales extents about the center
-        # before sanitizing (detect/src/config.rs preprocess)
+        # AFTER sanitizing (training_stream.rs:320-329 scales records drawn
+        # from the already-sanitized dataset)
         out = SanitizedDataset(Fake(), bbox_scaling=1.5)[0]
         np.testing.assert_allclose(out.boxes_pixel[0], [10.0, 10.0, 12.0, 12.0])
         # the source record is untouched (scaling copies)
         np.testing.assert_allclose(rec.boxes_pixel[0], [10.0, 10.0, 8.0, 8.0])
+
+    def test_sanitized_bbox_scaling_after_sanitize(self):
+        # a near-edge box whose SCALED extent exceeds bounds: the reference
+        # sanitizes the in-bounds original, then scales without re-clamping
+        # — must not raise, and the output may exceed image bounds
+        rec = FileRecord(
+            path="x", height=20, width=20,
+            boxes_pixel=np.array([[10.0, 10.0, 19.0, 19.0]]),
+            classes=np.array([0]),
+        )
+
+        class Fake:
+            def records(self):
+                return [rec]
+
+            classes = ["a"]
+
+        out = SanitizedDataset(Fake(), bbox_scaling=1.5)[0]
+        np.testing.assert_allclose(out.boxes_pixel[0], [10.0, 10.0, 28.5, 28.5])
+        # min_bbox_size keeps/drops by the ORIGINAL (sanitized) extent, so
+        # scale<1 cannot rescue a too-small box and scale>1 cannot doom a
+        # fine one — mirror of the reference's ordering
+        rec.boxes_pixel = np.array([[10.0, 10.0, 0.5, 0.5]])
+        out = SanitizedDataset(Fake(), min_bbox_size=0.05, bbox_scaling=10.0)[0]
+        assert len(out.boxes_pixel) == 0
+        with pytest.raises(ValueError, match="bbox_scaling"):
+            SanitizedDataset(Fake(), bbox_scaling=0.0)
 
     def test_classes_file(self, tmp_path):
         (tmp_path / "c.txt").write_text("a\n\nb\n")

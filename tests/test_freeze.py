@@ -130,6 +130,20 @@ class TestFreezeConfig:
         assert parsed.freeze == ("layer0", "layer3")
         assert parsed.freeze_through == "layer5"
 
+        # a bare string is one path, not a char sequence
+        cfg["training"]["freeze"] = "layer0"
+        p.write_text(json.dumps(cfg))
+        assert TrainAppConfig.load(p).freeze == ("layer0",)
+        # non-string entries are a clear config error
+        cfg["training"]["freeze"] = [0]
+        p.write_text(json.dumps(cfg))
+        with pytest.raises(ValueError, match="node-path strings"):
+            TrainAppConfig.load(p)
+        cfg["training"]["freeze"] = {"a": 1}
+        p.write_text(json.dumps(cfg))
+        with pytest.raises(ValueError, match="node path"):
+            TrainAppConfig.load(p)
+
 
 class TestFreezeSemantics:
     def _model(self, text):

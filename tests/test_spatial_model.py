@@ -133,6 +133,72 @@ def test_spatial_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+def test_spatial_train_step_respects_frozen_layers():
+    """stop_gradient_paths (darknet stopbackward / training.freeze) must
+    hold under spatial sharding: _run_prefix re-implements the prefix
+    forward, so it applies the same output-site stop_gradient as
+    GraphModel.apply — frozen prefix params take zero gradient here too."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from yolodl_tpu.parallel.dp import replicate_state
+    from yolodl_tpu.parallel.spatial_model import (
+        make_data_space_mesh, make_spatial_train_step, shard_batch_2d,
+    )
+    from yolodl_tpu.train import TrainConfig, make_train_step, train_init
+
+    path = os.path.join(REPO, "cfg/darknet/yolov4-tiny.cfg")
+    text = open(path).read().replace("width=416", "width=128").replace(
+        "height=416", "height=128")
+    import tempfile
+
+    f = tempfile.NamedTemporaryFile("w", suffix=".cfg", delete=False)
+    f.write(text)
+    f.close()
+    darknet = dk.Darknet.load(f.name)
+    graph = graph_from_darknet(darknet)
+    graph.stop_gradient_paths = frozenset({"layer0", "layer1"})
+    model = YoloModel(graph)
+    assert model._sg_keys, "freeze paths did not resolve to node keys"
+    config = TrainConfig(optimizer="sgd", weight_decay=0.0)
+    ts0, opt = train_init(model, config, seed=0)
+    # the step donates its TrainState — snapshot init params up front
+    init_w = {n: np.asarray(ts0.params[n]["w"])
+              for n in ts0.params if "w" in ts0.params[n]}
+
+    rng = np.random.default_rng(4)
+    half = jnp.asarray(rng.uniform(0, 1, (2, 3, 128, 128)), jnp.float32)
+    images = jnp.concatenate([half, half], axis=0)
+    boxes = np.zeros((4, 4, 4), np.float32)
+    boxes[:, 0] = (0.5, 0.5, 0.4, 0.4)
+    classes = np.zeros((4, 4), np.int32)
+    mask = np.zeros((4, 4), bool)
+    mask[:, 0] = True
+    batch = (images, jnp.asarray(boxes), jnp.asarray(classes),
+             jnp.asarray(mask))
+
+    mesh = make_data_space_mesh(2, 4)
+    sp_fn = make_spatial_train_step(model, opt, config, mesh)
+    sp_ts, _ = sp_fn(replicate_state(mesh, ts0), *shard_batch_2d(mesh, batch))
+
+    # frozen conv kernels bit-equal to init (SGD, wd=0 → zero grad = no move)
+    for name in ("layer0", "layer1"):
+        np.testing.assert_array_equal(np.asarray(sp_ts.params[name]["w"]),
+                                      init_w[name], err_msg=name)
+    # and the rest of the net actually trained
+    moved = any(
+        not np.array_equal(np.asarray(sp_ts.params[n]["w"]), init_w[n])
+        for n in sp_ts.params if n not in ("layer0", "layer1") and "w" in sp_ts.params[n]
+    )
+    assert moved
+
+    # and the step still matches the single-device frozen step exactly
+    ts1, _ = train_init(model, config, seed=0)
+    ref_ts, _ = make_train_step(model, opt, config)(ts1, *batch)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_ts.params),
+                    jax.tree_util.tree_leaves(sp_ts.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
 class TestPlannerAdmissionRules:
     """The planner must reject ops whose sharded execution would be
     inexact (wrong values or shapes) rather than admit-and-corrupt."""

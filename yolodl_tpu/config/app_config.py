@@ -56,6 +56,24 @@ def _as_dict(val, what: str) -> dict:
     return val
 
 
+def _parse_freeze(val) -> Tuple[str, ...]:
+    """training.freeze: a list of node paths, or a single path as a bare
+    string (iterating a string char-by-char would yield nonsense
+    one-letter 'paths')."""
+    if isinstance(val, str):
+        return (val,) if val else ()
+    if isinstance(val, (list, tuple)):
+        bad = [p for p in val if not isinstance(p, str)]
+        if bad:
+            raise ValueError(
+                f"training.freeze entries must be node-path strings, got "
+                f"{bad[0]!r}")
+        return tuple(val)
+    raise ValueError(
+        f"training.freeze must be a node path or list of node paths, got "
+        f"{type(val).__name__}")
+
+
 def _dict_section(raw: dict, key: str, path, required: bool = True) -> dict:
     """A top-level config section that must be a JSON object — corrupt
     files get one clean ValueError, not an AttributeError downstream."""
@@ -458,8 +476,10 @@ class TrainAppConfig:
     # frozen-layer fine-tuning (beyond-reference; the JSON5 face of
     # darknet's stopbackward, network.c:362).  ``freeze`` stop-gradients
     # the listed node paths; ``freeze_through`` freezes a node AND every
-    # ancestor (the frozen-backbone idiom).  Zero-gradient params stay put
-    # and XLA prunes their backward.  Merges with cfg-level stopbackward.
+    # ancestor (the frozen-backbone idiom).  Frozen params get exactly-zero
+    # gradients and XLA prunes their backward; note decoupled weight_decay
+    # still applies to them (darknet-exact — frozen kernels keep decaying,
+    # test_parity_train pins this).  Merges with cfg-level stopbackward.
     freeze: Tuple[str, ...] = ()
     freeze_through: str = ""
     # device_config {"type": "MultiProcess", ...}: n_devices is resolved at
@@ -625,7 +645,7 @@ class TrainAppConfig:
             tensor_parallel=tp,
             pipeline_parallel=pp,
             remat=bool(training.get("remat", False)),
-            freeze=tuple(str(p) for p in training.get("freeze", ())),
+            freeze=_parse_freeze(training.get("freeze", ())),
             freeze_through=str(training.get("freeze_through", "")),
             multi_scale_interval=int(ms.get("interval", 10)),
             use_ema=bool(_as_dict(training.get("ema"), "training.ema").get("enabled", False)),

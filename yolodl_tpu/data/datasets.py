@@ -286,16 +286,13 @@ class SanitizedDataset(_ListDataset):
             raise ValueError(
                 f"min_bbox_size must be in [0, 1] (image ratio), got "
                 f"{min_bbox_size}")
+        if not bbox_scaling > 0.0:
+            raise ValueError(
+                f"bbox_scaling must be positive (cycxhw.rs try_scale), got "
+                f"{bbox_scaling}")
         records = []
         for rec in inner.records():
             boxes = rec.boxes_pixel
-            if len(boxes) and bbox_scaling != 1.0:
-                # scale box extents about their centers before sanitizing
-                # (the detect CLI's preprocess.bbox_scaling,
-                # detect/src/config.rs preprocess — same semantics as the
-                # training cleanse knob, training_stream.rs:320-329)
-                boxes = boxes.copy()
-                boxes[:, 2:] *= bbox_scaling
             if len(boxes):
                 cy, cx, h, w = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
                 t, b = cy - h / 2, cy + h / 2
@@ -313,6 +310,15 @@ class SanitizedDataset(_ListDataset):
                         & (nw / rec.width > min_bbox_size))
                 boxes = np.stack([(t + b) / 2, (l + r) / 2, nh, nw], -1)[keep]
                 classes = rec.classes[keep]
+                if bbox_scaling != 1.0:
+                    # scale the surviving extents about their centers AFTER
+                    # sanitizing — the reference loads records from the
+                    # already-sanitized dataset and scales on the way into
+                    # the stream (training_stream.rs:320-329; rect.scale),
+                    # with no re-clamp, so scaled boxes may exceed bounds
+                    # just as there.
+                    boxes = boxes.copy()
+                    boxes[:, 2:] *= bbox_scaling
             else:
                 classes = rec.classes
             records.append(

@@ -253,6 +253,14 @@ def _run_prefix(model, params, state, x_local, sharded: Set[int],
             outputs[key] = activations.apply(layer.act, out)
         else:  # pragma: no cover - planner only admits the types above
             raise AssertionError(f"unplanned sharded op {type(layer)}")
+
+        if key in model._sg_keys:
+            # darknet stopbackward/onlyforward (network.c:362-363) and
+            # training.freeze: mirror GraphModel.apply's output-site
+            # stop_gradient so frozen prefixes stay frozen under spatial
+            # sharding too (the overridden cut nodes skip apply's write
+            # site, so it must happen here, inside the shard_map body).
+            outputs[key] = jax.lax.stop_gradient(outputs[key])
     return outputs, new_states
 
 
