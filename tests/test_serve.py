@@ -308,6 +308,76 @@ class TestHttp:
         assert exc.value.code == 404
 
 
+class TestServeCli:
+    """serve_main launched as a real subprocess: config load, model build,
+    warmup, ephemeral --port 0 reporting, HTTP round-trip, shutdown."""
+
+    def test_serve_main_end_to_end(self, tmp_path):
+        import os
+        import re
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        (tmp_path / "model.json5").write_text(json.dumps(TOY))
+        detect_cfg = {
+            "version": "0.1.0",
+            "model": {"kind": "NewslabV1", "cfg_file": "model.json5"},
+            "input": {"kind": {"type": "Csv", "image_size": 32,
+                               "input_channels": 3, "image_dir": "i",
+                               "label_file": "l.csv",
+                               "classes_file": "c.txt"}},
+            "output": {"output_dir": str(tmp_path / "out"),
+                       "nms_iou_thresh": 0.5, "nms_conf_thresh": 0.01},
+        }
+        (tmp_path / "detect.json5").write_text(json.dumps(detect_cfg))
+
+        env = dict(os.environ)
+        env.update(JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+                   PYTHONPATH=repo)
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "yolodl_tpu.cli.serve_main",
+             "--config-file", str(tmp_path / "detect.json5"),
+             "--port", "0", "--batch-size", "2", "--window-ms", "5"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=repo)
+        try:
+            # warmup compiles the forward — allow a slow CPU a while
+            port = None
+            deadline = time.time() + 240
+            while time.time() < deadline:
+                line = proc.stdout.readline()
+                if not line and proc.poll() is not None:
+                    raise AssertionError("serve_main exited during startup")
+                m = re.search(r"serving on http://127\.0\.0\.1:(\d+)", line)
+                if m:
+                    port = int(m.group(1))
+                    break
+            assert port, "never printed the bound port"
+            assert port != 0, "--port 0 must report the OS-assigned port"
+
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+                assert json.load(r) == {"ok": True}
+            arr = (np.random.default_rng(0).uniform(0, 255, (40, 56, 3))
+                   ).astype(np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="JPEG")
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/detect", data=buf.getvalue(),
+                headers={"Content-Type": "image/jpeg"})
+            with urllib.request.urlopen(req, timeout=60) as r:
+                payload = json.load(r)
+            assert "detections" in payload
+        finally:
+            proc.terminate()
+            try:
+                proc.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait()
+
+
 class TestServingArtifact:
     """Serving from an exported StableHLO artifact (yolo-tool export
     --serving → DetectionService.from_artifact): same uint8 ingest + NMS

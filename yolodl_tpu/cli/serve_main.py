@@ -122,7 +122,10 @@ def main(argv=None):
     secs = service.warmup()
     service.start()
     server = make_http_server(service, args.host, args.port)
-    print(f"warm in {secs:.1f}s; serving on http://{args.host}:{args.port} "
+    # report the bound port (not args.port) so --port 0 = OS-assigned
+    # ephemeral port is usable by supervisors/tests
+    port = server.server_address[1]
+    print(f"warm in {secs:.1f}s; serving on http://{args.host}:{port} "
           f"(POST /detect, GET /healthz, GET /stats)", flush=True)
     try:
         server.serve_forever()
