@@ -59,8 +59,9 @@ def test_ignore_semantics_and_ap75():
     assert s["AP50"] == 1.0   # TP first; the trailing FP can't dent AP
     assert s["AP75"] == 0.0   # IoU 0.6 < 0.75
     # medium bucket: the only GT is ignored (large), D1 matches it ->
-    # ignored, D2 would be an FP but there is no GT left -> bucket skipped
-    assert s["AP_medium"] == 0.0
+    # ignored, D2 would be an FP but there is no GT left -> bucket skipped;
+    # pycocotools reports the empty bucket as -1 (N/A), not 0.0
+    assert s["AP_medium"] == -1.0
     # large bucket: TP at t<=0.6; above that D1 (6000 px² itself -> medium)
     # goes unmatched AND out-of-range -> discarded, not FP; D2 likewise
     assert abs(s["AP_large"] - 0.3) < 1e-9  # 3 of 10 IoU thresholds hit
@@ -91,7 +92,8 @@ def test_explicit_area_field_overrides_tlbr():
     gts = [GroundTruth(0, 0, (0, 0, 10, 10), area=10000.0)]
     dets = [Detection(0, 0, 0.9, (0, 0, 10, 10), area=10000.0)]
     s = coco_summary(dets, gts)
-    assert s["AP_large"] == 1.0 and s["AP_small"] == 0.0
+    # small bucket is empty (the GT declares a large area) -> -1 (N/A)
+    assert s["AP_large"] == 1.0 and s["AP_small"] == -1.0
 
 
 def test_ar_caps_per_image_per_class():

@@ -54,6 +54,28 @@ class TestMatching:
         tp, _, _ = match_detections(dets, gts, 0.5)
         assert not tp[0]
 
+    def test_matrix_path_matches_scalar_matching(self):
+        """average_precision's shared-IoU-matrix fast path (_greedy_tp)
+        must equal the scalar match_detections reference on random data,
+        at every threshold."""
+        rng = np.random.RandomState(3)
+        dets, gts = [], []
+        for img in range(5):
+            for _ in range(rng.randint(0, 6)):
+                t, l = rng.uniform(0, 80, 2)
+                h, w = rng.uniform(5, 40, 2)
+                gts.append(gt(img, 0, t, l, t + h, l + w))
+            for _ in range(rng.randint(0, 8)):
+                t, l = rng.uniform(0, 80, 2)
+                h, w = rng.uniform(5, 40, 2)
+                dets.append(det(img, 0, float(rng.uniform(0.1, 1)),
+                                t, l, t + h, l + w))
+        for thr in (0.3, 0.5, 0.75, 0.9):
+            tp_ref, conf_ref, n = match_detections(dets, gts, thr)
+            ap_ref = interpolated_ap(tp_ref, n)
+            ap_new = average_precision(dets, gts, thr)["per_class"][0]
+            assert ap_new == pytest.approx(ap_ref, abs=1e-12), thr
+
 
 class TestAp:
     def test_perfect_ap_is_one(self):

@@ -2,9 +2,17 @@
 
 Equivalent capability to ``yolo-dl/src/loss/average_precision.rs`` (the
 101-point COCO integration strategy, ``new_coco`` at :68-70; precision
-envelope at :87-138; ``compute_by_detections`` at :157+ sorting by
-confidence and marking TPs by IoU with first-match-wins) and the
-``pred_gt_matching.rs`` detection/GT pairing.
+envelope at :87-138) and the ``pred_gt_matching.rs`` detection/GT pairing.
+
+Documented divergence (README "divergences" list): TP assignment here is
+pycocotools' confidence-descending greedy first-match-wins.  The
+reference's ``compute_by_detections`` (average_precision.rs:157-199)
+instead groups detections by a pre-assigned GT and marks only the
+highest-IoU detection per GT as TP regardless of confidence — with one GT
+and two detections (conf .9/IoU .6 vs conf .5/IoU .8) it credits the
+low-confidence one, producing a different PR curve.  We follow the COCO
+protocol (the ecosystem standard the reference's own docs cite), not the
+reference's variant.
 
 Host-side numpy: evaluation is per-epoch, not per-step, so it does not need
 to live in the jitted path.
@@ -106,6 +114,55 @@ def interpolated_ap(
     return float(interpolated.mean())
 
 
+def _class_buckets(dets, gts):
+    """Per-image (conf-desc confidences, [D, G] IoU matrix) pairs for ONE
+    class — IoUs computed once and shared across thresholds."""
+    by_d: Dict[int, list] = {}
+    by_g: Dict[int, list] = {}
+    for d in dets:
+        by_d.setdefault(d.image_id, []).append(d)
+    for g in gts:
+        by_g.setdefault(g.image_id, []).append(g)
+    out = []
+    for img in sorted(set(by_d) | set(by_g)):
+        ds = sorted(by_d.get(img, []), key=lambda d: -d.confidence)
+        out.append((
+            np.asarray([d.confidence for d in ds], np.float64),
+            _iou_matrix(ds, by_g.get(img, [])),
+        ))
+    return out
+
+
+def _greedy_tp(ious: np.ndarray, thr: float) -> np.ndarray:
+    """Conf-descending greedy first-match-wins TP flags for one image
+    (rows already conf-desc) — same semantics as :func:`match_detections`
+    including first-index tie-breaks, from a precomputed IoU matrix."""
+    n_det, n_gt = ious.shape
+    tp = np.zeros(n_det, bool)
+    if n_gt == 0:
+        return tp
+    used = np.zeros(n_gt, bool)
+    for di in range(n_det):
+        row = np.where(used, -1.0, ious[di])
+        gi = int(row.argmax())
+        if row[gi] >= thr and row[gi] > 0.0:
+            used[gi] = True
+            tp[di] = True
+    return tp
+
+
+def _mean_ap(per_class: Dict[int, float], gt_counts: Dict[int, int],
+             num_classes: Optional[int]) -> float:
+    """mAP denominator rule: a fixed ``num_classes``, or (pycocotools /
+    average_precision.rs:193-197) the count of classes that HAVE ground
+    truth — a hallucinated class (detections, no GT) never dilutes the
+    mean."""
+    if num_classes is not None:
+        return sum(per_class.values()) / num_classes if num_classes else 0.0
+    vals = [v for c, v in per_class.items() if gt_counts.get(c, 0) > 0]
+    return float(np.mean(vals)) if vals else 0.0
+
+
 def average_precision(
     detections: Sequence[Detection],
     ground_truths: Sequence[GroundTruth],
@@ -113,21 +170,30 @@ def average_precision(
     num_points: int = 101,
     num_classes: Optional[int] = None,
 ) -> Dict[str, object]:
-    """Per-class AP + mAP at one IoU threshold (COCO 101-point)."""
+    """Per-class AP + mAP at one IoU threshold (COCO 101-point).
+
+    ``per_class`` carries every class seen in detections OR ground truth;
+    the default mAP averages only classes present in the ground truth
+    (see :func:`_mean_ap`)."""
     class_ids = sorted(
         {d.class_id for d in detections} | {g.class_id for g in ground_truths}
     )
     per_class: Dict[int, float] = {}
+    gt_counts: Dict[int, int] = {}
     for cid in class_ids:
         dets = [d for d in detections if d.class_id == cid]
         gts = [g for g in ground_truths if g.class_id == cid]
-        tp, _conf, num_gt = match_detections(dets, gts, iou_threshold)
-        per_class[cid] = interpolated_ap(tp, num_gt, num_points)
-    if num_classes is not None:
-        mean = sum(per_class.values()) / num_classes if num_classes else 0.0
-    else:
-        mean = float(np.mean(list(per_class.values()))) if per_class else 0.0
-    return {"per_class": per_class, "mAP": mean}
+        buckets = _class_buckets(dets, gts)
+        conf = (np.concatenate([c for c, _ in buckets])
+                if buckets else np.zeros(0))
+        tp = (np.concatenate([_greedy_tp(i, iou_threshold)
+                              for _, i in buckets])
+              if buckets else np.zeros(0, bool))
+        order = np.argsort(-conf, kind="stable")
+        gt_counts[cid] = len(gts)
+        per_class[cid] = interpolated_ap(tp[order], len(gts), num_points)
+    return {"per_class": per_class,
+            "mAP": _mean_ap(per_class, gt_counts, num_classes)}
 
 
 # COCO size buckets in original-image pixel area (pycocotools convention:
@@ -212,7 +278,8 @@ def coco_summary(
     field (original-image pixels) with COCO's ignore semantics: GTs outside
     the range are ignored (matching one neither scores nor penalizes) and
     unmatched detections outside the range are discarded rather than
-    counted as false positives.
+    counted as false positives.  A bucket with no eligible GT anywhere
+    reports **-1.0** (pycocotools' "N/A" marker), never 0.0.
 
     The reference ships only the single-threshold calculator
     (yolo-dl/src/loss/average_precision.rs:62-155); this extends it to the
@@ -248,9 +315,11 @@ def coco_summary(
             if (img, cid) in dets_by or (img, cid) in gts_by
         }
         for aname, (lo, hi) in AREA_RANGES.items():
+            # cheap pre-pass: npig (non-ignored GT count) from areas alone —
+            # most (class, size-bucket) pairs are empty and skip the 10x
+            # matching entirely
+            per_img = []
             npig = 0
-            # per threshold: (conf, tp, ignore) fragments across images
-            frags = {t: [] for t in thresholds}
             for img in images:
                 dets = dets_by.get((img, cid), [])
                 gts = gts_by.get((img, cid), [])
@@ -258,6 +327,12 @@ def coco_summary(
                     continue
                 gt_ig = [not (lo <= _area_of(g) <= hi) for g in gts]
                 npig += sum(1 for ig in gt_ig if not ig)
+                per_img.append((img, dets, gts, gt_ig))
+            if npig == 0:
+                continue  # class absent from this area range
+            # per threshold: (conf, tp, ignore) fragments across images
+            frags = {t: [] for t in thresholds}
+            for img, dets, gts, gt_ig in per_img:
                 d_out = [not (lo <= _area_of(d) <= hi) for d in dets]
                 for t in thresholds:
                     dtm, dt_ig = _match_with_ignores(ious[img], gt_ig, t)
@@ -268,16 +343,11 @@ def coco_summary(
                         (dtm > -1) & ~dt_ig,
                         dt_ig,
                     ))
-            if npig == 0:
-                continue  # class absent from this area range
             for t in thresholds:
-                if frags[t]:
-                    conf = np.concatenate([f[0] for f in frags[t]])
-                    tp = np.concatenate([f[1] for f in frags[t]])
-                    ig = np.concatenate([f[2] for f in frags[t]])
-                else:
-                    conf = np.zeros(0)
-                    tp = ig = np.zeros(0, bool)
+                # npig > 0 guarantees at least one contributing image
+                conf = np.concatenate([f[0] for f in frags[t]])
+                tp = np.concatenate([f[1] for f in frags[t]])
+                ig = np.concatenate([f[2] for f in frags[t]])
                 order = np.argsort(-conf, kind="stable")
                 tp, ig = tp[order], ig[order]
                 ap[aname][t].append(
@@ -288,15 +358,15 @@ def coco_summary(
                     if k == top:
                         nmatch = int(tp.sum())
                     else:
-                        nmatch = 0
-                        for f_conf, f_tp, f_ig in frags[t]:
-                            kept = f_tp[:k]
-                            nmatch += int(kept.sum())
+                        nmatch = sum(int(f_tp[:k].sum())
+                                     for _, f_tp, _ in frags[t])
                     ar[aname][k][t].append(nmatch / npig)
 
     def _mean(lists) -> float:
+        # pycocotools prints -1 for a bucket with no eligible GT anywhere
+        # ("N/A"), distinct from a genuine 0.0
         vals = [v for lst in lists for v in lst]
-        return float(np.mean(vals)) if vals else 0.0
+        return float(np.mean(vals)) if vals else -1.0
 
     out = {
         "AP": _mean(ap["all"].values()),
@@ -322,11 +392,27 @@ def coco_map_50_95(
 
     ``num_classes`` uses the same fixed denominator as
     :func:`average_precision` so both reported metrics are consistent.
+    Pairwise IoUs are computed once per (image, class) and shared by all
+    10 thresholds (only the greedy matching re-runs per threshold).
     """
-    thresholds = np.arange(0.5, 1.0, 0.05)
-    vals = [
-        average_precision(detections, ground_truths, float(t), num_points,
-                          num_classes)["mAP"]
-        for t in thresholds
-    ]
-    return float(np.mean(vals))
+    thresholds = [float(t) for t in np.arange(0.5, 1.0, 0.05)]
+    class_ids = sorted(
+        {d.class_id for d in detections} | {g.class_id for g in ground_truths}
+    )
+    per_thr: Dict[float, Dict[int, float]] = {t: {} for t in thresholds}
+    gt_counts: Dict[int, int] = {}
+    for cid in class_ids:
+        dets = [d for d in detections if d.class_id == cid]
+        gts = [g for g in ground_truths if g.class_id == cid]
+        buckets = _class_buckets(dets, gts)
+        conf = (np.concatenate([c for c, _ in buckets])
+                if buckets else np.zeros(0))
+        order = np.argsort(-conf, kind="stable")
+        gt_counts[cid] = len(gts)
+        for t in thresholds:
+            tp = (np.concatenate([_greedy_tp(i, t) for _, i in buckets])
+                  if buckets else np.zeros(0, bool))
+            per_thr[t][cid] = interpolated_ap(tp[order], len(gts), num_points)
+    return float(np.mean([
+        _mean_ap(per_thr[t], gt_counts, num_classes) for t in thresholds
+    ]))
