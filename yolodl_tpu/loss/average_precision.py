@@ -82,9 +82,12 @@ def match_detections(
             if gi in used:
                 continue
             iou = _iou(det.tlbr, ground_truths[gi].tlbr)
-            if iou > best_iou:
+            # >= : among equal-IoU GTs the LAST scanned wins, matching
+            # pycocotools' `if iou < best: continue` update rule (and
+            # _greedy_tp / _match_with_ignores here)
+            if iou >= best_iou:
                 best_iou, best_gi = iou, gi
-        if best_gi is not None and best_iou >= iou_threshold:
+        if best_gi is not None and best_iou >= iou_threshold and best_iou > 0.0:
             used.add(best_gi)
             tp[rank] = True
     return tp, conf, len(ground_truths)
@@ -136,7 +139,8 @@ def _class_buckets(dets, gts):
 def _greedy_tp(ious: np.ndarray, thr: float) -> np.ndarray:
     """Conf-descending greedy first-match-wins TP flags for one image
     (rows already conf-desc) — same semantics as :func:`match_detections`
-    including first-index tie-breaks, from a precomputed IoU matrix."""
+    and :func:`_match_with_ignores`, from a precomputed IoU matrix.  Among
+    equal-IoU GTs the LAST one wins (pycocotools' scan updates on ties)."""
     n_det, n_gt = ious.shape
     tp = np.zeros(n_det, bool)
     if n_gt == 0:
@@ -144,7 +148,7 @@ def _greedy_tp(ious: np.ndarray, thr: float) -> np.ndarray:
     used = np.zeros(n_gt, bool)
     for di in range(n_det):
         row = np.where(used, -1.0, ious[di])
-        gi = int(row.argmax())
+        gi = n_gt - 1 - int(row[::-1].argmax())  # last max-IoU GT
         if row[gi] >= thr and row[gi] > 0.0:
             used[gi] = True
             tp[di] = True
