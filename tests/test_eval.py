@@ -54,6 +54,22 @@ class TestMatching:
         tp, _, _ = match_detections(dets, gts, 0.5)
         assert not tp[0]
 
+    def test_cross_image_confidence_tie_consistent(self):
+        """Equal confidences across images: the scalar path and the
+        shared-IoU-matrix fast path must break the tie the same way
+        (image-major — pycocotools' per-image + mergesort order).  The
+        FP in image 0 outranks the equal-confidence TP in image 1."""
+        dets = [
+            det(1, 0, 0.5, 0, 0, 10, 10),     # TP, listed first
+            det(0, 0, 0.5, 50, 50, 60, 60),   # FP in an earlier image
+        ]
+        gts = [gt(1, 0, 0, 0, 10, 10)]
+        tp, _, n = match_detections(dets, gts, 0.5)
+        assert tp.tolist() == [False, True]  # image-major order
+        ap_ref = interpolated_ap(tp, n)
+        ap_new = average_precision(dets, gts, 0.5)["per_class"][0]
+        assert ap_new == pytest.approx(ap_ref, abs=1e-12) == 0.5
+
     def test_matrix_path_matches_scalar_matching(self):
         """average_precision's shared-IoU-matrix fast path (_greedy_tp)
         must equal the scalar match_detections reference on random data,

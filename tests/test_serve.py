@@ -342,18 +342,34 @@ class TestServeCli:
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=repo)
         try:
-            # warmup compiles the forward — allow a slow CPU a while
+            # warmup compiles the forward — allow a slow CPU a while.
+            # Read stdout on a helper thread: readline() itself has no
+            # timeout, so a silent-but-alive subprocess (e.g. a backend
+            # init hang) must not wedge the test past the deadline.
+            import queue
+            import threading
+
+            lines: "queue.Queue[str]" = queue.Queue()
+            threading.Thread(
+                target=lambda: [lines.put(l) for l in proc.stdout],
+                daemon=True).start()
             port = None
             deadline = time.time() + 240
             while time.time() < deadline:
-                line = proc.stdout.readline()
-                if not line and proc.poll() is not None:
-                    raise AssertionError("serve_main exited during startup")
+                try:
+                    line = lines.get(timeout=min(5.0, max(
+                        0.1, deadline - time.time())))
+                except queue.Empty:
+                    if proc.poll() is not None:
+                        raise AssertionError(
+                            "serve_main exited during startup")
+                    continue
                 m = re.search(r"serving on http://127\.0\.0\.1:(\d+)", line)
                 if m:
                     port = int(m.group(1))
                     break
-            assert port, "never printed the bound port"
+            assert port is not None, \
+                "never printed the bound port within the deadline"
             assert port != 0, "--port 0 must report the OS-assigned port"
 
             with urllib.request.urlopen(

@@ -65,8 +65,15 @@ def match_detections(
     """Sort by confidence desc; greedily mark TP/FP (first match wins).
 
     Returns (tp_flags, confidences, num_gt) for one class.
+
+    Confidence ties break image-major (ascending ``image_id``, original
+    order within an image) — the order pycocotools' per-image evaluation +
+    mergesort accumulate produces, and the order the shared-IoU-matrix
+    fast path (:func:`_class_buckets` + stable conf argsort) scans in.
     """
-    order = sorted(range(len(detections)), key=lambda i: -detections[i].confidence)
+    pre = sorted(range(len(detections)),
+                 key=lambda i: detections[i].image_id)
+    order = sorted(pre, key=lambda i: -detections[i].confidence)
     gt_by_image: Dict[int, List[int]] = {}
     for gi, gt in enumerate(ground_truths):
         gt_by_image.setdefault(gt.image_id, []).append(gi)
@@ -167,6 +174,44 @@ def _mean_ap(per_class: Dict[int, float], gt_counts: Dict[int, int],
     return float(np.mean(vals)) if vals else 0.0
 
 
+def ap_at_thresholds(
+    detections: Sequence[Detection],
+    ground_truths: Sequence[GroundTruth],
+    thresholds: Sequence[float],
+    num_points: int = 101,
+    num_classes: Optional[int] = None,
+) -> Dict[float, Dict[str, object]]:
+    """Per-class AP + mAP at each IoU threshold, from ONE pass over the
+    data: pairwise IoUs are computed once per (image, class) and shared by
+    every threshold (only the greedy matching re-runs per threshold).
+
+    The single shared pipeline behind :func:`average_precision` and
+    :func:`coco_map_50_95` — returns ``{thr: {"per_class": …, "mAP": …}}``.
+    """
+    class_ids = sorted(
+        {d.class_id for d in detections} | {g.class_id for g in ground_truths}
+    )
+    per_thr: Dict[float, Dict[int, float]] = {t: {} for t in thresholds}
+    gt_counts: Dict[int, int] = {}
+    for cid in class_ids:
+        dets = [d for d in detections if d.class_id == cid]
+        gts = [g for g in ground_truths if g.class_id == cid]
+        buckets = _class_buckets(dets, gts)
+        conf = (np.concatenate([c for c, _ in buckets])
+                if buckets else np.zeros(0))
+        order = np.argsort(-conf, kind="stable")
+        gt_counts[cid] = len(gts)
+        for t in thresholds:
+            tp = (np.concatenate([_greedy_tp(i, t) for _, i in buckets])
+                  if buckets else np.zeros(0, bool))
+            per_thr[t][cid] = interpolated_ap(tp[order], len(gts), num_points)
+    return {
+        t: {"per_class": per_thr[t],
+            "mAP": _mean_ap(per_thr[t], gt_counts, num_classes)}
+        for t in thresholds
+    }
+
+
 def average_precision(
     detections: Sequence[Detection],
     ground_truths: Sequence[GroundTruth],
@@ -179,25 +224,8 @@ def average_precision(
     ``per_class`` carries every class seen in detections OR ground truth;
     the default mAP averages only classes present in the ground truth
     (see :func:`_mean_ap`)."""
-    class_ids = sorted(
-        {d.class_id for d in detections} | {g.class_id for g in ground_truths}
-    )
-    per_class: Dict[int, float] = {}
-    gt_counts: Dict[int, int] = {}
-    for cid in class_ids:
-        dets = [d for d in detections if d.class_id == cid]
-        gts = [g for g in ground_truths if g.class_id == cid]
-        buckets = _class_buckets(dets, gts)
-        conf = (np.concatenate([c for c, _ in buckets])
-                if buckets else np.zeros(0))
-        tp = (np.concatenate([_greedy_tp(i, iou_threshold)
-                              for _, i in buckets])
-              if buckets else np.zeros(0, bool))
-        order = np.argsort(-conf, kind="stable")
-        gt_counts[cid] = len(gts)
-        per_class[cid] = interpolated_ap(tp[order], len(gts), num_points)
-    return {"per_class": per_class,
-            "mAP": _mean_ap(per_class, gt_counts, num_classes)}
+    return ap_at_thresholds(detections, ground_truths, [iou_threshold],
+                            num_points, num_classes)[iou_threshold]
 
 
 # COCO size buckets in original-image pixel area (pycocotools convention:
@@ -400,23 +428,6 @@ def coco_map_50_95(
     10 thresholds (only the greedy matching re-runs per threshold).
     """
     thresholds = [float(t) for t in np.arange(0.5, 1.0, 0.05)]
-    class_ids = sorted(
-        {d.class_id for d in detections} | {g.class_id for g in ground_truths}
-    )
-    per_thr: Dict[float, Dict[int, float]] = {t: {} for t in thresholds}
-    gt_counts: Dict[int, int] = {}
-    for cid in class_ids:
-        dets = [d for d in detections if d.class_id == cid]
-        gts = [g for g in ground_truths if g.class_id == cid]
-        buckets = _class_buckets(dets, gts)
-        conf = (np.concatenate([c for c, _ in buckets])
-                if buckets else np.zeros(0))
-        order = np.argsort(-conf, kind="stable")
-        gt_counts[cid] = len(gts)
-        for t in thresholds:
-            tp = (np.concatenate([_greedy_tp(i, t) for _, i in buckets])
-                  if buckets else np.zeros(0, bool))
-            per_thr[t][cid] = interpolated_ap(tp[order], len(gts), num_points)
-    return float(np.mean([
-        _mean_ap(per_thr[t], gt_counts, num_classes) for t in thresholds
-    ]))
+    per_thr = ap_at_thresholds(detections, ground_truths, thresholds,
+                               num_points, num_classes)
+    return float(np.mean([per_thr[t]["mAP"] for t in thresholds]))

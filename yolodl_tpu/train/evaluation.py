@@ -19,7 +19,7 @@ import numpy as np
 
 from ..loss import non_max_suppression, yolo_inference
 from ..loss.average_precision import (
-    Detection, GroundTruth, average_precision, coco_map_50_95, coco_summary,
+    Detection, GroundTruth, ap_at_thresholds, coco_summary,
 )
 
 
@@ -158,9 +158,13 @@ class DatasetEvaluator:
                         (t, l, b, r),
                         area=max(b - t, 0.0) * max(r - l, 0.0) * scale))
             start += n_real
-        ap50 = average_precision(dets, gts, iou_threshold=0.5,
-                                 num_classes=self.num_classes)
-        map5095 = coco_map_50_95(dets, gts, num_classes=self.num_classes)
+        # one pass: the COCO threshold grid includes 0.5, so ap50 and the
+        # 50:95 mean share the same per-(image, class) IoU matrices
+        thresholds = [round(0.5 + 0.05 * i, 10) for i in range(10)]
+        per_thr = ap_at_thresholds(dets, gts, thresholds,
+                                   num_classes=self.num_classes)
+        ap50 = per_thr[thresholds[0]]
+        map5095 = float(np.mean([per_thr[t]["mAP"] for t in thresholds]))
         report = {
             "images": len(self.records),
             "detections": len(dets),
