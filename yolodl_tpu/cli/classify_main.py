@@ -156,12 +156,18 @@ def main(argv=None):
         correct = correct_k = total = 0
         for i in range(0, len(records), batch_size):
             chunk = records[i:i + batch_size]
+            n_real = len(chunk)
+            # pad the tail chunk to the full batch shape (repeat the last
+            # record) so the jitted program compiles ONCE — a second shape
+            # is a whole extra multi-minute compile on remote TPUs (same
+            # discipline as train/evaluation.py)
+            chunk = chunk + [chunk[-1]] * (batch_size - n_real)
             images, labels = load_batch(chunk)
-            topk = np.asarray(infer(ts.params, ts.state, images))
-            labels = np.asarray(labels)
+            topk = np.asarray(infer(ts.params, ts.state, images))[:n_real]
+            labels = np.asarray(labels)[:n_real]
             correct += int((topk[:, 0] == labels).sum())
             correct_k += int((topk == labels[:, None]).any(-1).sum())
-            total += len(chunk)
+            total += n_real
         print(f"top-1 accuracy: {correct / total:.4f} ({correct}/{total})")
         if k > 1:
             print(f"top-{k} accuracy: {correct_k / total:.4f} "

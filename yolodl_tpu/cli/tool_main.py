@@ -89,7 +89,13 @@ def main(argv=None):
 
     if args.command == "info":
         print(graph.info_table())
-        if args.pipeline_stages > 1:
+        if args.pipeline_stages < 0:
+            raise ValueError(
+                f"--pipeline-stages must be >= 1, got {args.pipeline_stages}")
+        if args.pipeline_stages >= 1:
+            # 1 stage is the degenerate whole-model plan (total FLOP
+            # estimate, '(output)' boundary row) — print it rather than
+            # silently ignoring the flag
             _print_stage_plan(graph, args.pipeline_stages)
     else:
         with open(args.output_file, "w") as f:
@@ -132,6 +138,10 @@ def _calc_anchors(args):
     with open(args.config_file) as f:
         raw = json5.load(f)
     ds_raw = raw.get("dataset") or raw.get("input")
+    if not isinstance(ds_raw, dict):
+        raise ValueError(
+            f"{args.config_file}: no 'dataset' (train) or 'input' (detect) "
+            "section — anchors needs a dataset to cluster")
     config = DatasetConfig.parse(ds_raw, ds_raw.get("class_whitelist", ()))
     dataset = config.open(os.path.dirname(os.path.abspath(args.config_file)))
 
@@ -142,8 +152,13 @@ def _calc_anchors(args):
                 [rec.height, rec.width], np.float64
             )
             sizes.append(hw)
+    if not sizes:
+        raise ValueError("dataset has no bounding boxes — nothing to cluster")
     sizes = np.concatenate(sizes, axis=0)
     sizes = sizes[(sizes > 0).all(axis=1)]
+    if not len(sizes):
+        raise ValueError(
+            "every dataset box has a zero-size side — nothing to cluster")
     k = min(args.num, len(sizes))
 
     def iou_dist(wh, centers):
@@ -197,12 +212,12 @@ def _export(args):
             model = YoloModel(graph_from_darknet(darknet))
             params, state = model.init(jax.random.PRNGKey(0))
     else:
+        if not size:  # before the (expensive) model build + init
+            raise SystemExit("--size is required for NEWSLABv1 models")
         from ..graph import Graph
 
         model = YoloModel(Graph.load_newslab_v1_json(args.model_file))
         params, state = model.init(jax.random.PRNGKey(0))
-        if not size:
-            raise SystemExit("--size is required for NEWSLABv1 models")
     if args.checkpoint:
         from ..train.checkpoint import load_checkpoint
 

@@ -315,7 +315,16 @@ def main(argv=None):
         from ..parallel import PipelineModel, PipelineTrainStep
         from ..parallel.pipeline import PipelineTrainState
 
-        pp_dp = config.n_devices // config.pipeline_parallel
+        pp_dp, rem = divmod(config.n_devices, config.pipeline_parallel)
+        if pp_dp < 1:
+            raise ValueError(
+                f"training.pipeline_parallel={config.pipeline_parallel} "
+                f"needs at least that many devices; device config has "
+                f"{config.n_devices}")
+        if rem:
+            print(f"warning: {config.n_devices} devices do not divide into "
+                  f"{config.pipeline_parallel} pipeline stages — using "
+                  f"{pp_dp * config.pipeline_parallel}, {rem} device(s) idle")
         pp_model = PipelineModel(model, config.pipeline_parallel, dp=pp_dp)
         pts_step = PipelineTrainStep(pp_model, train_cfg, n_micro=accum)
         ts = PipelineTrainState.from_train_state(pp_model, ts)

@@ -77,22 +77,25 @@ def export_inference(
         return model.apply(p, s, images, train=False,
                            data_format=data_format)
 
+    # infos / class count / head layout are STATIC pytree aux data — capture
+    # them during the (single) export trace instead of paying a second
+    # full abstract trace of the model just to read them
+    static = {}
+
     def fn(images):
         pred, _ = apply_fn(params, state, images)
+        static["infos"] = pred.infos
+        static["num_classes"] = pred.class_logit.shape[-1]
+        static["has_uncertainty"] = pred.uncertainty is not None
         outs = (pred.cycxhw, pred.obj_logit, pred.class_logit)
         if pred.uncertainty is not None:
             outs = outs + (pred.uncertainty,)
         return outs
 
-    # probe infos (static) with an abstract trace — no device work
-    spec = jax.eval_shape(
-        lambda p, s, x: apply_fn(p, s, x)[0],
-        params, state, jax.ShapeDtypeStruct(in_shape, in_dtype))
-    infos = spec.infos
-
     exp = jax_export.export(
         jax.jit(fn), platforms=("cpu", "tpu"))(
         jax.ShapeDtypeStruct(in_shape, in_dtype))
+    infos = static["infos"]
 
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "model.stablehlo"), "wb") as f:
@@ -103,8 +106,8 @@ def export_inference(
         "input_dtype": str(in_dtype),
         "data_format": data_format,
         "serving": serving,
-        "num_classes": spec.class_logit.shape[-1],
-        "has_uncertainty": spec.uncertainty is not None,
+        "num_classes": static["num_classes"],
+        "has_uncertainty": static["has_uncertainty"],
         "infos": [dataclasses.asdict(i) for i in infos],
     }
     with open(os.path.join(path, "meta.json"), "w") as f:

@@ -37,12 +37,7 @@ def _flatten(tree: Any, prefix: str) -> Dict[str, np.ndarray]:
     return flat
 
 
-def _path_str(entry) -> str:
-    if hasattr(entry, "key"):
-        return str(entry.key)
-    if hasattr(entry, "idx"):
-        return str(entry.idx)
-    return str(entry)
+from ..utils.trees import path_entry_str as _path_str  # shared spelling
 
 
 def _unflatten_into(template: Any, flat: Dict[str, np.ndarray], prefix: str) -> Any:

@@ -34,8 +34,10 @@ def draw_boxes_on_image(
         l_px = int(np.clip(l * w, 0, w - 1))
         r_px = int(np.clip(r * w, 0, w - 1))
         for k in range(thickness):
-            tt, bb = min(t_px + k, h - 1), min(b_px + k, h - 1)
-            ll, rr = min(l_px + k, w - 1), min(r_px + k, w - 1)
+            # thicken INWARD on every edge: top/left move down/right,
+            # bottom/right move up/left — the outline stays h x w pixels
+            tt, bb = min(t_px + k, h - 1), max(b_px - k, 0)
+            ll, rr = min(l_px + k, w - 1), max(r_px - k, 0)
             for c in range(3):
                 out[c, tt, l_px:r_px + 1] = color[c]
                 out[c, bb, l_px:r_px + 1] = color[c]
@@ -86,6 +88,7 @@ class LoggingWorker:
                           "further failures counted in .dropped",
                           file=sys.stderr)
         self._writer.flush()
+        self._writer.close()  # stop the writer's own thread, finalize file
 
     def _offer(self, item) -> None:
         """Lossy put: drop when the queue is full (logging.rs:71-75)."""
@@ -123,13 +126,15 @@ class LoggingWorker:
         """|w|max (and |grad|max) per parameter (logging.rs:361-376)."""
         import jax
 
+        from ..utils.trees import tree_path_name
+
         scalars = {}
         for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
-            name = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+            name = tree_path_name(path)
             scalars[f"weights_max/{name}"] = float(np.abs(np.asarray(leaf)).max())
         if grads is not None:
             for path, leaf in jax.tree_util.tree_flatten_with_path(grads)[0]:
-                name = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+                name = tree_path_name(path)
                 scalars[f"grads_max/{name}"] = float(np.abs(np.asarray(leaf)).max())
         self.log_scalars(step, scalars)
 
@@ -159,4 +164,7 @@ class LoggingWorker:
         if self._thread is not None:
             self._queue.put(None)
             self._thread.join(timeout=30)
+            if self._thread.is_alive():  # e.g. a stalled filesystem
+                print("warning: TensorBoard worker did not drain within "
+                      "30 s; late events may be unflushed", file=sys.stderr)
             self._thread = None

@@ -280,16 +280,14 @@ def make_train_step(
 def param_maxima(params, grads=None):
     """Per-parameter |w|max (and |grad|max) scalars, keyed the way the TB
     worker expects (logging.rs:361-376 taxonomy)."""
+    from ..utils.trees import tree_path_name
+
     out = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
-        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
-                        for p in path)
-        out[f"weights_max/{name}"] = jnp.max(jnp.abs(leaf))
+        out[f"weights_max/{tree_path_name(path)}"] = jnp.max(jnp.abs(leaf))
     if grads is not None:
         for path, leaf in jax.tree_util.tree_flatten_with_path(grads)[0]:
-            name = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
-                            for p in path)
-            out[f"grads_max/{name}"] = jnp.max(jnp.abs(leaf))
+            out[f"grads_max/{tree_path_name(path)}"] = jnp.max(jnp.abs(leaf))
     return out
 
 

@@ -18,7 +18,9 @@ from typing import Dict, List, Optional
 
 _ENABLED = os.environ.get("YOLODL_PROFILING", "0") not in ("0", "", "false")
 _WHITELIST = {
-    name for name in os.environ.get("YOLODL_PROFILING_WHITELIST", "").split(",") if name
+    name.strip()  # 'a, b' must whitelist 'b', not ' b'
+    for name in os.environ.get("YOLODL_PROFILING_WHITELIST", "").split(",")
+    if name.strip()
 }
 
 
