@@ -301,6 +301,58 @@ class TestDatasets:
         assert ds.classes == ["dog"]
         assert len(ds[0].boxes_pixel) == 1
 
+    def test_coco_split_selection(self, tmp_path):
+        """Several instances_*.json: picking silently is forbidden (a stock
+        COCO dir would alphabetically resolve an eval config to the TRAIN
+        split); dataset_name selects explicitly."""
+        ann_dir = tmp_path / "annotations"
+        ann_dir.mkdir()
+        base = {
+            "images": [{"id": 1, "file_name": "x.jpg", "height": 10,
+                        "width": 10}],
+            "annotations": [],
+            "categories": [{"id": 1, "name": "cat"}],
+        }
+        (ann_dir / "instances_train2017.json").write_text(json.dumps(base))
+        val = dict(base, categories=[{"id": 1, "name": "dog"}])
+        (ann_dir / "instances_val2017.json").write_text(json.dumps(val))
+        with pytest.raises(ValueError, match="dataset_name"):
+            CocoDataset(str(tmp_path))
+        ds = CocoDataset(str(tmp_path), dataset_name="val2017")
+        assert ds.classes == ["dog"]
+        with pytest.raises(FileNotFoundError):
+            CocoDataset(str(tmp_path), dataset_name="test2017")
+
+    def test_voc_float_dimensions(self, tmp_path):
+        """VOC-style XMLs with float size fields (seen in the wild; the III
+        loader guards identically) must parse, not crash int()."""
+        (tmp_path / "Annotations").mkdir()
+        (tmp_path / "JPEGImages").mkdir()
+        xml = """<annotation>
+            <filename>q.jpg</filename>
+            <size><width>50.0</width><height>40.0</height></size>
+            <object><name>cow</name>
+              <bndbox><xmin>10</xmin><ymin>8</ymin><xmax>30</xmax><ymax>24</ymax></bndbox>
+            </object>
+        </annotation>"""
+        (tmp_path / "Annotations" / "q.xml").write_text(xml)
+        ds = VocDataset(str(tmp_path))
+        assert ds[0].height == 40 and ds[0].width == 50
+
+    def test_sanitized_forwards_input_channels(self, tmp_path, rng):
+        """SanitizedDataset must carry the inner dataset's channel count
+        (CsvDataset can be non-RGB), not the hard-coded default 3."""
+        img_dir = tmp_path / "img"
+        img_dir.mkdir()
+        arr = (rng.uniform(0, 255, (8, 8))).astype(np.uint8)
+        Image.fromarray(arr, mode="L").save(img_dir / "a.png")
+        (tmp_path / "classes.txt").write_text("thing\n")
+        (tmp_path / "labels.csv").write_text(
+            "image_file,class_name,cy,cx,h,w\na.png,thing,4,4,2,2\n")
+        inner = CsvDataset(str(img_dir), str(tmp_path / "labels.csv"),
+                           str(tmp_path / "classes.txt"), input_channels=1)
+        assert SanitizedDataset(inner).input_channels == 1
+
     def test_voc_dataset(self, tmp_path):
         (tmp_path / "Annotations").mkdir()
         (tmp_path / "JPEGImages").mkdir()

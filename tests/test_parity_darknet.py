@@ -518,3 +518,83 @@ def test_yolov1_connected_detection_parity(tmp_path):
         assert mse < 1e-5, f"layer {i} ({kind}): relative MSE {mse:.3e}"
         checked += 1
     assert checked >= 15
+
+
+SPATIAL_SEQ_CFG = """
+[net]
+batch=1
+subdivisions=1
+height=6
+width=6
+channels=3
+time_steps=1
+
+[convolutional]
+filters=4
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[{kind}]
+output=10
+{extra}activation=tanh
+
+[connected]
+output=5
+activation=linear
+
+[softmax]
+"""
+
+
+@pytest.mark.parametrize("kind,extra", [
+    ("rnn", "hidden=8\n"), ("gru", ""), ("lstm", ""),
+])
+def test_spatial_recurrent_parity(tmp_path, kind, extra):
+    """A recurrent layer fed a SPATIAL conv map vs darknet-C: darknet
+    flattens the (c,h,w) map, our cells flatten NHWC — the .weights IO
+    must permute the in-dim of every input-facing gate (weights.py
+    _chw_to_hwc_in_dim), exactly like the [connected] regression above."""
+    import jax
+    import jax.numpy as jnp
+
+    from oracle import DarknetOracle
+    from yolodl_tpu.config import darknet_cfg as dk
+    from yolodl_tpu.graph.from_darknet import graph_from_darknet
+    from yolodl_tpu.models.builder import GraphModel
+    from yolodl_tpu.models.weights import save_darknet_weights
+
+    cfg_path = str(tmp_path / f"spatial_{kind}.cfg")
+    with open(cfg_path, "w") as f:
+        f.write(SPATIAL_SEQ_CFG.format(kind=kind, extra=extra))
+    darknet = dk.Darknet.load(cfg_path)
+    model = GraphModel(graph_from_darknet(darknet))
+    params, state = model.init(jax.random.PRNGKey(23))
+    wpath = str(tmp_path / f"spatial_{kind}.weights")
+    save_darknet_weights(darknet, params, state, wpath)
+
+    oracle = DarknetOracle(cfg_path, wpath)
+    rng = np.random.default_rng(29)
+    image = rng.uniform(0.0, 1.0, (3, 6, 6)).astype(np.float32)
+    oracle.forward(image)
+    _, _, ours = model.apply(
+        params, state, jnp.asarray(image[None]), train=False,
+        return_intermediates=True,
+    )
+
+    checked = 0
+    for i in range(oracle.num_layers):
+        k = oracle.layer_type(i)
+        if k not in {"convolutional", "rnn", "gru", "lstm", "connected",
+                     "softmax"}:
+            continue
+        ref = oracle.layer_output(i).reshape(-1)
+        mine = np.asarray(ours[f"layer{i}"])
+        if k == "convolutional":
+            mine = np.transpose(mine[0], (2, 0, 1))
+        mse = float(np.mean((mine.reshape(-1) - ref) ** 2)
+                    / (np.mean(ref**2) + 1e-12))
+        assert mse < 1e-5, f"layer {i} ({k}): relative MSE {mse:.3e}"
+        checked += 1
+    assert checked >= 4

@@ -164,7 +164,12 @@ def main(argv=None):
     elif pre.cache_method == "tfrecord":
         from ..data.tfrecord_cache import TfrecordCache
 
-        loader = TfrecordCache(cache_dir or os.path.join(run_dir, "cache"), (size, size))
+        # per-rank shard under MultiProcess: ranks share cache_dir but
+        # append to the same shard file is not cross-process safe, and each
+        # rank's record share (records[rank::n]) is disjoint anyway
+        loader = TfrecordCache(cache_dir or os.path.join(run_dir, "cache"),
+                               (size, size),
+                               shard_tag=f"-r{proc_id}" if n_procs > 1 else "")
     elif pre.cache_method == "memory":
         loader = MemoryCache((size, size))
     else:

@@ -140,7 +140,8 @@ class DatasetConfig:
 
         resolve = self._resolver(base_dir)
         if self.kind == "coco":
-            return [coco_annotation_file(resolve(self.dataset_dir))]
+            return [coco_annotation_file(resolve(self.dataset_dir),
+                                         dataset_name=self.dataset_name)]
         if self.kind == "voc":
             return voc_source_files(resolve(self.dataset_dir))
         if self.kind == "csv":
@@ -190,7 +191,8 @@ class DatasetConfig:
         whitelist = list(self.class_whitelist) or None
         if self.kind == "coco":
             return CocoDataset(
-                resolve(self.dataset_dir), classes_whitelist=whitelist
+                resolve(self.dataset_dir), classes_whitelist=whitelist,
+                dataset_name=self.dataset_name,
             )
         if self.kind == "voc":
             return VocDataset(resolve(self.dataset_dir))

@@ -78,12 +78,25 @@ class PrebuiltDataset(_ListDataset):
 
 
 def coco_annotation_file(dataset_dir: str,
-                         annotation_file: Optional[str] = None) -> str:
-    """Conventional layout: {dir}/annotations/instances_{split}.json."""
+                         annotation_file: Optional[str] = None,
+                         dataset_name: str = "") -> str:
+    """Conventional layout: {dir}/annotations/instances_{split}.json.
+
+    ``dataset_name`` is the split (``train2017``, ``val2017`` — the
+    reference's required Coco config field, train/src/config.rs:79-84).
+    Without it, a directory holding exactly ONE instances_*.json resolves
+    to that file; several splits raise rather than silently picking one
+    (a stock COCO dir sorts ``instances_train2017`` first — an eval config
+    would quietly score the training split)."""
+    ann_dir = os.path.join(dataset_dir, "annotations")
     if annotation_file is not None:
         return annotation_file
+    if dataset_name:
+        path = os.path.join(ann_dir, f"instances_{dataset_name}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"{path} (dataset_name={dataset_name!r})")
+        return path
     candidates = []
-    ann_dir = os.path.join(dataset_dir, "annotations")
     if os.path.isdir(ann_dir):
         candidates = [
             os.path.join(ann_dir, n)
@@ -92,6 +105,13 @@ def coco_annotation_file(dataset_dir: str,
         ]
     if not candidates:
         raise FileNotFoundError(f"no instances_*.json under {ann_dir}")
+    if len(candidates) > 1:
+        names = ", ".join(
+            os.path.basename(c)[len("instances_"):-len(".json")]
+            for c in candidates)
+        raise ValueError(
+            f"{ann_dir} holds several splits ({names}) — set the dataset "
+            "config's 'dataset_name' to choose one")
     return candidates[0]
 
 
@@ -118,8 +138,10 @@ class CocoDataset(_ListDataset):
         annotation_file: Optional[str] = None,
         image_dir: Optional[str] = None,
         classes_whitelist: Optional[Sequence[str]] = None,
+        dataset_name: str = "",
     ):
-        annotation_file = coco_annotation_file(dataset_dir, annotation_file)
+        annotation_file = coco_annotation_file(dataset_dir, annotation_file,
+                                               dataset_name)
         with open(annotation_file) as f:
             coco = json.load(f)
 
@@ -195,8 +217,10 @@ class VocDataset(_ListDataset):
             root = ET.parse(xml_path).getroot()
             filename = root.findtext("filename")
             size = root.find("size")
-            w = int(size.findtext("width"))
-            h = int(size.findtext("height"))
+            # int(float(...)): float-valued dims occur in VOC-style XMLs
+            # in the wild (same guard as IiiDataset)
+            w = int(float(size.findtext("width")))
+            h = int(float(size.findtext("height")))
             objs = []
             for obj in root.iter("object"):
                 name = obj.findtext("name")
@@ -325,6 +349,13 @@ class SanitizedDataset(_ListDataset):
                 FileRecord(rec.path, rec.height, rec.width, boxes, classes)
             )
         super().__init__(records, inner.classes)
+        # forward the wrapped dataset's channel count (CsvDataset can carry
+        # a non-RGB override) instead of inheriting the hard-coded 3
+        self._input_channels = getattr(inner, "input_channels", 3)
+
+    @property
+    def input_channels(self) -> int:
+        return self._input_channels
 
 
 class IiiDataset(_ListDataset):

@@ -216,6 +216,19 @@ class TrainingStream:
         consumed = [start]
         n_slots_total = len(self.records)
 
+        def put_or_stop(item) -> bool:
+            """Bounded put that re-checks ``stop``: a producer must never
+            block forever on a full queue after the consumer has gone away
+            (that would pin a full queue of decoded images for the rest of
+            the process)."""
+            while True:
+                try:
+                    out_q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    if stop.is_set():
+                        return False
+
         def producer(worker_id: int):
             """Each worker handles epoch slots ≡ worker_id (mod workers) —
             the unordered parallel-stage model of the reference's
@@ -241,10 +254,11 @@ class TrainingStream:
                         rng = np.random.default_rng((cfg.seed, epoch, slot))
                         timing = Timing("pipeline")
                         rec = self._make_record(plan[slot], rng, timing)
-                        out_q.put((epoch, slot, rec, timing))
+                        if not put_or_stop((epoch, slot, rec, timing)):
+                            return
                     epoch += 1
             except Exception as e:  # surface worker errors to the consumer
-                out_q.put(e)
+                put_or_stop(e)
 
         threads = [
             threading.Thread(target=producer, args=(i,), daemon=True)
@@ -324,15 +338,28 @@ def device_prefetch(iterator, device=None, depth: int = 2):
             arrays = tuple(jax.device_put(a) for a in arrays)
         return record, arrays
 
+    def put_or_stop(item) -> bool:
+        # never block forever on a consumer that stopped: a wedged put
+        # would pin depth+1 device-resident batches in HBM for the rest
+        # of the process (e.g. during the final eval after training)
+        while True:
+            try:
+                buf.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                if stop.is_set():
+                    return False
+
     def worker():
         try:
             for record in iterator:
                 if stop.is_set():
                     return
-                buf.put(put_on_device(record))
-            buf.put(None)
+                if not put_or_stop(put_on_device(record)):
+                    return
+            put_or_stop(None)
         except Exception as e:
-            buf.put(e)
+            put_or_stop(e)
 
     threading.Thread(target=worker, daemon=True).start()
     try:

@@ -64,11 +64,18 @@ def read_tfrecord(f, offset: int) -> bytes:
 class TfrecordCache:
     """Letterboxed-image cache in a TFRecord shard."""
 
-    def __init__(self, cache_dir: str, cache_hw: Tuple[int, int]):
+    def __init__(self, cache_dir: str, cache_hw: Tuple[int, int],
+                 shard_tag: str = ""):
+        """``shard_tag`` namespaces the shard file (e.g. ``-r3`` for rank 3
+        of a multi-process run): appends are only thread-safe within one
+        process, so processes sharing ``cache_dir`` MUST use distinct tags
+        — interleaved cross-process appends would corrupt record framing
+        and stale ``f.tell()`` offsets would index into garbage."""
         self.cache_hw = cache_hw
         os.makedirs(cache_dir, exist_ok=True)
         h, w = cache_hw
-        self.shard_path = os.path.join(cache_dir, f"cache-{h}x{w}.tfrecord")
+        self.shard_path = os.path.join(
+            cache_dir, f"cache-{h}x{w}{shard_tag}.tfrecord")
         self.index_path = self.shard_path + ".index.jsonl"
         self._loader = make_decode_loader(cache_hw)
         self._lock = threading.Lock()

@@ -89,6 +89,9 @@ def fold_darknet(
             and i not in shared
             and key in params
             and "bn" in params[key]
+            # params/state skew (e.g. a pruned state tree) skips the layer
+            # instead of crashing on the stats lookup below
+            and "bn" in state.get(key, {})
         )
         if not foldable:
             new_layers.append(layer)

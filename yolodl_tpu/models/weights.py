@@ -75,6 +75,49 @@ def _write_dense(chunks, p: Dict[str, Any], s) -> None:
             chunks.append(np.asarray(arr, "<f4").tobytes())
 
 
+def _zero_dense(in_f: int, out_f: int, bn: bool):
+    """Identity-init placeholder matching :func:`_read_dense`'s layout."""
+    p: Dict[str, Any] = {"w": np.zeros((in_f, out_f), np.float32),
+                         "b": np.zeros(out_f, np.float32)}
+    s = None
+    if bn:
+        p["bn"] = {"scale": np.ones(out_f, np.float32)}
+        s = {"bn": {"mean": np.zeros(out_f, np.float32),
+                    "var": np.ones(out_f, np.float32)}}
+    return p, s
+
+
+def _zero_conv(in_c: int, f: int, k: int, bn: bool):
+    """Identity-init placeholder matching :func:`_read_conv_block`."""
+    p: Dict[str, Any] = {"w": np.zeros((k, k, in_c, f), np.float32)}
+    s = None
+    if bn:
+        p["bn"] = {"scale": np.ones(f, np.float32),
+                   "bias": np.zeros(f, np.float32)}
+        s = {"bn": {"mean": np.zeros(f, np.float32),
+                    "var": np.ones(f, np.float32)}}
+    else:
+        p["b"] = np.zeros(f, np.float32)
+    return p, s
+
+
+def _chw_to_hwc_in_dim(w, h0: int, w0: int, c0: int):
+    """Dense in-dim permute: darknet flattens a spatial input (c, h, w);
+    our dense/recurrent cells flatten NHWC → (h, w, c)."""
+    w = np.asarray(w)  # (in_chw, out)
+    return np.ascontiguousarray(
+        w.reshape(c0, h0, w0, -1).transpose(1, 2, 0, 3)
+        .reshape(h0 * w0 * c0, -1))
+
+
+def _hwc_to_chw_in_dim(w, h0: int, w0: int, c0: int):
+    """Inverse of :func:`_chw_to_hwc_in_dim` (for saving)."""
+    w = np.asarray(w)  # (in_hwc, out)
+    return np.ascontiguousarray(
+        w.reshape(h0, w0, c0, -1).transpose(2, 0, 1, 3)
+        .reshape(h0 * w0 * c0, -1))
+
+
 def _read_conv_block(reader: WeightsReader, in_c: int, f: int, k: int, bn: bool):
     """One darknet convolutional block → (params, state|None), HWIO kernel."""
     p: Dict[str, Any] = {}
@@ -154,11 +197,7 @@ def load_darknet_weights(
             p, s = _read_dense(reader, in_f, layer.output,
                                layer.batch_normalize)
             if h0 * w0 > 1:
-                w = np.asarray(p["w"])  # (in_chw, out)
-                p["w"] = np.ascontiguousarray(
-                    w.reshape(c0, h0, w0, -1).transpose(1, 2, 0, 3)
-                    .reshape(in_f, -1)
-                )
+                p["w"] = _chw_to_hwc_in_dim(p["w"], h0, w0, c0)
             params[f"layer{i}"] = p
             if s:
                 state[f"layer{i}"] = s
@@ -166,12 +205,18 @@ def load_darknet_weights(
         if isinstance(layer, (dk.Rnn, dk.Gru, dk.Lstm)):
             subs = {dk.Rnn: _RNN_SUBS, dk.Gru: _GRU_SUBS,
                     dk.Lstm: _LSTM_SUBS}[type(layer)]
-            dims = _recurrent_dims(layer, prev[0] * prev[1] * prev[2])
+            h0, w0, c0 = prev
+            dims = _recurrent_dims(layer, h0 * w0 * c0)
             p: Dict[str, Any] = {}
             s: Dict[str, Any] = {}
             for key, fin, fout in subs:
                 sp, ss = _read_dense(reader, dims[fin], dims[fout],
                                      layer.batch_normalize)
+                if fin == "in" and h0 * w0 > 1:
+                    # input-facing gates flatten the spatial input: same
+                    # CHW→HWC in-dim permute as Connected above (the cells
+                    # reshape NHWC, ops/recurrent.py *_apply)
+                    sp["w"] = _chw_to_hwc_in_dim(sp["w"], h0, w0, c0)
                 p[key] = sp
                 if ss:
                     s[key] = ss
@@ -225,54 +270,69 @@ def save_darknet_weights(
     shapes = darknet.output_shapes()
     chunks = [struct.pack("<iii", 0, 2, 0), struct.pack("<q", seen)]
     for i, layer in enumerate(darknet.layers):
+        # graph-pruned training-only tails (e.g. the terminal
+        # [route]→[conv]→[contrastive] branch of yolov4-tiny_contrastive.cfg,
+        # pruned by from_darknet) have no model-tree entry — but the
+        # .weights format is positional, so darknet-C still expects every
+        # block: write identity-init placeholders (zero kernels/biases,
+        # BN γ=1/var=1 so the file stays numerically loadable) to keep
+        # every later layer's offsets right.  Applies to EVERY weighted
+        # layer family, not just [convolutional].
+        pruned = f"layer{i}" not in params
+        prev = darknet.net.input_shape_hwc if i == 0 else shapes[i - 1]
         if isinstance(layer, dk.Connected):
+            h0, w0, c0 = prev
+            if pruned:
+                p, s = _zero_dense(h0 * w0 * c0, layer.output,
+                                   layer.batch_normalize)
+                _write_dense(chunks, p, s)
+                continue
             p = params[f"layer{i}"]
-            h0, w0, c0 = darknet.net.input_shape_hwc if i == 0 else shapes[i - 1]
             if h0 * w0 > 1:
                 # our (h, w, c) in-dim order → darknet's (c, h, w)
-                w = np.asarray(p["w"])
-                p = {**p, "w": np.ascontiguousarray(
-                    w.reshape(h0, w0, c0, -1).transpose(2, 0, 1, 3)
-                    .reshape(h0 * w0 * c0, -1)
-                )}
+                p = {**p, "w": _hwc_to_chw_in_dim(p["w"], h0, w0, c0)}
             _write_dense(chunks, p, state.get(f"layer{i}"))
             continue
         if isinstance(layer, (dk.Rnn, dk.Gru, dk.Lstm)):
             subs = {dk.Rnn: _RNN_SUBS, dk.Gru: _GRU_SUBS,
                     dk.Lstm: _LSTM_SUBS}[type(layer)]
-            p = params[f"layer{i}"]
-            s = state.get(f"layer{i}", {})
-            for key, _, _ in subs:
-                _write_dense(chunks, p[key], s.get(key))
+            h0, w0, c0 = prev
+            dims = _recurrent_dims(layer, h0 * w0 * c0)
+            p = {} if pruned else params[f"layer{i}"]
+            s = {} if pruned else state.get(f"layer{i}", {})
+            for key, fin, fout in subs:
+                if pruned:
+                    zp, zs = _zero_dense(dims[fin], dims[fout],
+                                         layer.batch_normalize)
+                    _write_dense(chunks, zp, zs)
+                    continue
+                sp = p[key]
+                if fin == "in" and h0 * w0 > 1:
+                    sp = {**sp, "w": _hwc_to_chw_in_dim(sp["w"], h0, w0, c0)}
+                _write_dense(chunks, sp, s.get(key))
             continue
         if isinstance(layer, dk.Crnn):
-            p = params[f"layer{i}"]
-            s = state.get(f"layer{i}", {})
-            for key in ("input", "self", "output"):
-                _write_conv_block(chunks, p[key], s.get(key))
+            p = {} if pruned else params[f"layer{i}"]
+            s = {} if pruned else state.get(f"layer{i}", {})
+            for key, in_c, out_c in (
+                ("input", prev[2], layer.hidden),
+                ("self", layer.hidden, layer.hidden),
+                ("output", layer.hidden, layer.output),
+            ):
+                if pruned:
+                    zp, zs = _zero_conv(in_c // layer.groups, out_c,
+                                        layer.size, layer.batch_normalize)
+                    _write_conv_block(chunks, zp, zs)
+                else:
+                    _write_conv_block(chunks, p[key], s.get(key))
             continue
         if not isinstance(layer, dk.Convolutional) or layer.share_index is not None:
             continue
-        if f"layer{i}" not in params:
-            # graph-pruned training-only tail (e.g. the terminal
-            # [route]→[conv]→[contrastive] branch of
-            # yolov4-tiny_contrastive.cfg, pruned by from_darknet): the
-            # .weights format is positional, so darknet-C still expects
-            # this block — write an identity-init placeholder (zero
-            # kernel/bias, BN γ=1/var=1 so the file stays numerically
-            # loadable) to keep every later layer's offsets right.
+        if pruned:
             in_c = (darknet.net.channels if i == 0
                     else shapes[i - 1][2]) // layer.groups
-            f_, k_ = layer.filters, layer.size
-            zero_p = {"w": np.zeros((k_, k_, in_c, f_), np.float32)}
-            zero_s = None
-            if layer.batch_normalize:
-                zero_p["bn"] = {"scale": np.ones(f_, np.float32),
-                                "bias": np.zeros(f_, np.float32)}
-                zero_s = {"bn": {"mean": np.zeros(f_, np.float32),
-                                 "var": np.ones(f_, np.float32)}}
-            else:
-                zero_p["b"] = np.zeros(f_, np.float32)
+            zero_p, zero_s = _zero_conv(in_c, layer.filters, layer.size,
+                                        layer.batch_normalize)
             _write_conv_block(chunks, zero_p, zero_s)
             continue
         _write_conv_block(chunks, params[f"layer{i}"],

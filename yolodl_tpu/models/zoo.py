@@ -20,27 +20,27 @@ def load_newslab_model(path, seed: int = 0) -> Tuple[YoloModel, Dict, Dict]:
     return model, params, state
 
 
-def load_darknet_classifier(cfg_path, weights_path=None, seed: int = 0):
-    """darknet classification cfg (no [yolo] heads) → (GraphModel, params, state)."""
-    from .builder import GraphModel
-
+def _load_darknet(wrapper, cfg_path, weights_path, seed):
+    """Shared cfg → (model, params, state) path; ``wrapper`` picks the
+    model class (YoloModel for detectors, GraphModel for classifiers)."""
     darknet = dk.Darknet.load(cfg_path)
-    model = GraphModel(graph_from_darknet(darknet))
+    model = wrapper(graph_from_darknet(darknet))
     params, state = model.init(jax.random.PRNGKey(seed))
     if weights_path is not None:
         loaded_p, loaded_s, _seen = load_darknet_weights(darknet, weights_path)
         params, state = merge_into_model_tree(loaded_p, loaded_s, params, state)
     return model, params, state
+
+
+def load_darknet_classifier(cfg_path, weights_path=None, seed: int = 0):
+    """darknet classification cfg (no [yolo] heads) → (GraphModel, params, state)."""
+    from .builder import GraphModel
+
+    return _load_darknet(GraphModel, cfg_path, weights_path, seed)
 
 
 def load_darknet_model(
     cfg_path, weights_path=None, seed: int = 0
 ) -> Tuple[YoloModel, Dict, Dict]:
     """darknet .cfg (+ optional .weights) → (model, params, state)."""
-    darknet = dk.Darknet.load(cfg_path)
-    model = YoloModel(graph_from_darknet(darknet))
-    params, state = model.init(jax.random.PRNGKey(seed))
-    if weights_path is not None:
-        loaded_p, loaded_s, _seen = load_darknet_weights(darknet, weights_path)
-        params, state = merge_into_model_tree(loaded_p, loaded_s, params, state)
-    return model, params, state
+    return _load_darknet(YoloModel, cfg_path, weights_path, seed)
