@@ -129,3 +129,28 @@ def test_random_cross_check_vs_single_threshold_calculator():
     assert abs(s["AP50"] - ap50) < 1e-3
     assert abs(s["AP"] - coco_map_50_95(dets, gts)) < 1e-3
     assert 0.0 <= s["AR@100"] <= 1.0
+
+
+def test_match_with_ignores_degenerates_to_greedy_tp():
+    """The three greedy matchers share one semantics contract (conf-desc
+    first-match-wins, last-max-IoU tie-break, no zero-IoU matches).  With
+    no ignored GTs, _match_with_ignores must produce exactly _greedy_tp's
+    TP flags on random IoU matrices at every threshold — the cross-check
+    that keeps the ignore-aware path from drifting (match_detections vs
+    _greedy_tp is covered by test_eval's randomized cross-check)."""
+    from yolodl_tpu.loss.average_precision import (_greedy_tp,
+                                                   _match_with_ignores)
+
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        n_det, n_gt = rng.randint(0, 9), rng.randint(0, 7)
+        ious = rng.uniform(0, 1, (n_det, n_gt))
+        ious[rng.uniform(size=ious.shape) < 0.3] = 0.0  # zero-IoU pairs
+        ious[rng.uniform(size=ious.shape) < 0.2] = 0.5  # forced ties
+        for thr in (0.25, 0.5, 0.75):
+            tp = _greedy_tp(ious, thr)
+            dtm, dt_ig = _match_with_ignores(
+                ious, [False] * n_gt, thr)
+            assert not dt_ig.any()
+            np.testing.assert_array_equal(
+                tp, dtm > -1, err_msg=f"trial={trial} thr={thr}")

@@ -39,12 +39,8 @@ def main(argv=None):
     from ..config.app_config import DetectAppConfig
     from ..data import SanitizedDataset, make_decode_loader
     from ..data.letterbox import letterbox_unit_transform
-    from ..graph import Graph
-    from ..graph.from_darknet import load_darknet_graph
     from ..loss import non_max_suppression, yolo_inference
     from ..loss.inference import to_host_detections
-    from ..models import YoloModel
-    from ..train.checkpoint import load_checkpoint
     from ..train.logging import draw_boxes_on_image
 
     config = DetectAppConfig.load(args.config_file)
@@ -68,20 +64,12 @@ def main(argv=None):
                 f"artifact expects {artifact_px}px input but the "
                 f"config dataset is {config.dataset.image_size}px")
         artifact_dtype = jnp.dtype(meta["input_dtype"])
-    elif config.model_kind == "darknet":
-        if args.weights:
-            from ..models.zoo import load_darknet_model
-
-            model, params, state = load_darknet_model(model_path, args.weights)
-        else:
-            model = YoloModel(load_darknet_graph(model_path))
-            params, state = model.init(jax.random.PRNGKey(0))
     else:
-        graph = Graph.load_newslab_v1_json(model_path)
-        model = YoloModel(graph)
-        params, state = model.init(jax.random.PRNGKey(0))
-    if args.checkpoint and not args.artifact:
-        params, state, _, _ = load_checkpoint(args.checkpoint, params, state)
+        from ._common import build_model
+
+        model, params, state, model_path = build_model(
+            config, base_dir, weights=args.weights,
+            checkpoint=args.checkpoint)
 
     dataset = SanitizedDataset(
         config.dataset.open(base_dir),
@@ -102,20 +90,23 @@ def main(argv=None):
             return pred
     else:
         def forward(params, state, images):
-            x = images.astype(artifact_dtype)
+            # loader yields float [0,1] NCHW; a serving artifact ingests
+            # uint8 pixels (the /255 normalize is baked into its program) —
+            # a bare astype(uint8) would truncate [0,1] floats to all-zeros
+            if artifact_dtype == jnp.uint8:
+                x = jnp.round(images * 255.0).astype(jnp.uint8)
+            else:
+                x = images.astype(artifact_dtype)
             if artifact_nhwc:  # loader yields NCHW batches
                 x = jnp.transpose(x, (0, 2, 3, 1))
             return artifact_infer(x)
 
     # honor the model cfg's nms_kind + beta_nms (yolo.rs NmsKind; e.g.
-    # yolov4-csp, cspx-p7 declare nms_kind=diounms)
-    nms_kind, nms_beta = "greedy", 0.6
-    if config.model_kind == "darknet" and os.path.exists(model_path):
-        # (with --artifact the cfg may be absent; greedy defaults then apply)
-        from ..config import darknet_cfg as dk
-        from ..loss.nms import nms_options_from_darknet
+    # yolov4-csp, cspx-p7 declare nms_kind=diounms; with --artifact the
+    # cfg may be absent and greedy defaults apply)
+    from ._common import nms_options
 
-        nms_kind, nms_beta = nms_options_from_darknet(dk.Darknet.load(model_path))
+    nms_kind, nms_beta = nms_options(config, model_path)
 
     @jax.jit
     def postprocess(pred):
@@ -137,6 +128,13 @@ def main(argv=None):
     # replicates the model per device and fans a shared stream out
     # (detect/src/main.rs:44-67); under SPMD this is just sharding metadata
     n_devices = args.devices or config.n_devices
+    if artifact_infer is not None and n_devices > 1:
+        # the exported program was compiled for one device; sharding its
+        # inputs would contradict the '--devices do not apply' contract
+        raise ValueError(
+            "--artifact runs the exported single-device program; the "
+            f"config's {n_devices}-device block does not apply (re-export "
+            "per device or use the live-model path for DP detect)")
     if n_devices > 1:
         from ..parallel import make_dp_shardings
 
@@ -194,11 +192,10 @@ def main(argv=None):
                 inv = letterbox_unit_transform(
                     (rec.height, rec.width), (size, size)
                 ).inverse()
-                for det in dets[i]:
-                    t, l, b, r = det["tlbr"]
-                    (ot, ol), (ob, orr) = inv.apply_points(
-                        np.asarray([[t, l], [b, r]])
-                    )
+                tlbrs = inv.apply_tlbr(np.asarray(
+                    [det["tlbr"] for det in dets[i]], np.float64
+                ).reshape(-1, 4))
+                for det, (ot, ol, ob, orr) in zip(dets[i], tlbrs):
                     x_px = float(ol * rec.width)
                     y_px = float(ot * rec.height)
                     w_px = float((orr - ol) * rec.width)

@@ -38,37 +38,17 @@ def main(argv=None):
                              "(0 = the config's device list, like detect)")
     args = parser.parse_args(argv)
 
-    import jax
-
     from ..config.app_config import DetectAppConfig
     from ..data import SanitizedDataset, make_decode_loader
-    from ..graph import Graph
-    from ..graph.from_darknet import load_darknet_graph
-    from ..models import YoloModel
-    from ..train.checkpoint import load_checkpoint
     from ..train.evaluation import DatasetEvaluator
+    from ._common import build_model, nms_options
 
     config = DetectAppConfig.load(args.config_file)
     base_dir = os.path.dirname(os.path.abspath(args.config_file))
-    model_path = os.path.join(base_dir, config.model_file)
 
-    if config.model_kind == "darknet":
-        if args.weights:
-            from ..models.zoo import load_darknet_model
-
-            model, params, state = load_darknet_model(model_path, args.weights)
-        else:
-            model = YoloModel(load_darknet_graph(model_path))
-            params, state = model.init(jax.random.PRNGKey(0))
-    else:
-        model = YoloModel(Graph.load_newslab_v1_json(model_path))
-        params, state = model.init(jax.random.PRNGKey(0))
-    if args.checkpoint:
-        params, state, _, meta = load_checkpoint(args.checkpoint, params, state)
-        if args.ema:
-            if "ema" not in meta:
-                raise SystemExit("checkpoint has no EMA parameters")
-            params = meta["ema"]
+    model, params, state, model_path = build_model(
+        config, base_dir, weights=args.weights,
+        checkpoint=args.checkpoint, ema=args.ema)
 
     dataset = SanitizedDataset(
         config.dataset.open(base_dir),
@@ -80,12 +60,7 @@ def main(argv=None):
     loader = make_decode_loader((size, size))
 
     # honor the model cfg's nms_kind + beta_nms (detect_main does the same)
-    nms_kind, nms_beta = "greedy", 0.6
-    if config.model_kind == "darknet":
-        from ..config import darknet_cfg as dk
-        from ..loss.nms import nms_options_from_darknet
-
-        nms_kind, nms_beta = nms_options_from_darknet(dk.Darknet.load(model_path))
+    nms_kind, nms_beta = nms_options(config, model_path)
 
     records = dataset.records()
     if args.limit:

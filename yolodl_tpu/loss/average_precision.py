@@ -188,14 +188,20 @@ def ap_at_thresholds(
     The single shared pipeline behind :func:`average_precision` and
     :func:`coco_map_50_95` — returns ``{thr: {"per_class": …, "mAP": …}}``.
     """
-    class_ids = sorted(
-        {d.class_id for d in detections} | {g.class_id for g in ground_truths}
-    )
+    # one O(N) pre-pass instead of re-filtering the full lists per class
+    # (80 classes x 500k detections would be 40M predicate calls)
+    dets_by_class: Dict[int, list] = {}
+    gts_by_class: Dict[int, list] = {}
+    for d in detections:
+        dets_by_class.setdefault(d.class_id, []).append(d)
+    for g in ground_truths:
+        gts_by_class.setdefault(g.class_id, []).append(g)
+    class_ids = sorted(set(dets_by_class) | set(gts_by_class))
     per_thr: Dict[float, Dict[int, float]] = {t: {} for t in thresholds}
     gt_counts: Dict[int, int] = {}
     for cid in class_ids:
-        dets = [d for d in detections if d.class_id == cid]
-        gts = [g for g in ground_truths if g.class_id == cid]
+        dets = dets_by_class.get(cid, [])
+        gts = gts_by_class.get(cid, [])
         buckets = _class_buckets(dets, gts)
         conf = (np.concatenate([c for c, _ in buckets])
                 if buckets else np.zeros(0))

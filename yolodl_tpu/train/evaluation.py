@@ -144,7 +144,15 @@ class DatasetEvaluator:
                     oh = getattr(rec, "height", 0)
                     ow = getattr(rec, "width", 0)
                     if not (oh and ow):  # DataRecord: decoded dims
-                        oh, ow = getattr(rec, "hw", (1, 1))
+                        oh, ow = getattr(rec, "hw", (0, 0))
+                    if not (oh and ow):
+                        # silently using scale=1 would put EVERY box in the
+                        # 'small' COCO bucket (ratio² areas are < 32²) and
+                        # report -1 for medium/large with no hint why
+                        raise ValueError(
+                            f"{getattr(rec, 'path', rec)}: extended (COCO "
+                            "size-bucket) evaluation needs original image "
+                            "dimensions on the records")
                     scale = float(max(oh, ow)) ** 2
                 for (cy, cx, h, w), cls in zip(chunk[i].boxes, chunk[i].classes):
                     gts.append(GroundTruth(
