@@ -267,3 +267,38 @@ class TestDetectDecode:
         g = jax.grad(f)(x)
         assert g.shape == x.shape
         assert bool(jnp.all(jnp.isfinite(g)))
+
+
+class TestDeconv:
+    @pytest.mark.parametrize("k,s,p,op,d", [
+        (2, 2, 0, 0, 1),   # the classic x2 upsample deconv
+        (3, 2, 1, 1, 1),
+        (3, 1, 1, 0, 1),
+        (3, 2, 1, 0, 2),   # dilated
+    ])
+    def test_matches_torch_conv_transpose2d(self, k, s, p, op, d):
+        """DeconvBn2D must be the torch ConvTranspose2d ADJOINT the
+        reference wraps (deconv_bn_2d.rs) — including the spatial kernel
+        flip lax.conv_transpose does NOT do by itself."""
+        import torch
+
+        from yolodl_tpu.config.newslab import BatchNormConfig, DeconvBn2D
+        from yolodl_tpu.ops.conv import deconv_bn_apply
+
+        rng = np.random.default_rng(11)
+        in_c, out_c, hw = 5, 4, 7
+        x = rng.normal(size=(2, hw, hw, in_c)).astype(np.float32)
+        w = rng.normal(size=(k, k, in_c, out_c)).astype(np.float32)
+        b = rng.normal(size=(out_c,)).astype(np.float32)
+        layer = DeconvBn2D(c=out_c, k=k, s=s, p=p, op=op, d=d, act="linear",
+                           bn=BatchNormConfig(enabled=False))
+        ours, _ = deconv_bn_apply({"w": jnp.asarray(w), "b": jnp.asarray(b)},
+                                  {}, jnp.asarray(x), layer, train=False)
+        ref = torch.nn.functional.conv_transpose2d(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            torch.from_numpy(w.transpose(2, 3, 0, 1)),  # HWIO → (in,out,kh,kw)
+            torch.from_numpy(b), stride=s, padding=p, output_padding=op,
+            dilation=d,
+        ).numpy().transpose(0, 2, 3, 1)
+        assert ours.shape == ref.shape, (ours.shape, ref.shape)
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-5)

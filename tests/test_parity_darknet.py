@@ -598,3 +598,64 @@ def test_spatial_recurrent_parity(tmp_path, kind, extra):
         assert mse < 1e-5, f"layer {i} ({k}): relative MSE {mse:.3e}"
         checked += 1
     assert checked >= 4
+
+
+def test_conv_fed_detection_parity(tmp_path):
+    """[detection] directly after a conv (no [connected] flatten) vs
+    darknet-C: the detection layer consumes the CHW-flat activation, so
+    the builder must transpose NHWC→NCHW before flattening — a bare NHWC
+    reshape interleaves the class/conf/box blocks."""
+    import jax
+    import jax.numpy as jnp
+
+    from oracle import DarknetOracle
+    from yolodl_tpu.config import darknet_cfg as dk
+    from yolodl_tpu.graph.from_darknet import graph_from_darknet
+    from yolodl_tpu.models.builder import GraphModel
+    from yolodl_tpu.models.weights import save_darknet_weights
+
+    cfg_text = """
+[net]
+batch=1
+subdivisions=1
+height=4
+width=4
+channels=3
+
+[convolutional]
+filters=8
+size=3
+stride=1
+pad=0
+activation=leaky
+
+[detection]
+classes=3
+coords=4
+rescore=1
+side=2
+num=1
+softmax=1
+"""
+    cfg_path = str(tmp_path / "convdet.cfg")
+    with open(cfg_path, "w") as f:
+        f.write(cfg_text)
+    darknet = dk.Darknet.load(cfg_path)
+    model = GraphModel(graph_from_darknet(darknet))
+    params, state = model.init(jax.random.PRNGKey(31))
+    wpath = str(tmp_path / "convdet.weights")
+    save_darknet_weights(darknet, params, state, wpath)
+
+    oracle = DarknetOracle(cfg_path, wpath)
+    rng = np.random.default_rng(37)
+    image = rng.uniform(0.0, 1.0, (3, 4, 4)).astype(np.float32)
+    oracle.forward(image)
+    _, _, ours = model.apply(
+        params, state, jnp.asarray(image[None]), train=False,
+        return_intermediates=True,
+    )
+    ref = oracle.layer_output(1).reshape(-1)  # the [detection] layer
+    mine = np.asarray(ours["layer1"]).reshape(-1)
+    assert mine.shape == ref.shape
+    mse = float(np.mean((mine - ref) ** 2) / (np.mean(ref**2) + 1e-12))
+    assert mse < 1e-6, f"[detection] relative MSE {mse:.3e}"

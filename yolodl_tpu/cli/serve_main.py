@@ -40,14 +40,9 @@ def main(argv=None):
                              "build; batch/size come from the artifact")
     args = parser.parse_args(argv)
 
-    import jax
-
     from ..config.app_config import DetectAppConfig
-    from ..graph import Graph
-    from ..graph.from_darknet import load_darknet_graph
-    from ..models import YoloModel
     from ..serve import DetectionService, make_http_server
-    from ..train.checkpoint import load_checkpoint
+    from ._common import build_model, nms_options
 
     config = DetectAppConfig.load(args.config_file)
     base_dir = os.path.dirname(os.path.abspath(args.config_file))
@@ -60,31 +55,23 @@ def main(argv=None):
                 "--artifact bakes the weights in; --weights/--checkpoint "
                 "do not apply")
         model = params = state = None
-    elif config.model_kind == "darknet":
-        if weights:
-            from ..models.zoo import load_darknet_model
-
-            model, params, state = load_darknet_model(model_path, weights)
-        else:
-            model = YoloModel(load_darknet_graph(model_path))
-            params, state = model.init(jax.random.PRNGKey(0))
     else:
-        model = YoloModel(Graph.load_newslab_v1_json(model_path))
-        params, state = model.init(jax.random.PRNGKey(0))
-    if args.checkpoint and not args.artifact:
-        params, state, _, _ = load_checkpoint(args.checkpoint, params, state)
+        model, params, state, model_path = build_model(
+            config, base_dir, weights=weights, checkpoint=args.checkpoint)
 
-    nms_kind, nms_beta = "greedy", 0.6
-    if config.model_kind == "darknet" and not args.artifact \
-            and os.path.exists(model_path):
-        from ..config import darknet_cfg as dk
-        from ..loss.nms import nms_options_from_darknet
-
-        nms_kind, nms_beta = nms_options_from_darknet(dk.Darknet.load(model_path))
+    # NMS runs LIVE in the postprocess program even with --artifact (only
+    # the forward is baked in), so the cfg's nms_kind/beta_nms apply either
+    # way — dropping them would make artifact responses diverge from the
+    # live model on diounms cfgs
+    nms_kind, nms_beta = nms_options(config, model_path)
 
     class_names = None
-    if args.classes_file:
-        with open(args.classes_file) as f:
+    ds_classes = config.dataset.classes_file
+    if ds_classes and not os.path.isabs(ds_classes):
+        ds_classes = os.path.join(base_dir, ds_classes)
+    classes_path = args.classes_file or ds_classes
+    if classes_path and os.path.exists(classes_path):
+        with open(classes_path) as f:
             class_names = [ln.strip() for ln in f if ln.strip()]
 
     if args.artifact:

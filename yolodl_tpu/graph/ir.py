@@ -58,7 +58,6 @@ class InputKeys:
     kind: str  # "none" | "placeholder" | "single" | "indexed"
     keys: Tuple[int, ...] = ()
 
-    NONE = None  # populated below
 
     @staticmethod
     def none() -> "InputKeys":
@@ -518,19 +517,30 @@ def _infer_shape(
             h = w = Dim(1)
         else:
             b, _, h, w = shape
-        k, p = layer.k, layer.p
+        k, p, d = layer.k, layer.p, layer.d
+        # stride-1 conv with dilation: v + 2p − d·(k−1) — the builder
+        # passes d through to the real sub-convs (from_darknet.py), so the
+        # rule must match or planner cuts / crnn_apply's h+self add trace
+        # against a shape the IR never produces
         return ShapeOut.tensor(
             Shape([b, layer.out,
-                   h.map(lambda v: v + 2 * p - k + 1),
-                   w.map(lambda v: v + 2 * p - k + 1)])
+                   h.map(lambda v: v + 2 * p - d * (k - 1)),
+                   w.map(lambda v: v + 2 * p - d * (k - 1))])
         )
 
     if isinstance(layer, cfg.GlobalAvgPool2D):
         b, c, _, _ = _single_tensor(ik, shapes)
         return ShapeOut.tensor(Shape([b, c, 1, 1]))
 
-    if isinstance(layer, (cfg.Dropout, cfg.Softmax, cfg.Identity,
-                          cfg.Yolov1Detection)):
+    if isinstance(layer, cfg.Yolov1Detection):
+        # the builder flattens (CHW-major for conv-fed inputs) to 2-D
+        shape = _single_tensor(ik, shapes)
+        if len(shape) == 2:
+            return ShapeOut.tensor(shape)
+        b, c, h, w = shape
+        return ShapeOut.tensor(Shape([b, c * h * w]))
+
+    if isinstance(layer, (cfg.Dropout, cfg.Softmax, cfg.Identity)):
         return ShapeOut.tensor(_single_tensor(ik, shapes))
 
     if isinstance(layer, cfg.DarknetRoute):

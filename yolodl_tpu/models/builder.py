@@ -630,7 +630,14 @@ class GraphModel:
             elif isinstance(layer, cfg.Softmax):
                 outputs[key] = jax.nn.softmax(single(), axis=-1)
             elif isinstance(layer, cfg.Yolov1Detection):
-                h = single().reshape(single().shape[0], -1)
+                h = single()
+                if h.ndim == 4:
+                    # conv-fed: darknet's [detection] consumes the CHW-flat
+                    # activation (detection_layer.c indexes class/conf/box
+                    # blocks in that order) — a bare NHWC reshape would
+                    # interleave the blocks
+                    h = jnp.transpose(h, (0, 3, 1, 2))
+                h = h.reshape(h.shape[0], -1)
                 if layer.softmax:
                     # per-cell softmax over the leading S²·C class block
                     # (detection_layer.c:9-17); confidences/boxes untouched

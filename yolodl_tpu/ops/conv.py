@@ -128,13 +128,22 @@ def deconv_bn_apply(
     """Transposed conv with torch-compatible padding/output-padding semantics:
     out = (in-1)*s - 2p + d*(k-1) + op + 1 (deconv_bn_2d.rs:164-165)."""
     p, op, d, k, s = layer.padding, layer.op, layer.d, layer.k, layer.s
+    if layer.g != 1:
+        raise NotImplementedError(
+            "grouped transposed conv is not supported (lax.conv_transpose "
+            "has no feature_group_count)")
     # lax.conv_transpose padding is on the *output* grid; torch-style padding
     # p maps to (d*(k-1) - p) lo and (d*(k-1) - p + op) hi.
     pad_lo = d * (k - 1) - p
     pad_hi = d * (k - 1) - p + op
+    # Spatial flip: ConvTranspose2d is the ADJOINT of the forward conv, which
+    # correlates with the flipped kernel; lax.conv_transpose with
+    # transpose_kernel=False is a fractionally-strided *correlation* and
+    # would apply the kernel unflipped (verified numerically vs torch —
+    # max|Δ| ~10 unflipped, 0 flipped on random k=3 s=2 cases).
     out = jax.lax.conv_transpose(
         x,
-        params["w"].astype(x.dtype),
+        jnp.flip(params["w"], (0, 1)).astype(x.dtype),
         strides=(s, s),
         padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
         rhs_dilation=(d, d),

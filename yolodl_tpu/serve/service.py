@@ -58,18 +58,18 @@ class ServiceStats:
                 del self._lat_ms[: -self._RING]
 
     def snapshot(self, batch_size: int) -> Dict:
-        with self._lock:
+        with self._lock:  # one lock scope: no torn counter pairs
             lat = np.asarray(self._lat_ms, np.float64)
-        out = {
-            "requests": self.requests,
-            "images_done": self.images_done,
-            "batches": self.batches,
-            "errors": self.errors,
-            "mean_batch_fill": (
-                round(self.batch_fill_sum / (self.batches * batch_size), 3)
-                if self.batches else 0.0
-            ),
-        }
+            out = {
+                "requests": self.requests,
+                "images_done": self.images_done,
+                "batches": self.batches,
+                "errors": self.errors,
+                "mean_batch_fill": (
+                    round(self.batch_fill_sum / (self.batches * batch_size), 3)
+                    if self.batches else 0.0
+                ),
+            }
         if len(lat):
             out["latency_ms"] = {
                 "p50": round(float(np.percentile(lat, 50)), 2),
@@ -81,7 +81,8 @@ class ServiceStats:
 
 
 class _Pending:
-    __slots__ = ("image", "src_hw", "event", "result", "error", "t_submit")
+    __slots__ = ("image", "src_hw", "event", "result", "error", "t_submit",
+                 "err_counted")
 
     def __init__(self, image: np.ndarray, src_hw: Tuple[int, int]):
         self.image = image
@@ -90,6 +91,9 @@ class _Pending:
         self.result: Optional[List[dict]] = None
         self.error: Optional[Exception] = None
         self.t_submit = time.perf_counter()
+        # an errored request counts ONCE even when two paths see it (a
+        # client timeout followed by the batch failing on-device)
+        self.err_counted = False
 
 
 class DetectionService:
@@ -300,9 +304,17 @@ class DetectionService:
         ).astype(np.uint8)
         return self.submit_u8(u8, timeout=timeout)
 
+    def _count_error(self, pending: "_Pending") -> None:
+        with self.stats._lock:
+            if not pending.err_counted:
+                pending.err_counted = True
+                self.stats.errors += 1
+
     def _submit_pil(self, pil_img, src_hw, timeout: float) -> List[dict]:
         from ..data.letterbox import letterbox_u8_pil
 
+        if self._stop.is_set():
+            raise ServiceShutdownError("service shut down")
         boxed = letterbox_u8_pil(
             pil_img, (self.image_size, self.image_size), src_hw=src_hw)
         pending = _Pending(boxed, src_hw)
@@ -312,15 +324,21 @@ class DetectionService:
         try:
             self._queue.put(pending, timeout=timeout)
         except queue.Full:
-            with self.stats._lock:
-                self.stats.errors += 1
+            self._count_error(pending)
             raise ServiceOverloadedError(
                 "service overloaded: request queue full")
+        if self._stop.is_set() and not pending.event.is_set():
+            # shutdown raced the enqueue: its one-shot queue drain may have
+            # already passed this entry, and no dispatcher will — fail
+            # deterministically instead of blocking out the client timeout
+            pending.error = pending.error or ServiceShutdownError(
+                "service shut down")
+            pending.event.set()
         if not pending.event.wait(max(0.0, deadline - time.perf_counter())):
-            with self.stats._lock:
-                self.stats.errors += 1
+            self._count_error(pending)
             raise TimeoutError("detection timed out")
         if pending.error is not None:
+            self._count_error(pending)
             raise pending.error
         self.stats.record((time.perf_counter() - pending.t_submit) * 1e3)
         return pending.result
@@ -415,7 +433,10 @@ class DetectionService:
 
     def _fail_batch(self, batch: List[_Pending], e: Exception) -> None:
         with self.stats._lock:
-            self.stats.errors += len(batch)
+            for p in batch:
+                if not p.err_counted:
+                    p.err_counted = True
+                    self.stats.errors += 1
         for p in batch:
             p.error = e
             p.event.set()
