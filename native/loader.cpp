@@ -1,18 +1,17 @@
-// Native host data-loader: threaded JPEG/PNG decode + letterbox resize.
+// Native host data-loader: JPEG/PNG decode + letterbox resize.
 //
 // The TPU-native counterpart of the reference's native data path: yolo-dl's
 // hot I/O loop runs through libtorch's C++ image decode inside a par-stream
-// pipeline (yolo-dl/src/processor/file_cache.rs:131-223).  Here a C++
-// thread pool decodes images (libjpeg/libpng), performs the aspect-
-// preserving letterbox resize with bilinear sampling, and writes float32
-// CHW tensors in [0,1] into caller-owned buffers — Python's pipeline calls
-// it via ctypes with zero copies on the result path.
+// pipeline (yolo-dl/src/processor/file_cache.rs:131-223).  Here C++ decodes
+// images (libjpeg/libpng), performs the aspect-preserving letterbox resize
+// with bilinear sampling, and writes float32 CHW tensors in [0,1] into
+// caller-owned buffers — Python's pipeline calls ldr_load via ctypes from
+// ITS worker threads (the call is GIL-free and thread-safe: the Loader is
+// stateless after construction), with zero copies on the result path.
 //
 // C ABI:
-//   ldr_create(threads, out_h, out_w) -> handle
-//   ldr_load(handle, path, out[3*out_h*out_w])        synchronous decode
-//   ldr_submit(handle, ticket, path)                  async enqueue
-//   ldr_fetch(handle, out) -> ticket                  blocking dequeue
+//   ldr_create(threads, out_h, out_w) -> handle   (threads is ignored)
+//   ldr_load(handle, path, out[3*out_h*out_w])    synchronous decode
 //   ldr_destroy(handle)
 //
 // Build: native/build.sh → native/libyolodl_loader.so
@@ -25,15 +24,10 @@
 #include <jpeglib.h>
 #include <png.h>
 
-#include <atomic>
-#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
-#include <deque>
-#include <mutex>
 #include <string>
-#include <thread>
 #include <vector>
 
 namespace {
@@ -227,67 +221,12 @@ void letterbox_into(const Image& img, int out_h, int out_w, float pad, float* ou
     }
 }
 
-struct Job {
-    int64_t ticket;
-    std::string path;
-};
-
-struct Result {
-    int64_t ticket;
-    std::vector<float> data;  // empty on failure
-};
-
 struct Loader {
     int out_h, out_w;
     bool scaled_decode;
-    std::vector<std::thread> workers;
-    std::deque<Job> jobs;
-    std::deque<Result> results;
-    std::mutex mu;
-    std::condition_variable job_cv, result_cv;
-    bool stopping = false;
 
-    Loader(int threads, int h, int w, bool scaled)
-        : out_h(h), out_w(w), scaled_decode(scaled) {
-        for (int i = 0; i < threads; ++i)
-            workers.emplace_back([this] { run(); });
-    }
-
-    void run() {
-        for (;;) {
-            Job job;
-            {
-                std::unique_lock<std::mutex> lk(mu);
-                job_cv.wait(lk, [this] { return stopping || !jobs.empty(); });
-                if (stopping && jobs.empty()) return;
-                job = std::move(jobs.front());
-                jobs.pop_front();
-            }
-            Result res;
-            res.ticket = job.ticket;
-            Image img;
-            if (decode_file(job.path.c_str(), &img,
-                            scaled_decode ? out_h : 0,
-                            scaled_decode ? out_w : 0)) {
-                res.data.resize((size_t)3 * out_h * out_w);
-                letterbox_into(img, out_h, out_w, 0.5f, res.data.data());
-            }
-            {
-                std::lock_guard<std::mutex> lk(mu);
-                results.push_back(std::move(res));
-            }
-            result_cv.notify_one();
-        }
-    }
-
-    ~Loader() {
-        {
-            std::lock_guard<std::mutex> lk(mu);
-            stopping = true;
-        }
-        job_cv.notify_all();
-        for (auto& t : workers) t.join();
-    }
+    Loader(int h, int w, bool scaled)
+        : out_h(h), out_w(w), scaled_decode(scaled) {}
 };
 
 }  // namespace
@@ -295,16 +234,16 @@ struct Loader {
 extern "C" {
 
 void* ldr_create(int threads, int out_h, int out_w) {
-    if (threads < 1) threads = 1;
-    return new Loader(threads, out_h, out_w, /*scaled=*/false);
+    (void)threads;  // kept for ABI compatibility; ldr_load is synchronous
+    return new Loader(out_h, out_w, /*scaled=*/false);
 }
 
 // flags bit 0: JPEG DCT-scaled decode (decode big photos at the smallest
 // M/8 scale that still covers the letterbox content — same geometry,
 // resampling source is the scaled image)
 void* ldr_create2(int threads, int out_h, int out_w, int flags) {
-    if (threads < 1) threads = 1;
-    return new Loader(threads, out_h, out_w, (flags & 1) != 0);
+    (void)threads;  // kept for ABI compatibility; ldr_load is synchronous
+    return new Loader(out_h, out_w, (flags & 1) != 0);
 }
 
 void ldr_destroy(void* handle) { delete static_cast<Loader*>(handle); }
@@ -317,29 +256,6 @@ int ldr_load(void* handle, const char* path, float* out) {
                      l->scaled_decode ? l->out_w : 0)) return -1;
     letterbox_into(img, l->out_h, l->out_w, 0.5f, out);
     return 0;
-}
-
-void ldr_submit(void* handle, int64_t ticket, const char* path) {
-    Loader* l = static_cast<Loader*>(handle);
-    {
-        std::lock_guard<std::mutex> lk(l->mu);
-        l->jobs.push_back({ticket, path});
-    }
-    l->job_cv.notify_one();
-}
-
-// blocks until one result is ready; copies into out and returns the ticket,
-// or returns -1 with out untouched when the decode failed
-int64_t ldr_fetch(void* handle, float* out) {
-    Loader* l = static_cast<Loader*>(handle);
-    std::unique_lock<std::mutex> lk(l->mu);
-    l->result_cv.wait(lk, [l] { return !l->results.empty(); });
-    Result res = std::move(l->results.front());
-    l->results.pop_front();
-    lk.unlock();
-    if (res.data.empty()) return -1;
-    std::memcpy(out, res.data.data(), res.data.size() * sizeof(float));
-    return res.ticket;
 }
 
 // ---------------------------------------------------------------------------

@@ -194,7 +194,10 @@ def test_new_coords_cfg_uses_scaled_decode():
 
 class TestCfgRoundTrip:
     @pytest.mark.parametrize(
-        "name", ["yolov4-tiny.cfg", "yolov4-csp.cfg", "yolov4.cfg"]
+        "name", ["yolov4-tiny.cfg", "yolov4-csp.cfg", "yolov4.cfg",
+                 "Gaussian_yolov3_BDD.cfg",  # [Gaussian_yolo]: 9-entry head
+                 "crnn.train.cfg",           # [crnn] geometry fields
+                 "t1.test.cfg"]              # [detection] incl. rescore
     )
     def test_parse_serialize_parse_identity(self, name):
         from yolodl_tpu.config.darknet_cfg import to_cfg_string
@@ -216,8 +219,43 @@ class TestCfgRoundTrip:
                 assert a.masked_anchors == b.masked_anchors
                 assert a.scale_x_y == b.scale_x_y
                 assert a.new_coords == b.new_coords
+                assert a.gaussian == b.gaussian
+                assert (a.iou_normalizer, a.obj_normalizer,
+                        a.cls_normalizer, a.label_smooth_eps) == \
+                       (b.iou_normalizer, b.obj_normalizer,
+                        b.cls_normalizer, b.label_smooth_eps)
+            if isinstance(a, dk.Detection):
+                assert (a.rescore, a.softmax, a.sqrt) == \
+                       (b.rescore, b.softmax, b.sqrt)
+            if isinstance(a, dk.Crnn):
+                assert (a.dilation, a.groups) == (b.dilation, b.groups)
+        # [net] keys the serializer doesn't model ride through verbatim
+        assert first.net.saturation == second.net.saturation
+        assert first.net.exposure == second.net.exposure
         # output shapes identical → structural identity
         assert first.output_shapes() == second.output_shapes()
+
+
+class TestCfgRoundTripCorpus:
+    def test_whole_corpus_round_trips_structurally(self):
+        """Every corpus cfg: parse→serialize→parse preserves layer types,
+        inferred output shapes, and the stopbackward/onlyforward maps —
+        to_cfg_string is what fold-weights writes, so a serializer gap
+        silently changes deployed models."""
+        import glob
+
+        from yolodl_tpu.config.darknet_cfg import to_cfg_string
+
+        for path in sorted(glob.glob(os.path.join(REPO, "cfg/darknet/*.cfg"))):
+            name = os.path.basename(path)
+            a = dk.Darknet.load(path)
+            b = dk.Darknet.from_str(to_cfg_string(a))
+            assert [type(x) for x in a.layers] == \
+                   [type(y) for y in b.layers], name
+            if name != "resnet152_trident.cfg":  # broken upstream
+                assert a.output_shapes() == b.output_shapes(), name
+            assert (a.stop_backward, a.only_forward) == \
+                   (b.stop_backward, b.only_forward), name
 
 
 class TestGaussianYolo:

@@ -91,10 +91,20 @@ def main(argv=None):
     # timestamped run dir + config copy (main.rs:34-51); non-chief ranks get
     # a rank-suffixed dir (no checkpoints land there, so FromRecent resume
     # scans only ever find the chief's)
-    run_dir = os.path.join(
-        config.logging.dir,
-        time.strftime("%Y-%m-%d-%H-%M-%S") + (f"-r{proc_id}" if proc_id else ""))
-    os.makedirs(run_dir, exist_ok=True)
+    stamp = time.strftime("%Y-%m-%d-%H-%M-%S")
+    rank_tag = f"-r{proc_id}" if proc_id else ""
+    run_dir = os.path.join(config.logging.dir, stamp + rank_tag)
+    # the stamp has second resolution: two runs in the same second must not
+    # share a dir (interleaved checkpoints would poison FromRecent resume)
+    dedupe = 1
+    while True:
+        try:
+            os.makedirs(run_dir)
+            break
+        except FileExistsError:
+            dedupe += 1
+            run_dir = os.path.join(
+                config.logging.dir, f"{stamp}.{dedupe}{rank_tag}")
     shutil.copy(args.config_file, os.path.join(run_dir, "train.json5"))
     ckpt_dir = os.path.join(run_dir, "checkpoints")
 
@@ -512,6 +522,13 @@ def main(argv=None):
         print("steps_per_call > 1 requires single-device, fixed-size "
               "training; falling back to per-step dispatch")
         scan_k = 1
+    if scan_k > 1 and args.max_steps and args.max_steps % scan_k:
+        # the stop check runs at window ends only (mid-window params are
+        # unsaveable), so a non-multiple max-steps rounds UP — say so
+        # rather than silently overshooting an exact-step A/B run
+        print(f"warning: --max-steps {args.max_steps} is not a multiple of "
+              f"steps_per_call {scan_k}; the run stops at step "
+              f"{-(-args.max_steps // scan_k) * scan_k} (window end)")
     if scan_k > 1:
         from ..train import make_multi_step
 
@@ -562,7 +579,9 @@ def main(argv=None):
                 if np.ndim(val) == 0 and not np.isfinite(float(val)):
                     raise RuntimeError(
                         f"non-finite metric {k!r} at step {step}")
-        lr = lr_at_step(config.lr, step)
+        # step is 1-based post-update here, but optax evaluates the schedule
+        # at the 0-based pre-update count — log the rate the update USED
+        lr = lr_at_step(config.lr, step - 1)
         bench_keys = ("obj_accuracy", "obj_recall", "obj_precision",
                       "class_accuracy", "num_matched")
         wg_keys = [k for k in metrics

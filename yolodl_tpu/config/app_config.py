@@ -594,7 +594,7 @@ class TrainAppConfig:
                     f"{path}: pipeline_parallel ({pp}) must divide the "
                     f"device count ({n_devices}); devices fold into "
                     "(stages x per-stage data-parallel groups)")
-            if training.get("ema", {}).get("enabled"):
+            if _as_dict(training.get("ema"), "training.ema").get("enabled"):
                 raise ValueError(
                     f"{path}: ema is not supported under pipeline_parallel")
             pp_dp = n_devices // pp

@@ -778,6 +778,17 @@ def to_cfg_string(darknet: Darknet) -> str:
         out.append(f"inputs={net.inputs}")
     if net.time_steps != 1:
         out.append(f"time_steps={net.time_steps}")
+    # every other [net] key rides through verbatim from the parse
+    # (augmentation knobs, adam B1/B2/eps, anything unknown) — the
+    # documented preserve-unknown-keys contract
+    handled = set(emitted) | {
+        "steps", "scales", "power", "gamma", "step", "scale",
+        "learning_rate_min", "sgdr_cycle", "sgdr_mult", "mosaic",
+        "letter_box", "adam", "inputs", "time_steps",
+    }
+    for key, value in net.raw.items():
+        if key not in handled:
+            out.append(f"{key}={value}")
 
     stop_by_idx = dict(darknet.stop_backward)
     only_fwd = set(darknet.only_forward)
@@ -834,7 +845,9 @@ def to_cfg_string(darknet: Darknet) -> str:
             if layer.reverse:
                 out.append("reverse=1")
         elif isinstance(layer, Yolo):
-            out.append("[yolo]")
+            # the Gaussian head has 9 box entries, not 5 — emitting [yolo]
+            # for it would change the decode (and crash output_shape)
+            out.append("[Gaussian_yolo]" if layer.gaussian else "[yolo]")
             if layer.mask:
                 out.append("mask=" + ",".join(str(i) for i in layer.mask))
             if layer.anchors:
@@ -853,6 +866,15 @@ def to_cfg_string(darknet: Darknet) -> str:
             out.append(f"nms_kind={layer.nms_kind}")
             if layer.beta_nms != 0.6:
                 out.append(f"beta_nms={_fmt(layer.beta_nms)}")
+            if layer.iou_normalizer != 0.75:
+                out.append(f"iou_normalizer={_fmt(layer.iou_normalizer)}")
+            if layer.obj_normalizer != 1.0:
+                out.append(f"obj_normalizer={_fmt(layer.obj_normalizer)}")
+            if layer.cls_normalizer != 1.0:
+                out.append(f"cls_normalizer={_fmt(layer.cls_normalizer)}")
+            if layer.label_smooth_eps:
+                out.append(
+                    f"label_smooth_eps={_fmt(layer.label_smooth_eps)}")
         elif isinstance(layer, Detection):
             out.append("[detection]")
             out.append(f"classes={layer.classes}")
@@ -861,6 +883,8 @@ def to_cfg_string(darknet: Darknet) -> str:
             out.append(f"num={layer.num}")
             out.append(f"softmax={1 if layer.softmax else 0}")
             out.append(f"sqrt={1 if layer.sqrt else 0}")
+            if layer.rescore:
+                out.append("rescore=1")
         elif isinstance(layer, Rnn):
             out.append("[rnn]")
             if layer.batch_normalize:
@@ -884,11 +908,53 @@ def to_cfg_string(darknet: Darknet) -> str:
             out.append(f"size={layer.size}")
             out.append(f"stride={layer.stride}")
             out.append(f"padding={layer.padding}")
+            if layer.dilation != 1:
+                out.append(f"dilation={layer.dilation}")
+            if layer.groups != 1:
+                out.append(f"groups={layer.groups}")
             out.append(f"output={layer.output}")
             out.append(f"hidden={layer.hidden}")
             out.append(f"activation={layer.activation}")
             if layer.shortcut:
                 out.append("shortcut=1")
+        elif isinstance(layer, Connected):
+            out.append("[connected]")
+            if layer.batch_normalize:
+                out.append("batch_normalize=1")
+            out.append(f"output={layer.output}")
+            out.append(f"activation={layer.activation}")
+        elif isinstance(layer, Softmax):
+            out.append("[softmax]")
+            if layer.groups != 1:
+                out.append(f"groups={layer.groups}")
+        elif isinstance(layer, Dropout):
+            out.append("[dropout]")
+            out.append(f"probability={_fmt(layer.probability)}")
+        elif isinstance(layer, AvgPool):
+            out.append("[avgpool]")
+        elif isinstance(layer, Region):
+            out.append("[region]")
+            if layer.anchors:
+                out.append(
+                    "anchors="
+                    + ",".join(f"{_fmt(w)},{_fmt(h)}" for w, h in layer.anchors)
+                )
+            out.append(f"classes={layer.classes}")
+            out.append(f"num={layer.num}")
+            out.append(f"softmax={1 if layer.softmax else 0}")
+        elif isinstance(layer, Reorg):
+            out.append("[reorg]" if layer.old else "[reorg3d]")
+            out.append(f"stride={layer.stride}")
+            if layer.reverse:
+                out.append("reverse=1")
+        elif isinstance(layer, Sam):
+            out.append("[sam]")
+            out.append(f"from={layer.from_layer}")
+        elif isinstance(layer, ScaleChannels):
+            out.append("[scale_channels]")
+            out.append(f"from={layer.from_layer}")
+            if layer.scale_wh:
+                out.append("scale_wh=1")
         else:
             out.append(f"[{layer.section}]")
             for key, value in layer.raw.items():

@@ -66,10 +66,9 @@ def make_decode_loader(cache_hw: Tuple[int, int]):
         from .native_loader import NativeLoader, native_loader_available
 
         if native_loader_available():
-            # threads=1: the sync ldr_load path runs in the caller's thread
-            # (the pipeline's workers); the C++ pool only serves the async
-            # submit/fetch API, which this loader doesn't use
-            return NativeLoader(cache_hw, threads=1)
+            # ldr_load runs synchronously in the caller's thread (the
+            # pipeline's workers) with the GIL released — no native pool
+            return NativeLoader(cache_hw)
     return OnDemandLoader(cache_hw)
 
 

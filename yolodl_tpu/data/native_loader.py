@@ -1,16 +1,15 @@
 """ctypes bridge to the native C++ image loader (native/loader.cpp).
 
 Drop-in alternative to :class:`OnDemandLoader`: decode (libjpeg/libpng) and
-letterbox happen in C++ worker threads, so the Python pipeline thread only
-shuffles pointers.  Falls back to the PIL path when the shared library
-hasn't been built (``native/build.sh``).
+letterbox run in C++ with the GIL released, so the pipeline's Python worker
+threads decode genuinely in parallel.  Falls back to the PIL path when the
+shared library hasn't been built (``native/build.sh``).
 """
 
 from __future__ import annotations
 
 import ctypes
 import os
-import threading
 from typing import Tuple
 
 import numpy as np
@@ -96,9 +95,14 @@ def color_jitter_native(rgb_chw: np.ndarray, hue_shift: float,
 
 
 class NativeLoader:
-    """Threaded C++ decode+letterbox; same .load contract as OnDemandLoader."""
+    """C++ decode+letterbox; same .load contract as OnDemandLoader.
 
-    def __init__(self, cache_hw: Tuple[int, int], threads: int = 2,
+    ``ldr_load`` is synchronous, GIL-free, and thread-safe — parallelism
+    comes from the PYTHON pipeline's worker threads calling it
+    concurrently, not from a native pool (``threads`` is ignored, kept for
+    call-site compatibility)."""
+
+    def __init__(self, cache_hw: Tuple[int, int], threads: int = 0,
                  scaled_decode: bool = True):
         """``scaled_decode`` turns on libjpeg DCT-domain scaled decode for
         JPEGs much larger than the letterbox frame (a 4000px photo headed
@@ -130,7 +134,6 @@ class NativeLoader:
                 self._lib.ldr_create(threads, cache_hw[0], cache_hw[1])
             )
         self._fallback = OnDemandLoader(cache_hw)
-        self._lock = threading.Lock()
 
     def load(self, record: FileRecord) -> DataRecord:
         h, w = self.cache_hw
@@ -143,7 +146,15 @@ class NativeLoader:
         if rc != 0:
             # unsupported format → PIL fallback
             return self._fallback.load(record)
-        if len(record.boxes_pixel) and record.height > 0 and record.width > 0:
+        if len(record.boxes_pixel):
+            if record.height <= 0 or record.width <= 0:
+                # the PIL path fails loudly on this corruption
+                # (ZeroDivisionError in _boxes_to_ratio) — silently
+                # dropping the labels here would train on unlabeled images
+                raise ValueError(
+                    f"{record.path}: record carries {len(record.boxes_pixel)}"
+                    f" boxes but no image dimensions "
+                    f"({record.height}x{record.width})")
             unit = letterbox_unit_transform(
                 (record.height, record.width), self.cache_hw)
             boxes = unit.apply_cycxhw(_boxes_to_ratio(record)).astype(np.float32)

@@ -59,6 +59,17 @@ class LrScheduleConfig:
         elif self.kind == "constant":
             if self.lr < 0:
                 raise ValueError("the lr must be positive")
+        elif self.kind == "darknet" and self.policy == "sgdr":
+            # cycle 0 would loop forever in the warm-restart seek (both the
+            # host path and the traced lax.while_loop); darknet itself
+            # degrades to NaN here — fail loudly instead
+            if not (self.sgdr_cycle or self.max_batches):
+                raise ValueError(
+                    "policy=sgdr needs sgdr_cycle or max_batches > 0 "
+                    "(the restart cycle length would be 0)")
+            if self.sgdr_mult < 1:
+                raise ValueError(
+                    f"sgdr_mult must be >= 1, got {self.sgdr_mult}")
 
     @staticmethod
     def parse(raw: Union[dict, float, int, None]) -> "LrScheduleConfig":
