@@ -15,6 +15,10 @@ mkdir -p "$BUILD"/obj "$BUILD"/backup "$BUILD"/results
 # w>1&&h>1, so parser.c:1670 divides by zero (SIGFPE) — guard the average.
 # The patched copy lives only in the build dir; the reference stays read-only.
 mkdir -p "$BUILD"/patched
+# fail fast if the upstream line drifts: sed exits 0 on a no-match, which
+# would produce a "successful" build whose oracle still SIGFPEs
+grep -q 'avg_outputs = avg_outputs / avg_counter;' "$DARKNET_SRC/src/parser.c" \
+    || { echo "FPE-guard pattern not found in parser.c — update build.sh" >&2; exit 1; }
 sed 's|avg_outputs = avg_outputs / avg_counter;|if (avg_counter > 0) avg_outputs = avg_outputs / avg_counter;|' \
     "$DARKNET_SRC/src/parser.c" > "$BUILD/patched/parser.c"
 

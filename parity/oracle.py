@@ -33,6 +33,8 @@ LAYER_TYPES = [
 class DarknetOracle:
     def __init__(self, cfg_path: str, weights_path: str, batch: int = 1,
                  train: bool = False):
+        self._batch = batch
+        self._train = train  # dk_load_train uses the cfg's own batch
         self.lib = ctypes.CDLL(os.path.join(_DIR, "dk_shim.so"))
         self.lib.dk_load.restype = ctypes.c_void_p
         self.lib.dk_load.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
@@ -114,6 +116,18 @@ class DarknetOracle:
         if image_chw.ndim == 3:
             c, h, w = image_chw.shape
             assert (h, w) == self.input_hw and c == self.input_c
+        # darknet reads net.batch*inputs floats unconditionally
+        # (network_predict does NOT reset net.batch) — an undersized buffer
+        # is an out-of-bounds read in C, so validate the TOTAL size when
+        # the spatial input geometry is known (inputs-only sequence nets
+        # report 0/1 dims and are exercised with exact-size vectors)
+        if (not self._train and self.input_c > 0
+                and all(v > 1 for v in self.input_hw)):
+            expect = (self._batch * self.input_c
+                      * self.input_hw[0] * self.input_hw[1])
+            assert image_chw.size == expect, (
+                f"oracle batch={self._batch} expects {expect} floats, "
+                f"got {image_chw.size}")
         buf = np.ascontiguousarray(image_chw, np.float32)
         self.lib.dk_forward(
             self.net, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
@@ -194,10 +208,17 @@ class DarknetOracle:
 
     def detections(self, img_w: int, img_h: int, thresh: float = 0.25,
                    capacity: int = 4096) -> np.ndarray:
-        """[(x, y, w, h, obj, class, prob)] rows from darknet's own decode."""
-        out = np.zeros((capacity, 7), np.float32)
-        n = self.lib.dk_detections(
-            self.net, img_w, img_h, thresh,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), capacity,
-        )
-        return out[:n]
+        """[(x, y, w, h, obj, class, prob)] rows from darknet's own decode.
+
+        The shim truncates at ``capacity`` — a truncated oracle set would
+        silently fail parity comparisons, so retry with a bigger buffer
+        until the result fits."""
+        while True:
+            out = np.zeros((capacity, 7), np.float32)
+            n = self.lib.dk_detections(
+                self.net, img_w, img_h, thresh,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), capacity,
+            )
+            if n < capacity:
+                return out[:n]
+            capacity *= 4

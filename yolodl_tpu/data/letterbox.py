@@ -80,17 +80,23 @@ def letterbox_resize(
     tgt_h, tgt_w = target_hw
     new_h, new_w, off_y, off_x = letterbox_geometry((src_h, src_w), target_hw)
 
-    # PIL resize per channel stack (HWC uint8-free float path)
-    hwc = np.transpose(image_chw, (1, 2, 0))
-    arr = (np.clip(hwc, 0, 1) * 255).astype(np.uint8)
-    if c == 1:
-        arr = arr[..., 0]  # PIL needs 2-D for single-channel ("L") images
-    pil = Image.fromarray(arr)
-    resized = np.asarray(
-        pil.resize((new_w, new_h), Image.BILINEAR), dtype=np.float32
-    ) / 255.0
-    if resized.ndim == 2:
-        resized = resized[..., None]
+    # true float path: PIL mode-"F" bilinear per channel — no u8 round-trip
+    # (the reference's resize2d_letterbox is float end-to-end,
+    # tch-goodies/src/tensor.rs:746-948; quantizing here would store u8
+    # precision in the f32 cache at 4x the bytes)
+    resized = np.stack(
+        [
+            np.asarray(
+                Image.fromarray(
+                    np.ascontiguousarray(image_chw[ch], np.float32),
+                    mode="F").resize(
+                    (new_w, new_h), Image.BILINEAR),
+                dtype=np.float32,
+            )
+            for ch in range(c)
+        ],
+        axis=-1,
+    )
 
     out = np.full((tgt_h, tgt_w, c), pad_value, np.float32)
     out[off_y : off_y + new_h, off_x : off_x + new_w, :] = resized

@@ -57,6 +57,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._util import interpret_default, make_conv2d_with_wgrad
+
 Array = jax.Array
 
 
@@ -121,10 +123,6 @@ def _wgrad_db_kernel(x_hbm, g_ref, out_ref, xbuf, sems, *, k, rows, ow, ci):
                 out_ref[t] = out_ref[t] + acc
 
 
-def _interpret_default() -> bool:
-    return jax.default_backend() == "cpu"
-
-
 def wgrad_db(xp: Array, g: Array, k: int, interpret=None) -> Array:
     """dW for a stride-1 dense conv from pre-padded input (double-buffered).
 
@@ -133,7 +131,7 @@ def wgrad_db(xp: Array, g: Array, k: int, interpret=None) -> Array:
     → [k, k, Ci, Co] f32
     """
     if interpret is None:
-        interpret = _interpret_default()
+        interpret = interpret_default()
     b, hp, wp, ci = xp.shape
     _, h, w, co = g.shape
     assert hp == h + k - 1 and wp == w + k - 1
@@ -180,35 +178,8 @@ def wgrad_db(xp: Array, g: Array, k: int, interpret=None) -> Array:
 # custom-vjp conv wrapper: XLA forward + XLA dX + double-buffered Pallas dW
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def conv2d_db(x: Array, w: Array, k: int) -> Array:
-    """Dense stride-1 'same' conv whose dW uses the double-buffered kernel."""
-    pad = (k - 1) // 2
-    return jax.lax.conv_general_dilated(
-        x, w.astype(x.dtype), (1, 1), ((pad, pad), (pad, pad)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-
-
-def _conv2d_db_fwd(x: Array, w: Array, k: int):
-    pad = (k - 1) // 2
-    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0))) if pad else x
-    y = jax.lax.conv_general_dilated(
-        xp, w.astype(x.dtype), (1, 1), ((0, 0), (0, 0)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return y, (xp, w)
-
-
-def _conv2d_db_bwd(k: int, res: Tuple[Array, Array], g: Array):
-    xp, w = res
-    pad = (k - 1) // 2
-    wt = jnp.flip(w, (0, 1)).swapaxes(2, 3).astype(g.dtype)
-    dxp = jax.lax.conv_general_dilated(
-        g, wt, (1, 1), ((k - 1, k - 1), (k - 1, k - 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    dx = dxp[:, pad:dxp.shape[1] - pad, pad:dxp.shape[2] - pad, :] if pad \
-        else dxp
-    dw = wgrad_db(xp, g, k).astype(w.dtype)
-    return dx, dw
-
-
-conv2d_db.defvjp(_conv2d_db_fwd, _conv2d_db_bwd)
+# shared custom-vjp algebra (kernels/_util.make_conv2d_with_wgrad); only
+# the backward-filter kernel differs from conv2d_lowch
+conv2d_db = make_conv2d_with_wgrad(
+    wgrad_db,
+    "Dense stride-1 'same' conv whose dW uses the double-buffered kernel.")

@@ -34,6 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._util import interpret_default, make_conv2d_with_wgrad
+
 Array = jax.Array
 
 
@@ -79,12 +81,6 @@ def _wgrad_kernel(x_hbm, g_ref, out_ref, xbuf, sem, *, k, rows, w_in, ci):
         out_ref[:] = out_ref[:] + acc
 
 
-def _interpret_default() -> bool:
-    # tests run on CPU where Mosaic kernels need the interpreter; the axon
-    # backend is a real TPU
-    return jax.default_backend() == "cpu"
-
-
 def wgrad_lowch(xp: Array, g: Array, k: int, interpret=None) -> Array:
     """dW for a stride-1 dense conv from pre-padded input.
 
@@ -93,7 +89,7 @@ def wgrad_lowch(xp: Array, g: Array, k: int, interpret=None) -> Array:
     → [k, k, Ci, Co] f32
     """
     if interpret is None:
-        interpret = _interpret_default()
+        interpret = interpret_default()
     b, hp, wp, ci = xp.shape
     _, h, w, co = g.shape
     assert hp == h + k - 1 and wp == w + k - 1
@@ -125,40 +121,7 @@ def wgrad_lowch(xp: Array, g: Array, k: int, interpret=None) -> Array:
     return out.reshape(k, k, ci, co)
 
 
-# ----------------------------------------------------------------------
-# custom-vjp conv wrapper: XLA forward + XLA dX + Pallas dW
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def conv2d_lowch(x: Array, w: Array, k: int) -> Array:
-    """Dense stride-1 'same' conv whose dW uses the Pallas kernel."""
-    pad = (k - 1) // 2
-    return jax.lax.conv_general_dilated(
-        x, w.astype(x.dtype), (1, 1), ((pad, pad), (pad, pad)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-
-
-def _conv2d_lowch_fwd(x: Array, w: Array, k: int):
-    pad = (k - 1) // 2
-    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0))) if pad else x
-    y = jax.lax.conv_general_dilated(
-        xp, w.astype(x.dtype), (1, 1), ((0, 0), (0, 0)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return y, (xp, w)
-
-
-def _conv2d_lowch_bwd(k: int, res: Tuple[Array, Array], g: Array):
-    xp, w = res
-    pad = (k - 1) // 2
-    # dX: full-padded correlation with the spatially-flipped kernel
-    wt = jnp.flip(w, (0, 1)).swapaxes(2, 3).astype(g.dtype)
-    dxp = jax.lax.conv_general_dilated(
-        g, wt, (1, 1), ((k - 1, k - 1), (k - 1, k - 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    dx = dxp[:, pad:dxp.shape[1] - pad, pad:dxp.shape[2] - pad, :] if pad \
-        else dxp
-    dw = wgrad_lowch(xp, g, k).astype(w.dtype)
-    return dx, dw
-
-
-conv2d_lowch.defvjp(_conv2d_lowch_fwd, _conv2d_lowch_bwd)
+# custom-vjp conv wrapper: XLA forward + XLA dX + Pallas dW (shared algebra
+# in kernels/_util.make_conv2d_with_wgrad)
+conv2d_lowch = make_conv2d_with_wgrad(
+    wgrad_lowch, "Dense stride-1 'same' conv whose dW uses the Pallas kernel.")

@@ -30,7 +30,10 @@ class Dim:
         if isinstance(value, str):
             if value == "_":
                 return Dim(None)
-            return Dim(int(value))
+            size = int(value)
+            if size < 0:  # same rule as the int branch below
+                raise ValueError(f"dim size must be non-negative: {value!r}")
+            return Dim(size)
         if isinstance(value, bool):  # guard against bools sneaking in as ints
             raise TypeError(f"invalid dim value: {value!r}")
         if isinstance(value, int):

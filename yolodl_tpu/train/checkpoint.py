@@ -25,7 +25,11 @@ import jax
 import numpy as np
 
 _CKPT_RE = re.compile(
-    r"^(?P<timestamp>[0-9-]+)_(?P<step>\d{6})_(?P<loss>[0-9.+-]+)\.ckpt$"
+    # step: 6+ digits (runs past 1M must stay resumable); loss: any numeric
+    # rendering INCLUDING nan/inf — a diverged run's preemption checkpoint
+    # must not become invisible to FromRecent (ordering is by the leading
+    # timestamp, so the loss text never affects recency)
+    r"^(?P<timestamp>[0-9-]+)_(?P<step>\d{6,})_(?P<loss>[0-9a-z.+-]+)\.ckpt$"
 )
 
 

@@ -52,6 +52,20 @@ class _UnitWrapper(Generic[T]):
     def __neg__(self):
         return type(self)(-self.value)
 
+    # reflected forms: 2 * Pixel(3) must work like Pixel(3) * 2 — the
+    # pass-arithmetic-through contract is symmetric
+    def __radd__(self, other):
+        return type(self)(self._coerce(other) + self.value)
+
+    def __rsub__(self, other):
+        return type(self)(self._coerce(other) - self.value)
+
+    def __rmul__(self, other):
+        return type(self)(self._coerce(other) * self.value)
+
+    def __rtruediv__(self, other):
+        return type(self)(self._coerce(other) / self.value)
+
     def __eq__(self, other):
         return type(other) is type(self) and bool(np.all(self.value == other.value))
 

@@ -64,6 +64,8 @@ def weighted_mean_tensors(pairs: Sequence[Tuple[Array, float]]) -> Array:
     if not pairs:
         raise ValueError("weighted_mean_tensors needs at least one pair")
     total_w = sum(w for _, w in pairs)
+    if total_w == 0:
+        raise ValueError("weighted_mean_tensors weights sum to zero")
     out = pairs[0][0] * (pairs[0][1] / total_w)
     for t, w in pairs[1:]:
         out = out + t * (w / total_w)
