@@ -146,6 +146,21 @@ class TestTrainCli:
         # tensorboard event file written
         assert any(name.startswith("events.out") for name in os.listdir(run_dir))
 
+    def test_train_bf16_precision(self, workspace):
+        """training.precision: "bfloat16" trains end-to-end (finite losses,
+        checkpoints written); params/opt state stay f32 (test_precision.py
+        pins the dtypes — this exercises the CLI wiring)."""
+        cfg = json.loads((workspace / "train.json5").read_text())
+        cfg["training"]["precision"] = "bfloat16"
+        (workspace / "train_bf16.json5").write_text(json.dumps(cfg))
+        out = run_cli(
+            "yolodl_tpu.cli.train_main",
+            "--config-file", str(workspace / "train_bf16.json5"),
+            "--max-steps", "2",
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        assert "non-finite" not in out.stdout
+
     def test_train_freeze_through(self, workspace):
         """training.freeze_through freezes a node and its ancestors via
         the production CLI: the frozen conv's params are bit-identical

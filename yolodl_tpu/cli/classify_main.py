@@ -108,11 +108,16 @@ def main(argv=None):
         from ..train.lr_schedule import lr_schedule_from_darknet
 
         lr_cfg = lr_schedule_from_darknet(darknet.net)
+    from ..config.app_config import parse_precision
+
+    precision = parse_precision(
+        training.get("precision", "float32"), args.config_file)
     config = TrainConfig(
         lr=lr_cfg,
         optimizer=str(opt_raw.get("type", "adam")).lower(),
         momentum=float(opt_raw.get("momentum", 0.937)),
         weight_decay=float(opt_raw.get("weight_decay", 0.0)),
+        compute_dtype=(precision if precision != "float32" else None),
     )
     optimizer = make_optimizer(config)
     opt_state = optimizer.init(params)

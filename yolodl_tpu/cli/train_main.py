@@ -250,6 +250,8 @@ def main(argv=None):
         log_weights_and_grads=config.logging.enable_gradients,
         return_obj_sample=config.logging.enable_images,
         debug_stat=config.logging.enable_debug_stat,
+        compute_dtype=(config.precision
+                       if config.precision != "float32" else None),
     )
     use_pp = config.pipeline_parallel > 1
     use_tp = config.tensor_parallel > 1

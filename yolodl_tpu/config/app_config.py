@@ -74,6 +74,18 @@ def _parse_freeze(val) -> Tuple[str, ...]:
         f"{type(val).__name__}")
 
 
+def parse_precision(value, where: str) -> str:
+    """training.precision → "float32" | "bfloat16" (accepts common aliases)."""
+    norm = str(value).lower()
+    if norm in ("bf16", "bfloat16"):
+        return "bfloat16"
+    if norm in ("f32", "fp32", "float32"):
+        return "float32"
+    raise ValueError(
+        f"{where}: training.precision must be \"float32\" or \"bfloat16\", "
+        f"got {value!r}")
+
+
 def _dict_section(raw: dict, key: str, path, required: bool = True) -> dict:
     """A top-level config section that must be a JSON object — corrupt
     files get one clean ValueError, not an AttributeError downstream."""
@@ -487,6 +499,13 @@ class TrainAppConfig:
     # device_config {"type": "MultiProcess", ...}: n_devices is resolved at
     # runtime (jax.device_count() after joining the distributed runtime)
     multi_process: Optional[MultiProcessConfig] = None
+    # training.precision: "float32" (default, reference semantics) or
+    # "bfloat16" — run the forward/backward conv path in bf16 while
+    # parameters/optimizer state/BN stats/loss math stay f32 (the loss
+    # upcasts its inputs, loss/yolo_loss.py:141).  bf16 is the MXU's fast
+    # path on TPU (bench.py and the real-TPU quality loops train this way:
+    # flagship mAP@0.5 0.99 in bf16, BASELINE.md)
+    precision: str = "float32"
 
     @staticmethod
     def load(path) -> "TrainAppConfig":
@@ -613,6 +632,8 @@ class TrainAppConfig:
                 f"{path}: training.batch_size ({batch_size}) must be divisible "
                 f"by data-parallel replicas x accumulation_steps "
                 f"({n_data} x {accum})")
+        precision = parse_precision(
+            training.get("precision", "float32"), str(path))
         return TrainAppConfig(
             model_kind=kind,
             model_file=model["cfg_file"],
@@ -652,6 +673,7 @@ class TrainAppConfig:
             multi_scale_interval=int(ms.get("interval", 10)),
             use_ema=bool(_as_dict(training.get("ema"), "training.ema").get("enabled", False)),
             ema_decay=float(_as_dict(training.get("ema"), "training.ema").get("decay", 0.9999)),
+            precision=precision,
         )
 
 

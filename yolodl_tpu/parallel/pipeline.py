@@ -523,6 +523,8 @@ class PipelineTrainStep:
         pp, S, M = self.pp, self.pp.n_stages, self.n_micro
         if data_format == "NCHW":
             images = jnp.transpose(images, (0, 2, 3, 1))
+        if self.config.compute_dtype is not None:
+            images = images.astype(self.config.compute_dtype)
         batch = images.shape[0]
         if batch % M:
             raise ValueError(

@@ -359,6 +359,8 @@ def make_spatial_train_step(model, optimizer, config, mesh: Mesh):
 
     def shard_step(ts: TrainState, images, gt_boxes, gt_classes, gt_mask):
         x = jnp.transpose(images, (0, 2, 3, 1))  # local NHWC
+        if config.compute_dtype is not None:
+            x = x.astype(config.compute_dtype)
 
         def loss_fn(params, state):
             prefix, bn_updates = _run_prefix(

@@ -72,6 +72,8 @@ def make_classifier_train_step(
     logits_key = _pre_softmax_key(model)
 
     def loss_fn(params, state, images, labels):
+        if config.compute_dtype is not None:
+            images = images.astype(config.compute_dtype)
         # output_key=None is exactly the default graph output
         out, new_state = model.apply(
             params, state, images, train=True, data_format=data_format,

@@ -55,6 +55,14 @@ class TrainConfig:
     # mean decoded cy/cx/h/w scalars per step (logging.rs:135-146
     # enable_debug_stat statistics)
     debug_stat: bool = False
+    # compute dtype for the forward/backward pass ("bfloat16" | None).
+    # The batch is cast at step entry; every conv casts its f32 weights to
+    # the activation dtype (ops/conv.py), so parameters, optimizer state and
+    # BN running stats stay float32 while all convolutions hit the MXU's
+    # bf16 path (~2x the f32 conv throughput on v5e; bench.py trains the
+    # flagship this way).  None = compute in the batch's own dtype (f32
+    # from the data pipeline).  Beyond-reference: tch trains f32 only.
+    compute_dtype: Optional[str] = None
 
 
 @jax.tree_util.register_pytree_node_class
@@ -189,6 +197,8 @@ def make_batch_grads(
         raise ValueError(f"accum must be >= 1, got {accum}")
 
     def loss_fn(params, state, images, gt_boxes, gt_classes, gt_mask):
+        if config.compute_dtype is not None:
+            images = images.astype(config.compute_dtype)
         pred, new_state = model.apply(params, state, images, train=True,
                                       data_format=data_format)
         out, aux = yolo_loss(pred, gt_boxes, gt_classes, gt_mask, config.loss)
