@@ -218,6 +218,13 @@ class TestDatasetEvaluatorDevices:
 
         # extended mode: adds the 12-number COCO block; AP50 agrees with
         # mAP@0.5 here (single class, so the class denominators coincide)
+        # bf16 evaluation (the serving path's production precision): the
+        # report stays a valid mAP close to f32 on this easy fixture
+        r16 = DatasetEvaluator(model, records, Identity(),
+                               precision="bfloat16", **kw)(params, state)
+        assert set(r16) == set(r1)
+        assert abs(r16["mAP@0.5"] - r1["mAP@0.5"]) < 0.05
+
         rx = DatasetEvaluator(model, records, Identity(), extended=True,
                               **kw)(params, state)
         assert set(rx["coco"]) == {

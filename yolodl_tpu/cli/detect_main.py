@@ -24,6 +24,11 @@ def main(argv=None):
     parser.add_argument("--save-json", default="",
                         help="also write COCO-format detections (original "
                              "pixel coordinates) to this file")
+    parser.add_argument("--precision", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="forward-pass compute dtype; bfloat16 is the "
+                             "serving path's production precision (params "
+                             "stay f32)")
     parser.add_argument("--artifact", default="",
                         help="run an exported StableHLO artifact dir "
                              "(yolo-tool export) instead of building the "
@@ -84,11 +89,21 @@ def main(argv=None):
     # two-stage jit: NMS fused into the conv program inherits layouts that
     # send XLA's TopK down a slow path on TPU (see CLAUDE.md perf ledger)
     if artifact_infer is None:
+        compute_dtype = (None if args.precision == "float32"
+                         else args.precision)
+
         @jax.jit
         def forward(params, state, images):
+            if compute_dtype is not None:
+                images = images.astype(compute_dtype)
             pred, _ = model.apply(params, state, images, train=False)
             return pred
     else:
+        if args.precision != "float32":
+            raise ValueError(
+                "--precision does not apply to --artifact runs: the "
+                "artifact's compute dtype was fixed at export time")
+
         def forward(params, state, images):
             # loader yields float [0,1] NCHW; a serving artifact ingests
             # uint8 pixels (the /255 normalize is baked into its program) —

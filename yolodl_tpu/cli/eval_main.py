@@ -36,6 +36,11 @@ def main(argv=None):
     parser.add_argument("--devices", type=int, default=0,
                         help="shard evaluation batches over N devices "
                              "(0 = the config's device list, like detect)")
+    parser.add_argument("--precision", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="forward-pass compute dtype; bfloat16 is the "
+                             "serving path's production precision (params "
+                             "stay f32)")
     args = parser.parse_args(argv)
 
     from ..config.app_config import DetectAppConfig
@@ -76,6 +81,7 @@ def main(argv=None):
         nms_beta=nms_beta,
         devices=args.devices or config.n_devices,
         extended=args.coco,
+        precision=args.precision,
     )
     result = evaluator(params, state)
     per_class = result.pop("per_class")

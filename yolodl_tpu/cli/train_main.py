@@ -480,6 +480,10 @@ def main(argv=None):
             confidence_threshold=config.eval_conf_thresh,
             nms_kind=nms_kind,
             nms_beta=nms_beta,
+            # validation runs at the training precision so val/mAP measures
+            # the dtype actually being trained (and deployed — serving is
+            # bf16)
+            precision=config.precision,
         )
 
     if config.logging.enable_images:

@@ -45,6 +45,7 @@ class DatasetEvaluator:
         cache_bytes: int = 1 << 30,
         devices: int = 1,
         extended: bool = False,
+        precision: str = "float32",
     ):
         #: also compute the 12-number COCO summary (AP by size, AR@k) with
         #: size buckets in ORIGINAL-image pixel areas (requires records to
@@ -71,8 +72,14 @@ class DatasetEvaluator:
             self._place_batch = lambda x: jax.device_put(x, batch_sharded)
             self._place_replicated = lambda t: jax.device_put(t, replicated)
 
+        # "bfloat16" runs the conv path on the MXU's fast dtype (the
+        # serving/export path's production precision); params stay f32
+        compute_dtype = None if precision == "float32" else precision
+
         @jax.jit
         def forward(params, state, images):
+            if compute_dtype is not None:
+                images = images.astype(compute_dtype)
             pred, _ = model.apply(params, state, images, train=False)
             return pred
 
