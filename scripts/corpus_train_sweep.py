@@ -106,7 +106,7 @@ def _tree_delta(a, b) -> float:
     )
 
 
-def train_one(path: str, name: str) -> str:
+def train_one(path: str, name: str, precision: str = "float32") -> str:
     import jax
     import jax.numpy as jnp
 
@@ -131,7 +131,8 @@ def train_one(path: str, name: str) -> str:
         from yolodl_tpu.train import make_train_step
 
         model = YoloModel(graph)
-        config = TrainConfig()
+        config = TrainConfig(compute_dtype=(
+            None if precision == "float32" else precision))
         ts, opt = train_init(model, config, seed=0)
         step = make_train_step(model, opt, config)
         # detectors with recurrent layers (e.g. [crnn] trackers) need the
@@ -169,7 +170,8 @@ def train_one(path: str, name: str) -> str:
     n_out = int(np.prod(out_sd.shape[1:]))
     labels = jnp.asarray(rng.integers(0, n_out, size=(t,)), jnp.int32)
 
-    config = TrainConfig()
+    config = TrainConfig(compute_dtype=(
+        None if precision == "float32" else precision))
     optimizer = make_optimizer(config)
     ts = TrainState(params, state, optimizer.init(params),
                     jnp.zeros((), jnp.int32), None)
@@ -190,6 +192,9 @@ def main():
     ap.add_argument("--all", action="store_true",
                     help="sweep every corpus cfg, not the family subset")
     ap.add_argument("--cfg", nargs="*", help="explicit cfg names")
+    ap.add_argument("--precision", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="train-step compute dtype (training.precision)")
     args = ap.parse_args()
 
     repo = os.path.join(os.path.dirname(__file__), "..")
@@ -209,7 +214,7 @@ def main():
         path = os.path.join(repo, "cfg/darknet", name)
         t0 = time.time()
         try:
-            info = train_one(path, name)
+            info = train_one(path, name, args.precision)
             ok += 1
             print(f"ok   {name:40s} {info} [{time.time()-t0:5.1f}s]",
                   flush=True)

@@ -45,6 +45,8 @@ MOSAIC = float(os.environ.get("QLR_MOSAIC", "0.25"))
 # QLR_REMAT=1 trains with block-level activation remat; QLR_EVAL_DEVICES=N
 # shards the eval batches over N devices
 REMAT = bool(int(os.environ.get("QLR_REMAT", "0")))
+# QLR_PRECISION=bfloat16 trains + evaluates through training.precision
+PRECISION = os.environ.get("QLR_PRECISION", "float32")
 EVAL_DEVICES = int(os.environ.get("QLR_EVAL_DEVICES", "0"))
 
 
@@ -101,6 +103,7 @@ def main():
             },
             "save_checkpoint_steps": STEPS,
             "remat": REMAT,
+            "precision": PRECISION,
             "loss": {"box_metric": "CIoU",
                      "match_grid_method": "Rect4",
                      "anchor_scale_thresh": 4.0},
