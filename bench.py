@@ -24,6 +24,9 @@ STEPS = int(os.environ.get("BENCH_STEPS", "50"))  # enough calls to
 # "train" (default): full train step img/s.  "infer": forward+NMS img/s.
 # "nms": p50 NMS latency in ms (BASELINE.json metric family).
 MODE = os.environ.get("BENCH_MODE", "train")
+# BENCH_DTYPE=float32 A/Bs the f32 step against the bf16 default
+# (training.precision: the CLI default is f32; bench default is bf16)
+DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 _CFG_NAME = os.path.splitext(os.path.basename(
     os.environ.get("BENCH_CFG", "cfg/darknet/yolov4-csp.cfg")))[0]
 MODEL_TAG = f"{_CFG_NAME}-{SIZE}"
@@ -101,7 +104,7 @@ def main():
     rng = np.random.default_rng(0)
     max_gt = 32
     images = jnp.asarray(
-        rng.normal(size=(BATCH, 3, SIZE, SIZE)).astype(np.float32), jnp.bfloat16
+        rng.normal(size=(BATCH, 3, SIZE, SIZE)).astype(np.float32), DTYPE
     )
     boxes = rng.uniform(0.2, 0.8, (BATCH, max_gt, 4)).astype(np.float32)
     boxes[..., 2:] = rng.uniform(0.05, 0.3, (BATCH, max_gt, 2))
@@ -158,7 +161,7 @@ def _bench_inference(jax, jnp, np, model):
     ts, _ = train_init(model, TrainConfig())
     rng = np.random.default_rng(0)
     images = jnp.asarray(
-        rng.normal(size=(BATCH, 3, SIZE, SIZE)).astype(np.float32), jnp.bfloat16
+        rng.normal(size=(BATCH, 3, SIZE, SIZE)).astype(np.float32), DTYPE
     )
 
     @jax.jit
