@@ -144,7 +144,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"img/s/chip {MODEL_TAG} train",
+                # BENCH_DTYPE is a measurement-identity axis: the f32 A/B
+                # arm must not collide with the canonical bf16 record
+                "metric": f"img/s/chip {MODEL_TAG} train"
+                          + ("" if DTYPE == "bfloat16" else f" {DTYPE}"),
                 "value": round(img_s, 2),
                 "unit": "img/s",
                 "vs_baseline": round(img_s / V100_X2_IMG_S, 3),

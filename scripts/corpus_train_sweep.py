@@ -111,6 +111,7 @@ def train_one(path: str, name: str, precision: str = "float32") -> str:
     import jax.numpy as jnp
 
     import yolodl_tpu.config.darknet_cfg as dk
+    from yolodl_tpu.config.app_config import compute_dtype_of
     from yolodl_tpu.graph.from_darknet import graph_from_darknet
     from yolodl_tpu.models import YoloModel
     from yolodl_tpu.models.builder import GraphModel
@@ -131,8 +132,7 @@ def train_one(path: str, name: str, precision: str = "float32") -> str:
         from yolodl_tpu.train import make_train_step
 
         model = YoloModel(graph)
-        config = TrainConfig(compute_dtype=(
-            None if precision == "float32" else precision))
+        config = TrainConfig(compute_dtype=compute_dtype_of(precision))
         ts, opt = train_init(model, config, seed=0)
         step = make_train_step(model, opt, config)
         # detectors with recurrent layers (e.g. [crnn] trackers) need the
@@ -170,8 +170,7 @@ def train_one(path: str, name: str, precision: str = "float32") -> str:
     n_out = int(np.prod(out_sd.shape[1:]))
     labels = jnp.asarray(rng.integers(0, n_out, size=(t,)), jnp.int32)
 
-    config = TrainConfig(compute_dtype=(
-        None if precision == "float32" else precision))
+    config = TrainConfig(compute_dtype=compute_dtype_of(precision))
     optimizer = make_optimizer(config)
     ts = TrainState(params, state, optimizer.init(params),
                     jnp.zeros((), jnp.int32), None)

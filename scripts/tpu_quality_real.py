@@ -141,7 +141,8 @@ def main():
         return out.stdout
 
     def eval_map(ckpt=""):
-        args = ["--config-file", detect_path, "--conf-thresh", "0.01"]
+        args = ["--config-file", detect_path, "--conf-thresh", "0.01",
+                "--precision", PRECISION]
         if EVAL_DEVICES:
             args += ["--devices", str(EVAL_DEVICES)]
         if ckpt:

@@ -14,7 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from yolodl_tpu.config.app_config import TrainAppConfig, parse_precision
+from yolodl_tpu.config.app_config import (
+    TrainAppConfig, compute_dtype_of, parse_precision)
 from yolodl_tpu.train import TrainConfig, make_train_step, train_init
 
 from test_train import fake_batch, tiny_model
@@ -30,6 +31,17 @@ class TestParsePrecision:
     def test_rejects_unknown(self):
         with pytest.raises(ValueError, match="training.precision"):
             parse_precision("float16", "x")
+
+    def test_compute_dtype_of(self):
+        # the single precision→dtype boundary every consumer routes
+        # through: f32 (any alias) → None, bf16 (any alias) → "bfloat16",
+        # junk → one clean ValueError (never an astype trace error)
+        assert compute_dtype_of("float32") is None
+        assert compute_dtype_of("fp32") is None
+        assert compute_dtype_of("bfloat16") == "bfloat16"
+        assert compute_dtype_of("bf16") == "bfloat16"
+        with pytest.raises(ValueError, match="precision"):
+            compute_dtype_of("int8")
 
     def test_app_config_roundtrip(self, tmp_path):
         cfg = {

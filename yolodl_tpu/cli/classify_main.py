@@ -108,16 +108,16 @@ def main(argv=None):
         from ..train.lr_schedule import lr_schedule_from_darknet
 
         lr_cfg = lr_schedule_from_darknet(darknet.net)
-    from ..config.app_config import parse_precision
+    from ..config.app_config import compute_dtype_of
 
-    precision = parse_precision(
+    compute_dtype = compute_dtype_of(
         training.get("precision", "float32"), args.config_file)
     config = TrainConfig(
         lr=lr_cfg,
         optimizer=str(opt_raw.get("type", "adam")).lower(),
         momentum=float(opt_raw.get("momentum", 0.937)),
         weight_decay=float(opt_raw.get("weight_decay", 0.0)),
-        compute_dtype=(precision if precision != "float32" else None),
+        compute_dtype=compute_dtype,
     )
     optimizer = make_optimizer(config)
     opt_state = optimizer.init(params)
@@ -153,6 +153,10 @@ def main(argv=None):
 
         @jax.jit
         def infer(params, state, images):
+            # evaluate in the dtype actually trained/deployed (the same
+            # follows-training-precision rule as the detection evaluator)
+            if compute_dtype is not None:
+                images = images.astype(compute_dtype)
             out, _ = model.apply(params, state, images, train=False)
             flat = out.reshape(out.shape[0], -1)
             return jax.lax.top_k(flat, k)[1]

@@ -25,10 +25,10 @@ def main(argv=None):
                         help="also write COCO-format detections (original "
                              "pixel coordinates) to this file")
     parser.add_argument("--precision", default="float32",
-                        choices=["float32", "bfloat16"],
-                        help="forward-pass compute dtype; bfloat16 is the "
-                             "serving path's production precision (params "
-                             "stay f32)")
+                        help="forward-pass compute dtype (float32/bfloat16, "
+                             "same aliases as training.precision); bfloat16 "
+                             "is the serving path's production precision "
+                             "(params stay f32)")
     parser.add_argument("--artifact", default="",
                         help="run an exported StableHLO artifact dir "
                              "(yolo-tool export) instead of building the "
@@ -41,7 +41,7 @@ def main(argv=None):
     import numpy as np
     from PIL import Image
 
-    from ..config.app_config import DetectAppConfig
+    from ..config.app_config import DetectAppConfig, compute_dtype_of
     from ..data import SanitizedDataset, make_decode_loader
     from ..data.letterbox import letterbox_unit_transform
     from ..loss import non_max_suppression, yolo_inference
@@ -89,8 +89,7 @@ def main(argv=None):
     # two-stage jit: NMS fused into the conv program inherits layouts that
     # send XLA's TopK down a slow path on TPU (see CLAUDE.md perf ledger)
     if artifact_infer is None:
-        compute_dtype = (None if args.precision == "float32"
-                         else args.precision)
+        compute_dtype = compute_dtype_of(args.precision)
 
         @jax.jit
         def forward(params, state, images):
@@ -99,7 +98,7 @@ def main(argv=None):
             pred, _ = model.apply(params, state, images, train=False)
             return pred
     else:
-        if args.precision != "float32":
+        if compute_dtype_of(args.precision) is not None:
             raise ValueError(
                 "--precision does not apply to --artifact runs: the "
                 "artifact's compute dtype was fixed at export time")

@@ -37,10 +37,10 @@ def main(argv=None):
                         help="shard evaluation batches over N devices "
                              "(0 = the config's device list, like detect)")
     parser.add_argument("--precision", default="float32",
-                        choices=["float32", "bfloat16"],
-                        help="forward-pass compute dtype; bfloat16 is the "
-                             "serving path's production precision (params "
-                             "stay f32)")
+                        help="forward-pass compute dtype (float32/bfloat16, "
+                             "same aliases as training.precision); bfloat16 "
+                             "is the serving path's production precision "
+                             "(params stay f32)")
     args = parser.parse_args(argv)
 
     from ..config.app_config import DetectAppConfig

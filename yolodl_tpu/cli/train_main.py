@@ -32,7 +32,7 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from ..config.app_config import TrainAppConfig
+    from ..config.app_config import TrainAppConfig, compute_dtype_of
     from ..data import (
         FileCache, MemoryCache, MosaicMixer, OnDemandLoader, SanitizedDataset,
         make_decode_loader,
@@ -250,8 +250,7 @@ def main(argv=None):
         log_weights_and_grads=config.logging.enable_gradients,
         return_obj_sample=config.logging.enable_images,
         debug_stat=config.logging.enable_debug_stat,
-        compute_dtype=(config.precision
-                       if config.precision != "float32" else None),
+        compute_dtype=compute_dtype_of(config.precision),
     )
     use_pp = config.pipeline_parallel > 1
     use_tp = config.tensor_parallel > 1

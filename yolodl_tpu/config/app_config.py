@@ -86,6 +86,18 @@ def parse_precision(value, where: str) -> str:
         f"got {value!r}")
 
 
+def compute_dtype_of(value, where: str = "--precision"):
+    """Precision string (any parse_precision alias) → the activation
+    compute dtype, or None for full-f32 (the reference's semantics).
+
+    The single boundary for the precision→dtype mapping: every consumer
+    (train/eval/detect/classify, sweeps) routes through here so aliases
+    like "bf16" behave identically everywhere and bad values fail with
+    one clean ValueError instead of an astype() trace error."""
+    norm = parse_precision(value, where)
+    return None if norm == "float32" else norm
+
+
 def _dict_section(raw: dict, key: str, path, required: bool = True) -> dict:
     """A top-level config section that must be a JSON object — corrupt
     files get one clean ValueError, not an AttributeError downstream."""

@@ -74,7 +74,9 @@ class DatasetEvaluator:
 
         # "bfloat16" runs the conv path on the MXU's fast dtype (the
         # serving/export path's production precision); params stay f32
-        compute_dtype = None if precision == "float32" else precision
+        from ..config.app_config import compute_dtype_of
+
+        compute_dtype = compute_dtype_of(precision)
 
         @jax.jit
         def forward(params, state, images):
