@@ -59,12 +59,13 @@ class TestRemat:
         assert flops_off > 0, "cost_analysis stopped reporting flops"
         assert np.isclose(loss_on, loss_off, rtol=1e-6)
         # same math, but remat changes XLA's fusion boundaries → different
-        # float32 summation orders; observed max |Δ| ≈ 3e-7 on near-zero
-        # gradient entries
+        # float32 summation orders; the noise level is CPU-codegen
+        # dependent (3e-7 on one host, 6e-6 on another) — bound it well
+        # below any real-gradient scale without chasing the codegen
         for a, b in zip(jax.tree_util.tree_leaves(g_off),
                         jax.tree_util.tree_leaves(g_on)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-3, atol=5e-6)
+                                       rtol=1e-3, atol=2e-5)
         assert flops_on > 1.1 * flops_off, (flops_on, flops_off)
 
     def test_spd_stem_path_remats_exactly(self):
