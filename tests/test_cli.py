@@ -196,6 +196,43 @@ class TestTrainCli:
         assert out.returncode != 0
         assert "unknown node path 'nonexistent'" in out.stderr
 
+    def test_train_device_pipeline(self, workspace):
+        """preprocessor.pipeline.device="tpu": pixel augmentation runs as a
+        jitted device program (data/device_augment.py); training proceeds
+        end-to-end with finite losses and checkpoints."""
+        cfg = json.loads((workspace / "train.json5").read_text())
+        cfg["preprocessor"]["pipeline"] = {"device": "tpu"}
+        cfg["preprocessor"]["affine"] = {
+            "rotate_prob": 0.5, "rotate_degrees": 10.0,
+            "horizontal_flip_prob": 0.5,
+        }
+        (workspace / "train_devaug.json5").write_text(json.dumps(cfg))
+        out = run_cli(
+            "yolodl_tpu.cli.train_main",
+            "--config-file", str(workspace / "train_devaug.json5"),
+            "--max-steps", "3",
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        assert "requires single-process" not in out.stderr  # no fallback
+        runs = sorted(os.listdir(workspace / "logs"))
+        ckpt_dir = workspace / "logs" / runs[-1] / "checkpoints"
+        assert any(n.endswith(".ckpt") for n in os.listdir(ckpt_dir))
+
+    def test_train_device_pipeline_scan_falls_back(self, workspace):
+        """steps_per_call stacks host arrays, so pipeline.device="tpu"
+        falls back to the CPU pipeline with a warning instead of failing."""
+        cfg = json.loads((workspace / "train.json5").read_text())
+        cfg["preprocessor"]["pipeline"] = {"device": "tpu"}
+        cfg["training"]["steps_per_call"] = 2
+        (workspace / "train_devaug_scan.json5").write_text(json.dumps(cfg))
+        out = run_cli(
+            "yolodl_tpu.cli.train_main",
+            "--config-file", str(workspace / "train_devaug_scan.json5"),
+            "--max-steps", "2",
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        assert "requires single-process" in out.stderr
+
     def test_train_records_cache(self, workspace):
         """preprocessor.cache.records caches the parsed annotations: the
         first run writes records-*.npz, the second serves from it."""

@@ -1,0 +1,181 @@
+"""On-device (jitted, batched) augmentation vs the host CPU pipeline.
+
+The device path samples the SAME per-slot RNG stream and computes label
+geometry on the host, so boxes/classes/mask must be bit-identical; pixel
+composition (mosaic/mixup/cutmix) is exact, and the warp/jitter kernels
+match the host float implementations to rounding.
+"""
+
+import numpy as np
+import pytest
+
+from yolodl_tpu.data import device_augment as da
+from yolodl_tpu.data.affine import RandomAffine, pixel_affine, warp_image
+from yolodl_tpu.data.color import ColorJitter
+from yolodl_tpu.data.mosaic import MosaicMixer
+from yolodl_tpu.data.pipeline import TrainingStream, TrainingStreamConfig
+from yolodl_tpu.data.records import DataRecord
+
+
+class SyntheticLoader:
+    """Deterministic record synthesizer (no file IO)."""
+
+    def __init__(self, h, w):
+        self.h, self.w = h, w
+
+    def load(self, i):
+        rng = np.random.default_rng(1000 + int(i))
+        img = rng.random((3, self.h, self.w)).astype(np.float32)
+        n = int(rng.integers(1, 4))
+        cy = rng.uniform(0.25, 0.75, n)
+        cx = rng.uniform(0.25, 0.75, n)
+        bh = rng.uniform(0.1, 0.3, n)
+        bw = rng.uniform(0.1, 0.3, n)
+        boxes = np.stack([cy, cx, bh, bw], -1).astype(np.float32)
+        classes = rng.integers(0, 3, n).astype(np.int32)
+        return DataRecord(img, boxes, classes)
+
+
+def _host_vs_device_streams(defer_cfg, host_cfg, h=32, w=48, batches=2):
+    records = list(range(12))
+    host_stream = TrainingStream(records, SyntheticLoader(h, w), host_cfg)
+    dev_stream = TrainingStream(records, SyntheticLoader(h, w), defer_cfg)
+    dev_it = da.apply_device_augmentation(iter(dev_stream), defer_cfg)
+    host_it = iter(host_stream)
+    out = []
+    for _ in range(batches):
+        host_rec = next(host_it)
+        dev_rec, arrays = next(dev_it)
+        out.append((host_rec, dev_rec, np.asarray(arrays[0])))
+    return out
+
+
+def _cfg(defer, **kw):
+    return TrainingStreamConfig(
+        batch_size=4, max_gt=16, seed=3, workers=1, defer_images=defer, **kw)
+
+
+class TestWarpKernels:
+    def _host_warp(self, img, transform):
+        _, h, w = img.shape
+        m, b = pixel_affine(transform, h, w)
+        return warp_image(img, m, b), m, b
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_general_warp_matches_host(self, seed):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(seed)
+        img = rng.random((3, 33, 47)).astype(np.float32)
+        aff = RandomAffine(rotate_prob=1.0, rotate_degrees=30.0,
+                           translation_prob=1.0, translation=0.1,
+                           scale_prob=1.0, scale=(0.8, 1.2),
+                           horizontal_flip_prob=0.5)
+        t = aff.sample_transform(rng)
+        host, m, b = self._host_warp(img, t)
+        dev = np.asarray(da._warp_general_jnp(
+            jnp.asarray(img), jnp.asarray(m, jnp.float32),
+            jnp.asarray(b, jnp.float32)))
+        # f32 coordinate math vs the host's f64: tiny value noise plus a
+        # vanishing fraction of border/floor flips
+        assert np.mean(np.abs(dev - host)) < 1e-4
+        assert np.mean(np.abs(dev - host) > 1e-2) < 0.005
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_separable_warp_matches_host(self, seed):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(seed)
+        img = rng.random((3, 32, 48)).astype(np.float32)
+        aff = RandomAffine(translation_prob=1.0, translation=0.15,
+                           scale_prob=1.0, scale=(0.7, 1.3),
+                           horizontal_flip_prob=0.5, vertical_flip_prob=0.5)
+        t = aff.sample_transform(rng)
+        host, m, b = self._host_warp(img, t)
+        assert abs(m[0, 1]) < 1e-12 and abs(m[1, 0]) < 1e-12  # diagonal
+        dev = np.asarray(da._warp_separable_jnp(
+            jnp.asarray(img), jnp.asarray(m, jnp.float32),
+            jnp.asarray(b, jnp.float32)))
+        gen = np.asarray(da._warp_general_jnp(
+            jnp.asarray(img), jnp.asarray(m, jnp.float32),
+            jnp.asarray(b, jnp.float32)))
+        assert np.mean(np.abs(dev - host)) < 1e-4
+        np.testing.assert_allclose(dev, gen, atol=1e-5)
+
+    def test_identity_warp_is_exact(self):
+        import jax.numpy as jnp
+
+        img = np.random.default_rng(0).random((3, 16, 16)).astype(np.float32)
+        m = np.eye(2, dtype=np.float32)
+        b = np.zeros(2, np.float32)
+        out = np.asarray(da._warp_general_jnp(jnp.asarray(img),
+                                              jnp.asarray(m), jnp.asarray(b)))
+        np.testing.assert_array_equal(out, img)
+
+
+class TestJitterKernel:
+    @pytest.mark.parametrize("shift", [(0.1, 0.2, -0.15), (-0.3, 0.0, 0.4)])
+    def test_matches_host(self, shift):
+        import jax.numpy as jnp
+
+        img = np.random.default_rng(7).random((3, 24, 31)).astype(np.float32)
+        host = ColorJitter(hue_shift=0.5, saturation_shift=0.5,
+                           value_shift=0.5).apply(img, *shift)
+        dev = np.asarray(da._hsv_jitter_jnp(jnp.asarray(img), *shift))
+        # hue-sextant boundary pixels can flip under f32; everything else
+        # must agree tightly
+        assert np.mean(np.abs(dev - host)) < 1e-5
+        assert np.mean(np.abs(dev - host) > 1e-3) < 0.002
+
+
+class TestStreamParity:
+    def test_mix_only_exact(self):
+        kw = dict(mosaic_prob=0.4, mixup_prob=0.3, cutmix_prob=0.3,
+                  mosaic=MosaicMixer(mosaic_margin=0.25))
+        for host_rec, dev_rec, dev_images in _host_vs_device_streams(
+                _cfg(True, **kw), _cfg(False, **kw)):
+            np.testing.assert_array_equal(host_rec.boxes, dev_rec.boxes)
+            np.testing.assert_array_equal(host_rec.classes, dev_rec.classes)
+            np.testing.assert_array_equal(host_rec.mask, dev_rec.mask)
+            np.testing.assert_allclose(dev_images, host_rec.images, atol=2e-6)
+
+    def test_full_pipeline_parity(self):
+        kw = dict(
+            mosaic_prob=0.5,
+            mosaic=MosaicMixer(mosaic_margin=0.25),
+            color_jitter=ColorJitter(hue_shift=0.1, saturation_shift=0.2,
+                                     value_shift=0.2),
+            color_jitter_prob=0.7,
+            random_affine=RandomAffine(rotate_prob=0.5, rotate_degrees=15.0,
+                                       translation_prob=0.5, translation=0.1,
+                                       horizontal_flip_prob=0.5),
+            affine_prob=0.8,
+        )
+        for host_rec, dev_rec, dev_images in _host_vs_device_streams(
+                _cfg(True, **kw), _cfg(False, **kw)):
+            # label geometry is host-computed in both modes: bit-identical
+            np.testing.assert_array_equal(host_rec.boxes, dev_rec.boxes)
+            np.testing.assert_array_equal(host_rec.classes, dev_rec.classes)
+            np.testing.assert_array_equal(host_rec.mask, dev_rec.mask)
+            diff = np.abs(dev_images - host_rec.images)
+            assert np.mean(diff) < 2e-4
+            assert np.mean(diff > 1e-2) < 0.005
+
+    def test_no_augments_passthrough(self):
+        for host_rec, dev_rec, dev_images in _host_vs_device_streams(
+                _cfg(True), _cfg(False), batches=1):
+            np.testing.assert_array_equal(dev_images, host_rec.images)
+
+    def test_separable_config_parity(self):
+        kw = dict(
+            mixup_prob=0.5,
+            random_affine=RandomAffine(scale_prob=1.0, scale=(0.8, 1.2),
+                                       translation_prob=1.0, translation=0.1,
+                                       horizontal_flip_prob=0.5),
+        )
+        for host_rec, dev_rec, dev_images in _host_vs_device_streams(
+                _cfg(True, **kw), _cfg(False, **kw)):
+            np.testing.assert_array_equal(host_rec.boxes, dev_rec.boxes)
+            diff = np.abs(dev_images - host_rec.images)
+            assert np.mean(diff) < 2e-4
+            assert np.mean(diff > 1e-2) < 0.005

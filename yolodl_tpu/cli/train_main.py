@@ -12,6 +12,7 @@ from __future__ import annotations
 import argparse
 import os
 import shutil
+import sys
 import time
 
 
@@ -193,8 +194,24 @@ def main(argv=None):
         records = records[proc_id::n_procs]
         local_batch = (config.batch_size * jax.local_device_count()
                        // config.n_devices)
+    # preprocessor.pipeline.device="tpu": defer pixel augmentation to one
+    # jitted batched device program (data/device_augment.py).  The scanned
+    # multi-step path stacks HOST arrays and the multi-process path needs
+    # process-local HOST shards, so both keep the CPU pipeline.
+    defer_images = False
+    if pre.pipeline_device == "tpu":
+        eff_scan = (config.steps_per_call
+                    if (config.steps_per_call > 1 and config.n_devices == 1
+                        and not config.multi_scale_sizes) else 1)
+        if eff_scan > 1 or n_procs > 1:
+            print("warning: preprocessor.pipeline.device='tpu' requires "
+                  "single-process, non-scanned training; using the CPU "
+                  "pipeline", file=sys.stderr)
+        else:
+            defer_images = True
     stream_cfg = TrainingStreamConfig(
         batch_size=local_batch,
+        defer_images=defer_images,
         seed=proc_id,  # decorrelate augmentation streams across ranks
         mosaic_prob=pre.mosaic_prob,
         mixup_prob=pre.mixup_prob,
@@ -701,6 +718,13 @@ def main(argv=None):
         # its local slice via make_array_from_process_local_data)
         source = ((rec, (rec.images, rec.boxes, rec.classes, rec.mask))
                   for rec in iter(stream))
+    elif stream_cfg.defer_images:
+        # pipeline.device="tpu": the augment program runs on device and the
+        # yielded arrays are already device-resident (same contract as
+        # device_prefetch)
+        from ..data.device_augment import apply_device_augmentation
+
+        source = apply_device_augmentation(iter(stream), stream_cfg)
     else:
         source = device_prefetch(iter(stream))
     try:

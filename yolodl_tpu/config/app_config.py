@@ -259,6 +259,12 @@ class PreprocessorConfig:
     # workers finish instead of reassembling plan order (faster under
     # skewed decode times, non-deterministic batch composition)
     unordered: bool = False
+    # preprocessor.pipeline.device: "cpu" (host pipeline + native kernels)
+    # or "tpu" — pixel augmentation (HSV jitter / affine warp / mosaic /
+    # mixup / cutmix) deferred to one jitted batched device program
+    # (data/device_augment.py); the reference's preprocessor can likewise
+    # run on its CUDA device.  Same RNG stream, host-computed labels.
+    pipeline_device: str = "cpu"
 
     @staticmethod
     def parse(raw: dict) -> "PreprocessorConfig":
@@ -319,17 +325,21 @@ class PreprocessorConfig:
         # disorder, it never requires it; training_stream.rs:597-609)
         unordered = bool(pipeline.get("unordered_records", False))
         pipe_dev = str(pipeline.get("device", "cpu")).lower()
-        if pipe_dev not in ("cpu", ""):
-            # the reference can run its preprocessor on a CUDA device;
-            # here the host pipeline is CPU (+ native C++ kernels) and the
-            # device work happens inside the jitted step — warn, don't
-            # silently accept a semantic no-op
+        if pipe_dev in ("tpu", "jax", "device", "accelerator", "cuda"):
+            # the reference runs its preprocessor on a CUDA device when
+            # asked; the TPU equivalent defers pixel augmentation to one
+            # jitted batched program (data/device_augment.py)
+            pipe_dev = "tpu"
+        elif pipe_dev not in ("cpu", ""):
             import sys
 
             print(f"warning: preprocessor.pipeline.device {pipe_dev!r} is "
                   "not supported; the host pipeline runs on CPU (native "
                   "decode/affine/HSV kernels) with device-side batching",
                   file=sys.stderr)
+            pipe_dev = "cpu"
+        else:
+            pipe_dev = "cpu"
 
         cleanse = _as_dict(raw.get("cleanse"), "preprocessor.cleanse")
         cache_records = bool(cache.get("records", False))
@@ -354,6 +364,7 @@ class PreprocessorConfig:
             affine_prob=affine_prob,
             color_jitter_prob=jitter_prob,
             unordered=unordered,
+            pipeline_device=pipe_dev,
         )
 
 

@@ -51,57 +51,18 @@ class RandomAffine:
             t = np.array([[1.0, 0.0, tx], [0.0, 1.0, ty], [0.0, 0.0, 1.0]]) @ t
         return t
 
-    def __call__(
+    def transform_boxes(
         self,
-        image_chw: np.ndarray,
+        transform: np.ndarray,
         boxes_ratio: np.ndarray,
         classes: np.ndarray,
-        rng: np.random.Generator,
-    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        transform = self.sample_transform(rng)
-        if np.allclose(transform, np.eye(3)):
-            return image_chw, boxes_ratio, classes
-
-        c, h, w = image_chw.shape
-        # output pixel (row, col) → ±1 frame (x, y) → inverse map → input pixel
-        inv = np.linalg.inv(transform)
-        # pixel→unit: x = (col+0.5)/w*2-1, y = (row+0.5)/h*2-1
-        # build the combined affine in pixel coords for scipy (row, col order)
-        a_xy = inv[:2, :2]
-        b_xy = inv[:2, 2]
-        # convert (x,y)-frame mapping to (row,col)-pixel mapping:
-        # in_col = ((a11*x + a12*y + b1) + 1)/2*w - 0.5, x = (out_col+0.5)*2/w - 1
-        scale_out = np.array([[2.0 / w, 0.0], [0.0, 2.0 / h]])  # (col,row)→(x,y)
-        offset_out = np.array([-1.0 + 1.0 / w, -1.0 + 1.0 / h])
-        scale_in = np.array([[w / 2.0, 0.0], [0.0, h / 2.0]])   # (x,y)→(col,row)
-        offset_in = np.array([(w - 1) / 2.0, (h - 1) / 2.0])
-
-        m_xy = scale_in @ a_xy @ scale_out           # (out col,row) → (in col,row)
-        b_pix = scale_in @ (a_xy @ offset_out + b_xy) + offset_in
-
-        # scipy works in (row, col): swap axes
-        swap = np.array([[0.0, 1.0], [1.0, 0.0]])
-        m_rc = swap @ m_xy @ swap
-        b_rc = (swap @ b_pix)
-
-        # C++ bilinear warp (native/loader.cpp ydl_affine_warp, exact
-        # scipy-order-1 semantics): scipy costs ~67 ms per 608² record
-        from .native_loader import affine_warp_native
-
-        warped = affine_warp_native(image_chw, m_rc, b_rc)
-        if warped is None:
-            warped = np.stack(
-                [
-                    ndimage.affine_transform(
-                        image_chw[ch], m_rc, offset=b_rc, order=1,
-                        mode="constant", cval=0.0,
-                    )
-                    for ch in range(c)
-                ]
-            ).astype(np.float32)
-
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Map boxes through the ±1-frame affine and re-clip/filter
+        (random_affine.rs:288-350).  Pure box math — shared by the host
+        warp path and the device-augment path (which warps pixels on the
+        accelerator but keeps label geometry on the host)."""
         if len(boxes_ratio) == 0:
-            return warped, boxes_ratio, classes
+            return boxes_ratio, classes
 
         # transform box corners (forward map) in the ±1 frame
         cy, cx, bh, bw = (boxes_ratio[:, 0], boxes_ratio[:, 1],
@@ -141,4 +102,69 @@ class RandomAffine:
         boxes_out = np.stack(
             [(clip_t + clip_b) / 2, (clip_l + clip_r) / 2, new_h, new_w], axis=-1
         ).astype(np.float32)[keep]
-        return warped, boxes_out, classes[keep]
+        return boxes_out, classes[keep]
+
+    def __call__(
+        self,
+        image_chw: np.ndarray,
+        boxes_ratio: np.ndarray,
+        classes: np.ndarray,
+        rng: np.random.Generator,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        transform = self.sample_transform(rng)
+        if np.allclose(transform, np.eye(3)):
+            return image_chw, boxes_ratio, classes
+
+        _, h, w = image_chw.shape
+        m_rc, b_rc = pixel_affine(transform, h, w)
+        warped = warp_image(image_chw, m_rc, b_rc)
+        boxes_out, classes_out = self.transform_boxes(
+            transform, boxes_ratio, classes)
+        return warped, boxes_out, classes_out
+
+
+def pixel_affine(transform: np.ndarray, h: int, w: int) -> Tuple[np.ndarray, np.ndarray]:
+    """±1-frame forward transform → pixel-space inverse map for warping:
+    (m_rc, b_rc) with in_(row,col) = m_rc @ out_(row,col) + b_rc — the
+    matrix convention of scipy ``affine_transform`` and the native kernel."""
+    # output pixel (row, col) → ±1 frame (x, y) → inverse map → input pixel
+    inv = np.linalg.inv(transform)
+    # pixel→unit: x = (col+0.5)/w*2-1, y = (row+0.5)/h*2-1
+    a_xy = inv[:2, :2]
+    b_xy = inv[:2, 2]
+    # convert (x,y)-frame mapping to (row,col)-pixel mapping:
+    # in_col = ((a11*x + a12*y + b1) + 1)/2*w - 0.5, x = (out_col+0.5)*2/w - 1
+    scale_out = np.array([[2.0 / w, 0.0], [0.0, 2.0 / h]])  # (col,row)→(x,y)
+    offset_out = np.array([-1.0 + 1.0 / w, -1.0 + 1.0 / h])
+    scale_in = np.array([[w / 2.0, 0.0], [0.0, h / 2.0]])   # (x,y)→(col,row)
+    offset_in = np.array([(w - 1) / 2.0, (h - 1) / 2.0])
+
+    m_xy = scale_in @ a_xy @ scale_out           # (out col,row) → (in col,row)
+    b_pix = scale_in @ (a_xy @ offset_out + b_xy) + offset_in
+
+    # scipy works in (row, col): swap axes
+    swap = np.array([[0.0, 1.0], [1.0, 0.0]])
+    m_rc = swap @ m_xy @ swap
+    b_rc = swap @ b_pix
+    return m_rc, b_rc
+
+
+def warp_image(image_chw: np.ndarray, m_rc: np.ndarray, b_rc: np.ndarray) -> np.ndarray:
+    """Host bilinear warp with scipy order-1 ``mode="constant"`` semantics
+    (hard-cut borders: a sample coordinate outside [0, size-1] yields cval)."""
+    # C++ bilinear warp (native/loader.cpp ydl_affine_warp, exact
+    # scipy-order-1 semantics): scipy costs ~67 ms per 608² record
+    from .native_loader import affine_warp_native
+
+    warped = affine_warp_native(image_chw, m_rc, b_rc)
+    if warped is None:
+        warped = np.stack(
+            [
+                ndimage.affine_transform(
+                    image_chw[ch], m_rc, offset=b_rc, order=1,
+                    mode="constant", cval=0.0,
+                )
+                for ch in range(image_chw.shape[0])
+            ]
+        ).astype(np.float32)
+    return warped

@@ -57,16 +57,19 @@ class ColorJitter:
     saturation_shift: Optional[float] = None
     value_shift: Optional[float] = None
 
-    def __call__(self, rgb_chw: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-        if rgb_chw.shape[0] != 3:
-            raise ValueError(f"channel size must be 3, got {rgb_chw.shape[0]}")
+    def sample(self, rng: np.random.Generator):
+        """Draw (hue, saturation, value) shifts.  Sampling is separate from
+        application so the device-augment path can consume the exact same
+        RNG stream while deferring the pixel work to the accelerator."""
         # sample in a fixed order so the augmentation stream is identical
         # whichever backend applies it
         hs = rng.uniform(-self.hue_shift, self.hue_shift) if self.hue_shift else 0.0
         ss = (rng.uniform(-self.saturation_shift, self.saturation_shift)
               if self.saturation_shift else 0.0)
         vs = rng.uniform(-self.value_shift, self.value_shift) if self.value_shift else 0.0
+        return hs, ss, vs
 
+    def apply(self, rgb_chw: np.ndarray, hs: float, ss: float, vs: float) -> np.ndarray:
         # fused C++ kernel (native/loader.cpp ydl_color_jitter): the numpy
         # round trip costs ~52 ms per 608² record, the native one ~3 ms
         from .native_loader import color_jitter_native
@@ -80,3 +83,9 @@ class ColorJitter:
         hsv[1] = np.clip(hsv[1] + ss, 0.0, 1.0)
         hsv[2] = np.clip(hsv[2] + vs, 0.0, 1.0)
         return hsv_to_rgb(hsv)
+
+    def __call__(self, rgb_chw: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        if rgb_chw.shape[0] != 3:
+            raise ValueError(f"channel size must be 3, got {rgb_chw.shape[0]}")
+        hs, ss, vs = self.sample(rng)
+        return self.apply(rgb_chw, hs, ss, vs)

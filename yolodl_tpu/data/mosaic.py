@@ -26,6 +26,39 @@ class MosaicMixer:
         if not 0.0 <= self.mosaic_margin <= 0.5:
             raise ValueError("mosaic_margin must be in [0, 0.5]")
 
+    def sample(self, rng: np.random.Generator) -> Tuple[float, float]:
+        pivot_row = rng.uniform(self.mosaic_margin, 1.0 - self.mosaic_margin)
+        pivot_col = rng.uniform(self.mosaic_margin, 1.0 - self.mosaic_margin)
+        return pivot_row, pivot_col
+
+    def mix_boxes(
+        self,
+        records: Sequence[DataRecord],
+        pivot_row: float,
+        pivot_col: float,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Label side of the mosaic (shared with the device-augment path,
+        which composes the pixel quadrants on the accelerator)."""
+        # quadrant ranges (t, b, l, r) in ratio units (mosaic_processor.rs:84-90)
+        ranges = [
+            (0.0, pivot_row, 0.0, pivot_col),
+            (0.0, pivot_row, pivot_col, 1.0),
+            (pivot_row, 1.0, 0.0, pivot_col),
+            (pivot_row, 1.0, pivot_col, 1.0),
+        ]
+        all_boxes, all_classes = [], []
+        for record, (rt, rb, rl, rr) in zip(records, ranges):
+            boxes, classes = _crop_boxes(
+                record.boxes, record.classes, rt, rb, rl, rr,
+                self.min_bbox_size, self.min_bbox_cropping_ratio,
+            )
+            all_boxes.append(boxes)
+            all_classes.append(classes)
+        return (
+            np.concatenate(all_boxes, axis=0) if all_boxes else np.zeros((0, 4)),
+            np.concatenate(all_classes, axis=0) if all_classes else np.zeros((0,)),
+        )
+
     def __call__(self, records: Sequence[DataRecord], rng: np.random.Generator) -> DataRecord:
         if len(records) != 4:
             raise ValueError("expect exactly 4 images")
@@ -34,15 +67,7 @@ class MosaicMixer:
             raise ValueError("images must have identical shape")
         c, h, w = records[0].image.shape
 
-        pivot_row = rng.uniform(self.mosaic_margin, 1.0 - self.mosaic_margin)
-        pivot_col = rng.uniform(self.mosaic_margin, 1.0 - self.mosaic_margin)
-        # quadrant ranges (t, b, l, r) in ratio units (mosaic_processor.rs:84-90)
-        ranges = [
-            (0.0, pivot_row, 0.0, pivot_col),
-            (0.0, pivot_row, pivot_col, 1.0),
-            (pivot_row, 1.0, 0.0, pivot_col),
-            (pivot_row, 1.0, pivot_col, 1.0),
-        ]
+        pivot_row, pivot_col = self.sample(rng)
 
         pr = round(pivot_row * h)
         pc = round(pivot_col * w)
@@ -52,26 +77,16 @@ class MosaicMixer:
             (pr, h, 0, pc),
             (pr, h, pc, w),
         ]
-
-        crops, all_boxes, all_classes = [], [], []
-        for record, (rt, rb, rl, rr), (pt, pb, pl, prt) in zip(records, ranges, pixel_ranges):
-            crops.append(record.image[:, pt:pb, pl:prt])
-            boxes, classes = _crop_boxes(
-                record.boxes, record.classes, rt, rb, rl, rr,
-                self.min_bbox_size, self.min_bbox_cropping_ratio,
-            )
-            all_boxes.append(boxes)
-            all_classes.append(classes)
-
+        crops = [
+            record.image[:, pt:pb, pl:prt]
+            for record, (pt, pb, pl, prt) in zip(records, pixel_ranges)
+        ]
         top = np.concatenate([crops[0], crops[1]], axis=2)
         bottom = np.concatenate([crops[2], crops[3]], axis=2)
         merged = np.concatenate([top, bottom], axis=1)
 
-        return DataRecord(
-            image=merged,
-            boxes=np.concatenate(all_boxes, axis=0) if all_boxes else np.zeros((0, 4)),
-            classes=np.concatenate(all_classes, axis=0) if all_classes else np.zeros((0,)),
-        )
+        boxes, classes = self.mix_boxes(records, pivot_row, pivot_col)
+        return DataRecord(image=merged, boxes=boxes, classes=classes)
 
 
 def _crop_boxes(
@@ -123,10 +138,13 @@ class MixUpMixer:
 
     alpha: float = 8.0
 
+    def sample(self, rng: np.random.Generator) -> float:
+        return float(rng.beta(self.alpha, self.alpha))
+
     def __call__(self, a: DataRecord, b: DataRecord, rng: np.random.Generator) -> DataRecord:
         if a.image.shape != b.image.shape:
             raise ValueError("images must have identical shape")
-        lam = float(rng.beta(self.alpha, self.alpha))
+        lam = self.sample(rng)
         image = (lam * a.image + (1.0 - lam) * b.image).astype(np.float32)
         return DataRecord(
             image=image,
@@ -145,21 +163,17 @@ class CutMixMixer:
     max_ratio: float = 0.6
     min_bbox_keep_ratio: float = 0.25
 
-    def __call__(self, a: DataRecord, b: DataRecord, rng: np.random.Generator) -> DataRecord:
-        if a.image.shape != b.image.shape:
-            raise ValueError("images must have identical shape")
-        _, h, w = a.image.shape
+    def sample(self, rng: np.random.Generator) -> Tuple[float, float, float, float]:
+        """Ratio bounds (t, b, l, r) of the pasted window."""
         rh = rng.uniform(self.min_ratio, self.max_ratio)
         rw = rng.uniform(self.min_ratio, self.max_ratio)
         t = rng.uniform(0.0, 1.0 - rh)
         l = rng.uniform(0.0, 1.0 - rw)
-        bnd = (t, t + rh, l, l + rw)  # ratio bounds
+        return (t, t + rh, l, l + rw)
 
-        image = a.image.copy()
-        pt, pb = round(t * h), round((t + rh) * h)
-        pl, pr = round(l * w), round((l + rw) * w)
-        image[:, pt:pb, pl:pr] = b.image[:, pt:pb, pl:pr]
-
+    def mix_boxes(
+        self, a: DataRecord, b: DataRecord, bnd: Tuple[float, float, float, float]
+    ) -> Tuple[np.ndarray, np.ndarray]:
         # keep A boxes whose remaining visible area is large enough
         keep_a, cls_a = self._filter_a(a.boxes, a.classes, bnd)
         # clip B boxes into the pasted window
@@ -167,11 +181,23 @@ class CutMixMixer:
             b.boxes, b.classes, bnd[0], bnd[1], bnd[2], bnd[3],
             min_size=0.0, min_crop_ratio=self.min_bbox_keep_ratio,
         )
-        return DataRecord(
-            image=image,
-            boxes=np.concatenate([keep_a, keep_b], axis=0),
-            classes=np.concatenate([cls_a, cls_b], axis=0),
-        )
+        return (np.concatenate([keep_a, keep_b], axis=0),
+                np.concatenate([cls_a, cls_b], axis=0))
+
+    def __call__(self, a: DataRecord, b: DataRecord, rng: np.random.Generator) -> DataRecord:
+        if a.image.shape != b.image.shape:
+            raise ValueError("images must have identical shape")
+        _, h, w = a.image.shape
+        bnd = self.sample(rng)
+        t, b_, l, r = bnd
+
+        image = a.image.copy()
+        pt, pb = round(t * h), round(b_ * h)
+        pl, pr = round(l * w), round(r * w)
+        image[:, pt:pb, pl:pr] = b.image[:, pt:pb, pl:pr]
+
+        boxes, classes = self.mix_boxes(a, b, bnd)
+        return DataRecord(image=image, boxes=boxes, classes=classes)
 
     def _filter_a(self, boxes, classes, bnd):
         if len(boxes) == 0:
