@@ -151,3 +151,19 @@ int dk_detections(network *net, int img_w, int img_h, float thresh,
     free_detections(dets, num);
     return written;
 }
+
+/* ---- detection-loss oracle extensions -----------------------------------
+ * Truth layout + raw per-layer training deltas, for pinning the
+ * darknet-exact [yolo]/[gaussian_yolo] loss (yolo_layer.c process_batch /
+ * gaussian_yolo_layer.c forward) value-for-value. */
+int dk_layer_truths(network *net, int i) { return net->layers[i].truths; }
+int dk_layer_truth_size(network *net, int i) {
+    return net->layers[i].truth_size;
+}
+int dk_layer_delta(network *net, int i, float *out, int cap) {
+    layer *l = &net->layers[i];
+    return copy_buf(l->delta, l->outputs * l->batch, out, cap);
+}
+float dk_layer_cost(network *net, int i) {
+    return net->layers[i].cost ? net->layers[i].cost[0] : -1.0f;
+}

@@ -92,6 +92,21 @@ class DarknetOracle:
         except AttributeError:
             self.has_train_api = False
 
+        # detection-loss oracle extensions (optional, newer shim builds)
+        self.has_detection_loss_api = True
+        try:
+            self.lib.dk_layer_truths.restype = ctypes.c_int
+            self.lib.dk_layer_truths.argtypes = [ctypes.c_void_p, ctypes.c_int]
+            self.lib.dk_layer_cost.restype = ctypes.c_float
+            self.lib.dk_layer_cost.argtypes = [ctypes.c_void_p, ctypes.c_int]
+            self.lib.dk_layer_delta.restype = ctypes.c_int
+            self.lib.dk_layer_delta.argtypes = [
+                ctypes.c_void_p, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ]
+        except AttributeError:
+            self.has_detection_loss_api = False
+
         if train and not self.has_train_api:
             raise RuntimeError(
                 "dk_shim.so predates the training oracle API — rerun "
@@ -168,6 +183,24 @@ class DarknetOracle:
             y.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             rows, x.shape[1], y.shape[1],
         ))
+
+    def layer_truths(self, i: int) -> int:
+        """net->layers[i].truths — the per-image y-row float count a
+        detection layer expects (max_boxes * truth_size)."""
+        return int(self.lib.dk_layer_truths(self.net, i))
+
+    def layer_cost(self, i: int) -> float:
+        """l.cost[0] after a train() call (|delta|^2 for yolo layers)."""
+        return float(self.lib.dk_layer_cost(self.net, i))
+
+    def layer_delta(self, i: int, batch: int) -> np.ndarray:
+        """l.delta after a train() call, [batch * outputs] flat CHW."""
+        n = self.lib.dk_layer_outputs(self.net, i) * batch
+        buf = np.zeros(n, np.float32)
+        got = self.lib.dk_layer_delta(
+            self.net, i, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
+        assert got == n, (got, n)
+        return buf
 
     def current_rate(self) -> float:
         return float(self.lib.dk_current_rate(self.net))

@@ -19,6 +19,12 @@ Knobs: QLH_STEPS (1500), QLH_SIZE (320), QLH_BATCH (16),
 QLH_TRAIN (240 images), QLH_VAL (60), QLH_CFG (yolov4-tiny),
 QLH_PRECISION (bfloat16 — the production training precision),
 QLH_LR (0.001), QLH_SEED (0).
+
+QLH_RICH=1 switches to the flagship protocol: 8 shape classes,
+crowded scenes (2-9 objects), a wide scale spread (0.05-0.45 of the
+image side), and real occlusion (later shapes may overlay earlier
+ones; GT boxes stay amodal) — the richer generator the flagship
+held-out record uses (yolov4-csp 608).
 """
 
 import json
@@ -42,8 +48,11 @@ CFG = os.environ.get("QLH_CFG", "cfg/darknet/yolov4-tiny.cfg")
 PRECISION = os.environ.get("QLH_PRECISION", "bfloat16")
 LR = float(os.environ.get("QLH_LR", "0.001"))
 SEED = int(os.environ.get("QLH_SEED", "0"))
+RICH = os.environ.get("QLH_RICH", "0") == "1"
 
-CLASSES = ["disk", "square", "triangle"]
+CLASSES = (["disk", "square", "triangle", "ring", "cross", "star",
+            "diamond", "bar"] if RICH
+           else ["disk", "square", "triangle"])
 
 
 def _background(rng, size):
@@ -67,29 +76,59 @@ def _draw_scene(rng, size):
         np.clip(_background(rng, size), 0, 255).astype(np.uint8))
     draw = ImageDraw.Draw(img)
     labels = []
-    for _ in range(int(rng.integers(1, 5))):
+    lo, hi = (2, 10) if RICH else (1, 5)
+    smin, smax = (0.05, 0.45) if RICH else (0.12, 0.38)
+    for _ in range(int(rng.integers(lo, hi))):
         cls = int(rng.integers(0, len(CLASSES)))
-        s = int(rng.uniform(0.12, 0.38) * size)  # object side/diameter
-        # placement with low overlap: a later shape would occlude an
-        # earlier GT box, capping the achievable mAP for no reason
+        s = int(rng.uniform(smin, smax) * size)  # object side/diameter
+        s = max(s, 8)
+        # rich mode: half the placements ignore the spacing constraint,
+        # so later shapes genuinely occlude earlier ones (GT stays amodal)
+        occlude = RICH and rng.uniform() < 0.5
         for _try in range(8):
             cy = rng.uniform(s / 2 + 2, size - s / 2 - 2)
             cx = rng.uniform(s / 2 + 2, size - s / 2 - 2)
-            if all(max(abs(cy - py), abs(cx - px)) > 0.6 * (s + ps) / 2
-                   for _, py, px, ps, _w in labels):
+            if occlude or all(
+                    max(abs(cy - py), abs(cx - px)) > 0.6 * (s + ps) / 2
+                    for _, py, px, ps, _w in labels):
                 break
         else:
             continue  # crowded scene — skip this object
         color = tuple(int(c) for c in rng.integers(40, 256, 3))
         t, l = cy - s / 2, cx - s / 2
+        w = float(s)
         if cls == 0:
             draw.ellipse([l, t, l + s, t + s], fill=color)
         elif cls == 1:
             draw.rectangle([l, t, l + s, t + s], fill=color)
-        else:  # triangle inscribed in the box
+        elif cls == 2:  # triangle inscribed in the box
             draw.polygon(
                 [(cx, t), (l, t + s), (l + s, t + s)], fill=color)
-        labels.append((cls, cy, cx, float(s), float(s)))
+        elif cls == 3:  # ring: annulus with a hole ~45% of the diameter
+            draw.ellipse([l, t, l + s, t + s], fill=color)
+            h2 = 0.45 * s / 2
+            draw.ellipse([cx - h2, cy - h2, cx + h2, cy + h2],
+                         fill=tuple(int(c) for c in rng.integers(0, 256, 3)))
+        elif cls == 4:  # cross / plus sign
+            a = s * 0.30
+            draw.rectangle([cx - a / 2, t, cx + a / 2, t + s], fill=color)
+            draw.rectangle([l, cy - a / 2, l + s, cy + a / 2], fill=color)
+        elif cls == 5:  # 5-point star
+            pts = []
+            for k in range(10):
+                r = (s / 2) if k % 2 == 0 else (s / 2) * 0.42
+                ang = -np.pi / 2 + k * np.pi / 5
+                pts.append((cx + r * np.cos(ang), cy + r * np.sin(ang)))
+            draw.polygon(pts, fill=color)
+        elif cls == 6:  # diamond (square rotated 45°)
+            draw.polygon([(cx, t), (l + s, cy), (cx, t + s), (l, cy)],
+                         fill=color)
+        else:  # bar: wide, short rectangle (aspect ~3:1)
+            h = max(8.0, s / 3.0)
+            draw.rectangle([l, cy - h / 2, l + s, cy + h / 2], fill=color)
+            labels.append((cls, cy, cx, h, w))
+            continue
+        labels.append((cls, cy, cx, float(s), w))
     return np.asarray(img), labels
 
 
