@@ -87,7 +87,7 @@ def device_ms(rotate):
     pack = {k: jax.device_put(v) for k, v in rec.deferred.items()}
     aff = cfg.random_affine
     fn = da.make_augment_fn(
-        S, S, pack["images"].shape[1],
+        S, S,
         separable=not (aff.rotate_prob and aff.rotate_degrees),
         has_jitter=True, has_affine=True,
         has_mosaic=True, has_mixup=False, has_cutmix=False)

@@ -12,6 +12,8 @@ import random
 
 import pytest
 
+pytestmark = pytest.mark.slow  # e2e/CLI tier: excluded from `pytest -m 'not slow'`
+
 from yolodl_tpu.config import darknet_cfg as dk
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -9,6 +9,8 @@ match the host float implementations to rounding.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # e2e/CLI tier: excluded from `pytest -m 'not slow'`
+
 from yolodl_tpu.data import device_augment as da
 from yolodl_tpu.data.affine import RandomAffine, pixel_affine, warp_image
 from yolodl_tpu.data.color import ColorJitter

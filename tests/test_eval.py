@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # e2e/CLI tier: excluded from `pytest -m 'not slow'`
+
 from yolodl_tpu.loss.average_precision import (
     Detection,
     GroundTruth,

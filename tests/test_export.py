@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # e2e/CLI tier: excluded from `pytest -m 'not slow'`
+
 from yolodl_tpu.models.export import export_inference, load_exported
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

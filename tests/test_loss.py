@@ -6,11 +6,14 @@ the reference's ndarray debug-asserts play (SURVEY §4 tier 3).
 """
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 from yolodl_tpu.loss import (
     LossConfig,
@@ -533,3 +536,149 @@ class TestClassModeAgreement:
             return {(int(inst[k]), int(cls[k])) for k in np.nonzero(valid)[0]}
 
         assert kept(a) == kept(b) == {(0, 0), (1, 1), (2, 0)}
+
+
+class TestPerLayerIgnoreThresh:
+    def test_tuple_matches_scalar_when_uniform(self, rng):
+        pred = make_merged(rng)
+        boxes, classes, mask = pad_targets([[(0.5, 0.5, 0.2, 0.2, 1)], []])
+        a, _ = yolo_loss(pred, boxes, classes, mask,
+                         LossConfig(ignore_thresh=0.6))
+        b, _ = yolo_loss(pred, boxes, classes, mask,
+                         LossConfig(ignore_thresh=(0.6, 0.6)))
+        assert float(a.total_loss) == float(b.total_loss)
+
+    def test_per_layer_thresholds_apply_per_flat_range(self, rng):
+        # every predicted box == the GT box → best_iou = 1 everywhere; a
+        # (1.01, 0.5) tuple ignores only the second head's unmatched cells
+        pred = make_merged(rng, batch=1)
+        gt = [[(0.4, 0.4, 0.3, 0.3, 0)]]
+        boxes, classes, mask = pad_targets(gt)
+        n = pred.num_flats
+        same = jnp.tile(jnp.asarray([[0.4, 0.4, 0.3, 0.3]], jnp.float32),
+                        (n, 1))[None]
+        pred2 = MergedDetection(same, pred.obj_logit, pred.class_logit,
+                                pred.infos)
+        none_ignored, _ = yolo_loss(pred2, boxes, classes, mask,
+                                    LossConfig(ignore_thresh=(1.01, 1.01)))
+        half_ignored, _ = yolo_loss(pred2, boxes, classes, mask,
+                                    LossConfig(ignore_thresh=(1.01, 0.5)))
+        all_ignored, _ = yolo_loss(pred2, boxes, classes, mask,
+                                   LossConfig(ignore_thresh=(0.5, 0.5)))
+        assert (float(all_ignored.objectness_loss)
+                < float(half_ignored.objectness_loss)
+                < float(none_ignored.objectness_loss))
+
+    def test_wrong_tuple_length_rejected(self, rng):
+        pred = make_merged(rng)
+        boxes, classes, mask = pad_targets([[(0.5, 0.5, 0.2, 0.2, 1)], []])
+        with pytest.raises(ValueError, match="detect heads"):
+            yolo_loss(pred, boxes, classes, mask,
+                      LossConfig(ignore_thresh=(0.5,)))
+
+    def test_auto_resolves_from_darknet_graph(self, tmp_path):
+        from yolodl_tpu.cli.train_main import _resolve_auto_loss_options
+        from yolodl_tpu.config import darknet_cfg as dk
+        from yolodl_tpu.graph.from_darknet import graph_from_darknet
+
+        import dataclasses
+
+        @dataclasses.dataclass(frozen=True)
+        class FakeAppConfig:
+            loss: LossConfig
+
+        cfg = os.path.join(REPO_ROOT, "cfg/darknet/yolov4-tiny.cfg")
+        graph = graph_from_darknet(dk.Darknet.load(cfg))
+        # yolov4-tiny carries ignore_thresh=.7 on both heads
+        assert graph.detect_ignore_thresh == (0.7, 0.7)
+        assert graph.detect_truth_thresh == (1.0, 1.0)
+        resolved = _resolve_auto_loss_options(
+            FakeAppConfig(loss=LossConfig()), graph)
+        assert resolved.loss.ignore_thresh == 0.7
+        # explicit values win over auto
+        kept = _resolve_auto_loss_options(
+            FakeAppConfig(loss=LossConfig(ignore_thresh=None)), graph)
+        assert kept.loss.ignore_thresh is None
+
+    def test_auto_alone_is_disabled(self, rng):
+        pred = make_merged(rng)
+        boxes, classes, mask = pad_targets([[(0.5, 0.5, 0.2, 0.2, 1)], []])
+        a, _ = yolo_loss(pred, boxes, classes, mask,
+                         LossConfig(ignore_thresh="auto"))
+        b, _ = yolo_loss(pred, boxes, classes, mask,
+                         LossConfig(ignore_thresh=None))
+        assert float(a.total_loss) == float(b.total_loss)
+
+
+class TestGaussianUncertaintyLoss:
+    def _gaussian_pred(self, rng, sigma=0.5):
+        pred = make_merged(rng, batch=1, layers=((4, 4, 2),))
+        sig = jnp.full((1, pred.num_flats, 4), sigma, jnp.float32)
+        unc = jnp.mean(sig, -1)
+        return MergedDetection(pred.cycxhw, pred.obj_logit, pred.class_logit,
+                               pred.infos, uncertainty=unc, sigmas=sig)
+
+    def test_auto_enabled_for_gaussian_heads(self, rng):
+        pred = self._gaussian_pred(rng)
+        boxes, classes, mask = pad_targets([[(0.5, 0.5, 0.2, 0.2, 1)]])
+        out, _ = yolo_loss(pred, boxes, classes, mask, LossConfig())
+        assert out.uncertainty_loss is not None
+        assert np.isfinite(float(out.uncertainty_loss))
+        # the term contributes to the total at iou_loss_weight by default
+        out0, _ = yolo_loss(pred, boxes, classes, mask,
+                            LossConfig(uncertainty_loss_weight=0.0))
+        expect = float(out0.total_loss) + 0.05 * float(out.uncertainty_loss)
+        assert abs(float(out.total_loss) - expect) < 1e-5
+
+    def test_plain_heads_have_no_uncertainty_loss(self, rng):
+        pred = make_merged(rng)
+        boxes, classes, mask = pad_targets([[(0.5, 0.5, 0.2, 0.2, 1)], []])
+        out, _ = yolo_loss(pred, boxes, classes, mask, LossConfig())
+        assert out.uncertainty_loss is None
+
+    def test_sigma_gradient_flows(self, rng):
+        """The NLL trains sigma: d(loss)/d(sigma) is nonzero and pushes a
+        too-small sigma up (residuals >> sigma) — the uncertainty is now
+        actually trained (VERDICT round-2 missing #1)."""
+        pred = make_merged(rng, batch=1, layers=((4, 4, 2),))
+        boxes, classes, mask = pad_targets([[(0.5, 0.5, 0.2, 0.2, 1)]])
+
+        def loss_of_sigma(sig_val):
+            sig = jnp.full((1, pred.num_flats, 4), sig_val, jnp.float32)
+            p = MergedDetection(pred.cycxhw, pred.obj_logit,
+                                pred.class_logit, pred.infos,
+                                uncertainty=jnp.mean(sig, -1), sigmas=sig)
+            out, _ = yolo_loss(p, boxes, classes, mask, LossConfig())
+            return out.total_loss
+
+        g_small = float(jax.grad(loss_of_sigma)(0.05))
+        assert g_small != 0.0
+        # with residuals much larger than sigma, increasing sigma lowers
+        # the NLL -> gradient is negative at small sigma
+        assert g_small < 0.0
+
+    def test_sigma_minimizes_at_residual_scale(self, rng):
+        """For fixed residual d, the NLL is minimized near sigma ~ |d|
+        (the calibrated uncertainty) — sanity that the term is a proper
+        scoring rule, not a monotone shrink."""
+        pred = make_merged(rng, batch=1, layers=((4, 4, 2),))
+        # every cell predicts the GT box offset by 0.075 in cy -> matched
+        # residual d = (0.075*4, 0, 0, 0), |d| mean-NLL minimum near 0.3
+        n = pred.num_flats
+        shifted = jnp.tile(
+            jnp.asarray([[0.575, 0.5, 0.2, 0.2]], jnp.float32), (n, 1))[None]
+        pred = MergedDetection(shifted, pred.obj_logit, pred.class_logit,
+                               pred.infos)
+        boxes, classes, mask = pad_targets([[(0.5, 0.5, 0.2, 0.2, 1)]])
+
+        def unc_of_sigma(sig_val):
+            sig = jnp.full((1, n, 4), sig_val, jnp.float32)
+            p = MergedDetection(pred.cycxhw, pred.obj_logit,
+                                pred.class_logit, pred.infos,
+                                uncertainty=jnp.mean(sig, -1), sigmas=sig)
+            out, _ = yolo_loss(p, boxes, classes, mask, LossConfig())
+            return float(out.uncertainty_loss)
+
+        vals = {s: unc_of_sigma(s) for s in (0.01, 0.05, 0.15, 0.5, 0.95)}
+        best = min(vals, key=vals.get)
+        assert best not in (0.01, 0.95), vals  # interior minimum

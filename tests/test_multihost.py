@@ -16,6 +16,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # e2e/CLI tier: excluded from `pytest -m 'not slow'`
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -13,6 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # e2e/CLI tier: excluded from `pytest -m 'not slow'`
+
 from yolodl_tpu.graph.from_darknet import load_darknet_graph
 from yolodl_tpu.models import YoloModel
 from yolodl_tpu.parallel.pipeline import PipelineModel, plan_stages

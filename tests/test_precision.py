@@ -14,6 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # e2e/CLI tier: excluded from `pytest -m 'not slow'`
+
 from yolodl_tpu.config.app_config import (
     TrainAppConfig, compute_dtype_of, parse_precision)
 from yolodl_tpu.train import TrainConfig, make_train_step, train_init

@@ -10,6 +10,8 @@ import json
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # e2e/CLI tier: excluded from `pytest -m 'not slow'`
 from PIL import Image
 
 from yolodl_tpu.config.app_config import DatasetConfig, PreprocessorConfig

@@ -12,11 +12,14 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from yolodl_tpu.graph import Graph
 from yolodl_tpu.models import YoloModel
 from yolodl_tpu.train import TrainConfig
 from yolodl_tpu.train.loop import make_batch_grads
+
+pytestmark = pytest.mark.slow  # e2e tier: excluded from `pytest -m 'not slow'`
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MODEL = os.path.join(REPO, "cfg/model/yolov4-csp-custom-64x64-2021-08-21.json5")

@@ -15,6 +15,8 @@ import urllib.request
 import jax
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # e2e/CLI tier: excluded from `pytest -m 'not slow'`
 from PIL import Image
 
 from yolodl_tpu.config import newslab as cfg

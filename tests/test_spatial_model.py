@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # e2e/CLI tier: excluded from `pytest -m 'not slow'`
+
 from yolodl_tpu.config import darknet_cfg as dk
 from yolodl_tpu.graph.from_darknet import graph_from_darknet
 from yolodl_tpu.models import YoloModel

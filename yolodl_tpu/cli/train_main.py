@@ -16,6 +16,38 @@ import sys
 import time
 
 
+def _resolve_auto_loss_options(config, graph):
+    """training.loss.ignore_thresh="auto" (the default): adopt the darknet
+    cfg's own per-[yolo]-layer ignore_thresh values (darknet-config
+    yolo.rs:5-123 surface; parser.c parse_yolo default .5) so darknet cfgs
+    train with darknet's objectness masking out of the box.  NEWSLABv1
+    models (no [yolo] sections) resolve to disabled — the Rust reference's
+    behavior.  A uniform per-layer set collapses to a scalar; mixed values
+    stay a per-head tuple (loss/yolo_loss.py maps it per flat range).
+    truth_thresh < 1 (the multi-positive branch) is not implemented in the
+    production loss — warn loudly instead of silently diverging (all 83
+    corpus cfgs carry truth_thresh=1, where it is a no-op)."""
+    import dataclasses as _dc
+
+    loss = config.loss
+    if loss.ignore_thresh != "auto":
+        return config
+    thresh = getattr(graph, "detect_ignore_thresh", None)
+    tt = getattr(graph, "detect_truth_thresh", None)
+    if tt and any(t < 1.0 for t in tt):
+        print(f"warning: model cfg truth_thresh={tt} < 1 is not "
+              "implemented; training without the multi-positive branch")
+    if not thresh:
+        new = None
+    elif len(set(thresh)) == 1:
+        new = thresh[0]
+    else:
+        new = thresh
+    if new is not None:
+        print(f"loss.ignore_thresh: auto -> {new} (from the model cfg)")
+    return _dc.replace(config, loss=_dc.replace(loss, ignore_thresh=new))
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="yolodl_tpu trainer")
     parser.add_argument("--config-file", required=True)
@@ -133,6 +165,7 @@ def main(argv=None):
         print(f"freezing {len(frozen)} node(s): "
               + ", ".join(sorted(frozen)[:8])
               + (" ..." if len(frozen) > 8 else ""))
+    config = _resolve_auto_loss_options(config, graph)
     model = YoloModel(graph, remat="blocks" if config.remat else "off")
 
     # lr_schedule {type: FromModelCfg}: adopt the darknet [net] policy
@@ -207,8 +240,20 @@ def main(argv=None):
             print("warning: preprocessor.pipeline.device='tpu' requires "
                   "single-process, non-scanned training; using the CPU "
                   "pipeline", file=sys.stderr)
+        elif config.logging.enable_images:
+            # the deferred path never materializes per-stage host pixels,
+            # so the pipeline debug-image hooks would silently vanish
+            # (round-2 advisor finding) — keep the CPU pipeline instead
+            print("warning: logging.enable_images needs host-side pipeline "
+                  "stages for debug images; using the CPU pipeline instead "
+                  "of pipeline.device='tpu'", file=sys.stderr)
         else:
             defer_images = True
+            if config.n_devices > 1:
+                print("note: pipeline.device='tpu' commits augmented "
+                      "batches to one device; multi-device runs pay a "
+                      "reshard copy per batch when the step re-places "
+                      "them on the mesh", file=sys.stderr)
     stream_cfg = TrainingStreamConfig(
         batch_size=local_batch,
         defer_images=defer_images,

@@ -409,7 +409,13 @@ def parse_loss_config(raw: dict) -> LossConfig:
         classification_loss_weight=float(raw.get("classification_loss_weight", 0.58)),
         smooth_classification_coef=float(raw.get("smooth_classification_coef", 0.01)),
         smooth_objectness_coef=float(raw.get("smooth_objectness_coef", 0.0)),
-        ignore_thresh=raw.get("ignore_thresh"),
+        # absent = "auto" (train CLI adopts darknet cfg values); an
+        # explicit null disables, a number/array overrides
+        ignore_thresh=(
+            tuple(float(t) for t in raw["ignore_thresh"])
+            if isinstance(raw.get("ignore_thresh"), (list, tuple))
+            else raw.get("ignore_thresh", "auto")),
+        uncertainty_loss_weight=raw.get("uncertainty_loss_weight"),
         matcher=matcher,
     )
 

@@ -208,7 +208,7 @@ def _warp_separable_jnp(img, m, b):
     return jnp.where(rvalid[None, :, None] & cvalid[None, None, :], out, 0.0)
 
 
-def make_augment_fn(h: int, w: int, k_max: int, *, separable: bool,
+def make_augment_fn(h: int, w: int, *, separable: bool,
                     has_jitter: bool, has_affine: bool,
                     has_mosaic: bool, has_mixup: bool, has_cutmix: bool):
     """Build the jitted batched augment program: pack dict → images [B,3,H,W]."""
@@ -260,23 +260,33 @@ def make_augment_fn(h: int, w: int, k_max: int, *, separable: bool,
     return augment
 
 
-def apply_device_augmentation(iterator, stream_cfg, device=None):
+def apply_device_augmentation(iterator, stream_cfg, device=None,
+                              depth: int = 2):
     """Wrap a deferred TrainingStream: runs the jitted augment program per
     batch and yields ``(TrainingRecord, (images, boxes, classes, mask))``
     with device-resident arrays — the same contract as
-    ``pipeline.device_prefetch`` so the train loop is agnostic."""
+    ``pipeline.device_prefetch`` so the train loop is agnostic.
+
+    The H2D upload (B x k_max full-resolution slots — up to 4x the image
+    payload when mosaic is enabled) and the augment dispatch run on a
+    lookahead thread ``depth`` batches ahead, so the feed overlaps the
+    training step exactly like ``device_prefetch`` does for the CPU
+    pipeline (round-2 advisor finding: the first wiring ran them serially
+    in the train-loop thread and lost the overlap on one-core hosts)."""
     import jax
 
-    fn = None
-    for record in iterator:
+    from .pipeline import lookahead_map
+
+    state: dict = {"fn": None}
+
+    def augment_batch(record):
         pack = record.deferred
-        k_max = pack["images"].shape[1]
-        if fn is None:
+        if state["fn"] is None:
             _, _, _, h, w = pack["images"].shape
             aff = stream_cfg.random_affine
             separable = aff is None or not (aff.rotate_prob and aff.rotate_degrees)
-            fn = make_augment_fn(
-                h, w, k_max,
+            state["fn"] = make_augment_fn(
+                h, w,
                 separable=separable,
                 has_jitter=stream_cfg.color_jitter is not None,
                 has_affine=aff is not None,
@@ -285,9 +295,11 @@ def apply_device_augmentation(iterator, stream_cfg, device=None):
                 has_cutmix=stream_cfg.cutmix_prob > 0,
             )
         pack_dev = {k: jax.device_put(v, device) for k, v in pack.items()}
-        images = fn(pack_dev)
+        images = state["fn"](pack_dev)
         boxes = jax.device_put(record.boxes, device)
         classes = jax.device_put(record.classes, device)
         mask = jax.device_put(record.mask, device)
         rec = dataclasses.replace(record, images=images, deferred=None)
-        yield rec, (images, boxes, classes, mask)
+        return rec, (images, boxes, classes, mask)
+
+    return lookahead_map(iterator, augment_batch, depth)

@@ -411,22 +411,13 @@ class TrainingStream:
             stop.set()
 
 
-def device_prefetch(iterator, device=None, depth: int = 2):
-    """Move TrainingRecord arrays to device ahead of consumption
-    (double-buffered HBM prefetch; replaces the reference's flume channel +
-    spawn_blocking to_device at multi_gpu.rs:139-153)."""
-    import jax
-
+def lookahead_map(iterator, transform, depth: int = 2):
+    """Run ``transform(item)`` on a worker thread ``depth`` items ahead of
+    consumption — the generic double-buffer behind device_prefetch (and the
+    device-augment feed), replacing the reference's flume channel +
+    spawn_blocking to_device at multi_gpu.rs:139-153."""
     buf: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = threading.Event()
-
-    def put_on_device(record: TrainingRecord):
-        arrays = (record.images, record.boxes, record.classes, record.mask)
-        if device is not None:
-            arrays = tuple(jax.device_put(a, device) for a in arrays)
-        else:
-            arrays = tuple(jax.device_put(a) for a in arrays)
-        return record, arrays
 
     def put_or_stop(item) -> bool:
         # never block forever on a consumer that stopped: a wedged put
@@ -445,7 +436,7 @@ def device_prefetch(iterator, device=None, depth: int = 2):
             for record in iterator:
                 if stop.is_set():
                     return
-                if not put_or_stop(put_on_device(record)):
+                if not put_or_stop(transform(record)):
                     return
             put_or_stop(None)
         except Exception as e:
@@ -462,3 +453,16 @@ def device_prefetch(iterator, device=None, depth: int = 2):
             yield item
     finally:
         stop.set()
+
+
+def device_prefetch(iterator, device=None, depth: int = 2):
+    """Move TrainingRecord arrays to device ahead of consumption
+    (double-buffered HBM prefetch)."""
+    import jax
+
+    def put_on_device(record: TrainingRecord):
+        arrays = (record.images, record.boxes, record.classes, record.mask)
+        arrays = tuple(jax.device_put(a, device) for a in arrays)
+        return record, arrays
+
+    return lookahead_map(iterator, put_on_device, depth)

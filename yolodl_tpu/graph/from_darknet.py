@@ -301,6 +301,17 @@ def graph_from_darknet(darknet: dk.Darknet) -> Graph:
     frozen.update(f"layer{i}" for i in darknet.only_forward)
     if frozen:
         graph.stop_gradient_paths = frozenset(frozen)
+
+    # per-[yolo]-layer objectness thresholds, in the head-merge order
+    # (yolo_names == cfg layer order), so the train CLI can adopt darknet's
+    # ignore_thresh/truth_thresh by default (parser.c:parse_yolo defaults
+    # .5/1.0; every corpus cfg carries truth_thresh=1)
+    yolo_layers = [l for l in darknet.layers if isinstance(l, dk.Yolo)]
+    if yolo_layers:
+        graph.detect_ignore_thresh = tuple(
+            float(l.ignore_thresh) for l in yolo_layers)
+        graph.detect_truth_thresh = tuple(
+            float(l.truth_thresh) for l in yolo_layers)
     return graph
 
 

@@ -111,6 +111,11 @@ class Graph:
         # (darknet stopbackward/onlyforward, network.c:362-363 — set by
         # graph_from_darknet; models/builder.py consumes it)
         self.stop_gradient_paths: frozenset = frozenset()
+        # per-detect-head objectness thresholds from darknet [yolo]
+        # sections, head-merge order (set by graph_from_darknet; the train
+        # CLI resolves LossConfig.ignore_thresh="auto" from these)
+        self.detect_ignore_thresh: Optional[Tuple[float, ...]] = None
+        self.detect_truth_thresh: Optional[Tuple[float, ...]] = None
 
     # -- constructors -------------------------------------------------------
 

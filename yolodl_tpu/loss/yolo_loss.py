@@ -23,7 +23,7 @@ loss jits into the training step with zero host synchronization.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -92,8 +92,20 @@ class LossConfig:
     # darknet's ignore_thresh: unmatched cells whose predicted box overlaps
     # any GT above this IoU contribute no objectness loss (yolo_layer.c
     # semantics; the reference never implemented it — None reproduces the
-    # reference's behavior of penalizing all unmatched cells)
-    ignore_thresh: Optional[float] = None
+    # reference's behavior of penalizing all unmatched cells).
+    # "auto" (the default) lets the train CLI adopt the darknet cfg's own
+    # per-[yolo]-layer values (a tuple, one per detect head in merge
+    # order); it resolves to None for NEWSLABv1 models.  The darknet-EXACT
+    # objectness masking (any-class>0.25 match rule, delta overwrites)
+    # lives in loss/darknet_loss.py — this production form masks on plain
+    # best-IoU, documented divergence.
+    ignore_thresh: Union[None, str, float, Tuple[float, ...]] = "auto"
+    # Gaussian-YOLO uncertainty: weight of the per-coordinate Gaussian
+    # negative-log-likelihood term that trains the predicted sigmas
+    # (darknet delta_gaussian_yolo_box's uncertainty-weighted delta,
+    # gaussian_yolo_layer.c:171-344, in true-gradient form).  None =
+    # auto-enabled at iou_loss_weight when the head is gaussian.
+    uncertainty_loss_weight: Optional[float] = None
     matcher: MatcherConfig = MatcherConfig()
 
 
@@ -104,10 +116,11 @@ class LossOutput:
     iou_loss: Array
     classification_loss: Array
     objectness_loss: Array
+    uncertainty_loss: Optional[Array] = None  # gaussian heads only
 
     def tree_flatten(self):
         return (self.total_loss, self.iou_loss, self.classification_loss,
-                self.objectness_loss), None
+                self.objectness_loss, self.uncertainty_loss), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -224,7 +237,21 @@ def yolo_loss(
     else:
         raise ValueError(f"unknown objectness loss {okind!r}")
 
-    if config.ignore_thresh is not None:
+    ignore = config.ignore_thresh
+    if ignore == "auto":  # unresolved auto (no cfg wiring ran) = disabled
+        ignore = None
+    if ignore is not None:
+        if isinstance(ignore, tuple):
+            if len(ignore) != len(prediction.infos):
+                raise ValueError(
+                    f"per-layer ignore_thresh has {len(ignore)} entries "
+                    f"for {len(prediction.infos)} detect heads")
+            thr = jnp.concatenate([
+                jnp.full((info.flat_end - info.flat_begin,), t, jnp.float32)
+                for info, t in zip(prediction.infos, ignore)
+            ])[None, :]  # [1, N] per-flat threshold
+        else:
+            thr = jnp.float32(ignore)
         # best IoU of every predicted box vs every (valid) GT: [B, N]
         pred_all = prediction.cycxhw[:, :, None, :]       # [B, N, 1, 4]
         gt_all = gt_cycxhw[:, None, :, :]                 # [B, 1, M, 4]
@@ -232,14 +259,50 @@ def yolo_loss(
         ious = jnp.where(gt_mask[:, None, :], ious, 0.0)
         best_iou = jnp.max(ious, axis=-1)
         matched_cells = target_obj > 0.0
-        ignored = (best_iou > config.ignore_thresh) & ~matched_cells
+        ignored = (best_iou > thr) & ~matched_cells
         obj_elem = jnp.where(ignored, 0.0, obj_elem)
     obj_loss = jnp.mean(obj_elem)
+
+    # -- Gaussian uncertainty NLL (gaussian heads only) -------------------
+    # True-gradient form of darknet's delta_gaussian_yolo_box: residuals in
+    # grid/log units, per-coordinate NLL = 1/2 (d/sigma)^2 + log(sigma +
+    # 0.3), masked-mean over matched cells.  Trains sigma (and pulls mu)
+    # where the reference (and round-2 this repo) left sigma untrained.
+    unc_weight = config.uncertainty_loss_weight
+    if unc_weight is None:
+        unc_weight = config.iou_loss_weight if prediction.sigmas is not None else 0.0
+    unc_loss = jnp.float32(0.0)
+    if prediction.sigmas is not None and unc_weight != 0.0:
+        fh = jnp.concatenate([
+            jnp.full((i.flat_end - i.flat_begin,), i.feature_h, jnp.float32)
+            for i in prediction.infos])
+        fw = jnp.concatenate([
+            jnp.full((i.flat_end - i.flat_begin,), i.feature_w, jnp.float32)
+            for i in prediction.infos])
+        sig = jax.vmap(lambda s, f: s[f])(
+            prediction.sigmas.astype(jnp.float32), matching.flat)  # [B,C,4]
+        fh_m = jax.vmap(lambda a, f: a[f], in_axes=(None, 0))(fh, matching.flat)
+        fw_m = jax.vmap(lambda a, f: a[f], in_axes=(None, 0))(fw, matching.flat)
+        gt = matching.gt_cycxhw
+        eps = 1e-9
+        d = jnp.stack([
+            (gt[..., 0] - pred_boxes[..., 0]) * fh_m,
+            (gt[..., 1] - pred_boxes[..., 1]) * fw_m,
+            jnp.log(jnp.maximum(gt[..., 2], eps)
+                    / jnp.maximum(pred_boxes[..., 2], eps)),
+            jnp.log(jnp.maximum(gt[..., 3], eps)
+                    / jnp.maximum(pred_boxes[..., 3], eps)),
+        ], axis=-1)  # [B, C, 4]
+        sig = jnp.maximum(sig, 1e-4)
+        nll = 0.5 * jnp.square(d / sig) + jnp.log(sig + 0.3)
+        unc_loss = _masked_mean(
+            jnp.mean(nll, axis=-1), valid)
 
     total = (
         config.iou_loss_weight * iou_loss
         + config.classification_loss_weight * cls_loss
         + config.objectness_loss_weight * obj_loss
+        + unc_weight * unc_loss
     )
 
     return (
@@ -248,6 +311,7 @@ def yolo_loss(
             iou_loss=iou_loss,
             classification_loss=cls_loss,
             objectness_loss=obj_loss,
+            uncertainty_loss=unc_loss if prediction.sigmas is not None else None,
         ),
         LossAuxiliary(matching=matching, iou_score=iou_score, pred_cycxhw=pred_boxes),
     )

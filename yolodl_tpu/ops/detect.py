@@ -66,18 +66,20 @@ class DenseDetection:
     class_logit: Array  # [b, A, H, W, C]
     anchors: Tuple[Tuple[float, float], ...]  # static
     class_act: str = "sigmoid"
-    uncertainty: Optional[Array] = None  # [b, A, H, W]
+    uncertainty: Optional[Array] = None  # [b, A, H, W] (mean sigma)
+    sigmas: Optional[Array] = None  # [b, A, H, W, 4] per-coord (y, x, h, w)
 
     def tree_flatten(self):
         return (self.cycxhw, self.obj_logit, self.class_logit,
-                self.uncertainty), (self.anchors, self.class_act)
+                self.uncertainty, self.sigmas), (self.anchors, self.class_act)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         anchors, class_act = aux
-        cycxhw, obj_logit, class_logit, uncertainty = children
+        cycxhw, obj_logit, class_logit, uncertainty, sigmas = children
         return cls(cycxhw=cycxhw, obj_logit=obj_logit, class_logit=class_logit,
-                   anchors=anchors, class_act=class_act, uncertainty=uncertainty)
+                   anchors=anchors, class_act=class_act,
+                   uncertainty=uncertainty, sigmas=sigmas)
 
     @property
     def num_classes(self) -> int:
@@ -97,16 +99,17 @@ class MergedDetection:
     class_logit: Array  # [b, N, C]
     infos: Tuple[DetectionInfo, ...]  # static
     uncertainty: Optional[Array] = None  # [b, N] (Gaussian-YOLO heads)
+    sigmas: Optional[Array] = None  # [b, N, 4] per-coord (y, x, h, w)
 
     def tree_flatten(self):
         return (self.cycxhw, self.obj_logit, self.class_logit,
-                self.uncertainty), self.infos
+                self.uncertainty, self.sigmas), self.infos
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        cycxhw, obj_logit, class_logit, uncertainty = children
+        cycxhw, obj_logit, class_logit, uncertainty, sigmas = children
         return cls(cycxhw=cycxhw, obj_logit=obj_logit, class_logit=class_logit,
-                   infos=aux, uncertainty=uncertainty)
+                   infos=aux, uncertainty=uncertainty, sigmas=sigmas)
 
     @property
     def batch_size(self) -> int:
@@ -174,12 +177,15 @@ def detect_decode(
         raise ValueError(f"unknown channel order {order!r}")
 
     uncertainty = None
+    sigmas = None
     if gaussian:
         # interleaved mean/sigma entries (gaussian_yolo_layer.c:809-816):
-        # mu_x, s_x, mu_y, s_y, mu_w, s_w, mu_h, s_h, obj, classes
+        # mu_x, s_x, mu_y, s_y, mu_w, s_w, mu_h, s_h, obj, classes.
+        # sigmas kept per-coordinate in cycxhw order (y, x, h, w) so the
+        # Gaussian NLL loss can train them (loss/yolo_loss.py)
         tx, ty, tw, th = x[..., 0], x[..., 2], x[..., 4], x[..., 6]
         sigmas = jax.nn.sigmoid(
-            jnp.stack([x[..., 1], x[..., 3], x[..., 5], x[..., 7]], axis=-1)
+            jnp.stack([x[..., 3], x[..., 1], x[..., 7], x[..., 5]], axis=-1)
         )
         uncertainty = jnp.mean(sigmas, axis=-1)
         obj_logit = x[..., 8]
@@ -227,6 +233,7 @@ def detect_decode(
         anchors=tuple((float(ah), float(aw)) for ah, aw in anchors),
         class_act=class_activation,
         uncertainty=uncertainty,
+        sigmas=sigmas,
     )
 
 
@@ -236,7 +243,7 @@ def merge_detections(heads: Sequence[DenseDetection]) -> MergedDetection:
         raise ValueError("merge_detections needs at least one head")
     num_classes = heads[0].num_classes
     infos: List[DetectionInfo] = []
-    boxes, objs, classes, uncs = [], [], [], []
+    boxes, objs, classes, uncs, sigs = [], [], [], [], []
     begin = 0
     for head in heads:
         if head.num_classes != num_classes:
@@ -256,6 +263,8 @@ def merge_detections(heads: Sequence[DenseDetection]) -> MergedDetection:
         classes.append(head.class_logit.reshape(b, n, num_classes))
         if head.uncertainty is not None:
             uncs.append(head.uncertainty.reshape(b, n))
+        if head.sigmas is not None:
+            sigs.append(head.sigmas.reshape(b, n, 4))
 
     if uncs and len(uncs) != len(heads):
         raise ValueError("either all heads are gaussian or none")
@@ -265,6 +274,7 @@ def merge_detections(heads: Sequence[DenseDetection]) -> MergedDetection:
         class_logit=jnp.concatenate(classes, axis=1),
         infos=tuple(infos),
         uncertainty=jnp.concatenate(uncs, axis=1) if uncs else None,
+        sigmas=jnp.concatenate(sigs, axis=1) if sigs else None,
     )
 
 

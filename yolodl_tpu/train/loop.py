@@ -150,6 +150,8 @@ def collect_step_metrics(config: TrainConfig, out, aux, pred) -> dict:
         "objectness_loss": out.objectness_loss,
         "num_matched": aux.matching.num_matched(),
     }
+    if out.uncertainty_loss is not None:  # gaussian heads
+        metrics["uncertainty_loss"] = out.uncertainty_loss
     if config.benchmark_confidence is not None:
         from ..loss.benchmark import yolo_benchmark
 
