@@ -76,7 +76,7 @@ def host_rate(defer, n_batches=3):
     return n_batches * B / dt
 
 
-def device_ms(rotate):
+def device_ms(rotate, twopass=True):
     import jax
 
     from yolodl_tpu.data import device_augment as da
@@ -86,9 +86,12 @@ def device_ms(rotate):
     rec = next(iter(stream))
     pack = {k: jax.device_put(v) for k, v in rec.deferred.items()}
     aff = cfg.random_affine
+    separable = not (aff.rotate_prob and aff.rotate_degrees)
+    bands = (None if separable or not twopass
+             else da.twopass_bands(aff.rotate_degrees, min(aff.scale)))
     fn = da.make_augment_fn(
         S, S,
-        separable=not (aff.rotate_prob and aff.rotate_degrees),
+        separable=separable, bands=bands,
         has_jitter=True, has_affine=True,
         has_mosaic=True, has_mixup=False, has_cutmix=False)
     out = fn(pack)
@@ -110,11 +113,15 @@ def main():
     import jax
 
     plat = jax.devices()[0].platform
-    ms_gen = device_ms(rotate=True)
+    ms_two = device_ms(rotate=True, twopass=True)
     ms_sep = device_ms(rotate=False)
-    print(f"device augment program [{plat}]: general {ms_gen:.2f} ms/batch "
-          f"({B / ms_gen * 1e3:.0f} img/s), separable {ms_sep:.2f} ms/batch "
-          f"({B / ms_sep * 1e3:.0f} img/s)")
+    print(f"device augment program [{plat}]: rotation(two-pass) "
+          f"{ms_two:.2f} ms/batch ({B / ms_two * 1e3:.0f} img/s), "
+          f"separable {ms_sep:.2f} ms/batch ({B / ms_sep * 1e3:.0f} img/s)")
+    if os.environ.get("BENCH_AUG_GENERAL", "0") == "1":
+        ms_gen = device_ms(rotate=True, twopass=False)
+        print(f"  general gather warp (debug): {ms_gen:.2f} ms/batch "
+              f"({B / ms_gen * 1e3:.0f} img/s)")
 
 
 if __name__ == "__main__":

@@ -193,6 +193,14 @@ def main():
                               "translation_prob": 0.3, "translation": 0.1,
                               "scale_prob": 0.3, "scale": [0.8, 1.2]},
             "workers": 2,
+            # QLH_DEVICE_AUG=1: run the batched augmentation program on
+            # the TPU (pipeline.device=tpu).  At 608² the host pipeline
+            # tops out ~2.4 records/s/core with this augment set
+            # (scripts/bench_device_augment.py) — a one-core host would
+            # data-bound the flagship run by hours; the separable device
+            # program costs ~30 ms/batch.
+            **({"pipeline": {"device": "tpu"}}
+               if os.environ.get("QLH_DEVICE_AUG", "0") == "1" else {}),
         },
         "logging": {"dir": os.path.join(ws, "logs")},
         "training": {

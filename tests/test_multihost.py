@@ -93,6 +93,35 @@ def test_two_process_dp_matches_single_process(devices8):
     np.testing.assert_allclose(losses[0], ref, rtol=1e-5)
 
 
+def test_two_process_spatial_train(devices8):
+    """Multi-host × spatial: the 2-D (data × space) spatially-sharded train
+    step on a 2-process cluster, data axis crossing the process boundary
+    (prefix-BN psums + gradient pmeans ride the distributed runtime)."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    procs = [
+        subprocess.Popen(
+            [sys.executable,
+             os.path.join(REPO, "tests", "_mh_spatial_worker.py"),
+             str(pid), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=280)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+    losses = []
+    for out in outs:
+        m = re.search(r"MH_RESULT proc=\d loss=([0-9.]+)", out)
+        assert m, out[-3000:]
+        losses.append(float(m.group(1)))
+    assert losses[0] == losses[1], losses
+
+
 def test_multiprocess_train_cli(tmp_path):
     """The PRODUCTION train CLI on a 2-process cluster (device_config
     MultiProcess): each rank streams its record shard, contributes its

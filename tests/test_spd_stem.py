@@ -105,6 +105,99 @@ class TestSpdStem:
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
+    def test_res_block_apply_matches_reference(self, rng):
+        """spd_res_block_apply vs the straightforward conv→conv→shortcut
+        chain, train and eval."""
+        from yolodl_tpu.ops.spd_stem import spd_res_block_apply
+
+        c = 16
+        l2 = cfg.ConvBn2D(c=c // 2, k=1, s=1, p=0, act="mish", order="bn_act",
+                          bias=False, bn=cfg.BatchNormConfig(enabled=True))
+        l3 = cfg.ConvBn2D(c=c, k=3, s=1, p=1, act="mish", order="bn_act",
+                          bias=False, bn=cfg.BatchNormConfig(enabled=True))
+        p2, s2 = conv_bn_init(jax.random.PRNGKey(1), l2, c)
+        p3, s3 = conv_bn_init(jax.random.PRNGKey(2), l3, c // 2)
+        y1 = jnp.asarray(rng.normal(size=(2, 12, 20, c)), jnp.float32)
+
+        for train in (False, True):
+            h_ref, s2_ref = conv_bn_apply(p2, s2, y1, l2, train)
+            h_ref, s3_ref = conv_bn_apply(p3, s3, h_ref, l3, train)
+            from yolodl_tpu import activations
+            out_ref = activations.apply("linear", h_ref + y1)
+
+            out, s2_n, s3_n = spd_res_block_apply(
+                p2, s2, l2, p3, s3, l3, "linear", y1, train)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(out_ref), atol=3e-5)
+            for a, b in zip(jax.tree_util.tree_leaves((s2_n, s3_n)),
+                            jax.tree_util.tree_leaves((s2_ref, s3_ref))):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=1e-5)
+
+    def test_model_builder_uses_spd_region_and_matches(self, rng):
+        """Full yolov4-csp model: the extended region (stem + stage-1
+        residual pair packed) is detected and matches spd_stem='off' —
+        inference exactly, training grads to deep-net fusion noise."""
+        import os
+
+        from yolodl_tpu.config import darknet_cfg as dk
+        from yolodl_tpu.graph.from_darknet import graph_from_darknet
+        from yolodl_tpu.models import YoloModel
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        d = dk.Darknet.load(os.path.join(repo, "cfg/darknet/yolov4-csp.cfg"))
+        graph = graph_from_darknet(d)
+        m_auto = YoloModel(graph, spd_stem="auto")
+        m_stem = YoloModel(graph, spd_stem="stem")
+        m_off = YoloModel(graph, spd_stem="off")
+        assert m_auto._spd_res is not None
+        assert m_stem._spd_res is None and m_stem._spd_pair is not None
+
+        params, state = m_off.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(rng.uniform(0, 1, (1, 3, 128, 128)), jnp.float32)
+        out_auto, _ = m_auto.apply(params, state, x, train=False)
+        out_off, _ = m_off.apply(params, state, x, train=False)
+        np.testing.assert_array_equal(
+            np.asarray(out_auto.cycxhw), np.asarray(out_off.cycxhw))
+        np.testing.assert_array_equal(
+            np.asarray(out_auto.obj_logit), np.asarray(out_off.obj_logit))
+
+        def loss(m):
+            def f(p):
+                pred, _ = m.apply(p, state, x, train=True)
+                return (jnp.sum(pred.cycxhw.astype(jnp.float32) ** 2)
+                        + jnp.sum(jax.nn.sigmoid(
+                            pred.obj_logit.astype(jnp.float32))))
+            return f
+
+        ga = jax.grad(loss(m_auto))(params)
+        go = jax.grad(loss(m_off))(params)
+
+        def check(a, b):
+            scale = float(np.max(np.abs(np.asarray(b)))) + 1e-8
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b) / scale, atol=6e-3)
+
+        jax.tree_util.tree_map(check, ga, go)
+
+    def test_region_eligibility(self):
+        from yolodl_tpu.ops.spd_stem import res_block_is_eligible
+
+        l2 = cfg.ConvBn2D(c=8, k=1, s=1, p=0, act="mish", order="bn_act")
+        l3 = cfg.ConvBn2D(c=16, k=3, s=1, p=1, act="mish", order="bn_act")
+        assert res_block_is_eligible(l2, l3)
+        assert not res_block_is_eligible(l3, l2)  # wrong kernel order
+        s2conv = cfg.ConvBn2D(c=16, k=3, s=2, p=1, act="mish", order="bn_act")
+        assert not res_block_is_eligible(l2, s2conv)  # strided
+
+    def test_depth_to_space_roundtrip(self, rng):
+        from yolodl_tpu.ops.spd_stem import depth_to_space
+
+        x = jnp.asarray(rng.normal(size=(2, 8, 6, 5)), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(depth_to_space(space_to_depth(x, 2), 2)),
+            np.asarray(x))
+
     def test_tiny_stem_not_eligible(self):
         """yolov4-tiny starts with a stride-2 conv — no rewrite."""
         from yolodl_tpu.config import darknet_cfg as dk

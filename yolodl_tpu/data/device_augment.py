@@ -208,14 +208,142 @@ def _warp_separable_jnp(img, m, b):
     return jnp.where(rvalid[None, :, None] & cvalid[None, None, :], out, 0.0)
 
 
+def _warp_twopass_jnp(img, m, b, d1: int, d2: int, block: int = 8):
+    """Rotation-capable warp without any 2-D gather: Catmull–Smith two-pass
+    decomposition of the affine into a column pass then a row pass, each a
+    1-D bilinear resample whose line offset varies along the other axis.
+
+    The TPU executes ``_warp_general_jnp``'s [H,W]-indexed gather at ~100 M
+    elem/s (≈2 s for a 608² mosaic batch — measured, scripts/
+    bench_device_augment.py); this kernel replaces it with banded
+    shift-style taps: rows (then columns) are processed in blocks of
+    ``block``, so within a block the resample coordinate spans at most
+    ``d1``/``d2`` source lines (static, sized from the config's worst-case
+    rotation/scale by :func:`twopass_bands`), and every tap is a gather
+    with a per-block 1-D index vector — the same access pattern as the
+    fast separable kernel.
+
+    Index maps (in_(r,c) = m @ out_(r,c) + b, m[0,0] != 0):
+      pass 1 (columns):  tmp(r', c) = img(r', a·c + p·r' + q)
+          with p = m10/m00, a = m11 − m01·m10/m00, q = b1 − p·b0
+      pass 2 (rows):     out(r, c) = tmp(m00·r + m01·c + b0, c)
+    so the composite continuous map is exact; only the interpolation
+    differs from the direct bilinear (each pass interpolates along the
+    true map instead of reusing one fractional weight for both source
+    rows).  Borders are the same hard-cut mask as the general kernel,
+    computed from the composite coordinates.
+    """
+    import jax.numpy as jnp
+
+    _, h, w = img.shape
+    # pad to a block multiple; padded lines carry zero weight (their
+    # coordinates fall outside every band) and are cropped at the end
+    hp = -(-h // block) * block
+    wp = -(-w // block) * block
+
+    p = m[1, 0] / m[0, 0]
+    a = m[1, 1] - m[0, 1] * m[1, 0] / m[0, 0]
+    q = b[1] - p * b[0]
+
+    # ---- pass 1: resample columns, per-row coordinate ic = a·c + p·r + q
+    nb1 = hp // block
+    r_blk = (jnp.arange(nb1, dtype=jnp.float32)[:, None] * block
+             + jnp.arange(block, dtype=jnp.float32)[None, :])   # [NB, R]
+    o1 = p * r_blk + q                                          # [NB, R]
+    o1_min = jnp.min(o1, axis=1)                                # [NB]
+    c_ar = jnp.arange(w, dtype=jnp.float32)
+    base1 = jnp.floor(a * c_ar[None, :] + o1_min[:, None])      # [NB, W]
+    ic = a * c_ar[None, None, :] + o1[:, :, None]               # [NB, R, W]
+
+    img_p = jnp.pad(img, ((0, 0), (0, hp - h), (0, 0)))
+    img_b = img_p.reshape(3, nb1, block, w)
+    acc = jnp.zeros((3, nb1, block, w), img.dtype)
+    for d in range(d1):
+        j = base1 + d                                           # [NB, W]
+        wgt = jnp.maximum(0.0, 1.0 - jnp.abs(ic - j[:, None, :]))
+        idx = jnp.clip(j, 0, w - 1).astype(jnp.int32)
+        # idx is [NB, W]: broadcast over channel and in-block rows
+        g = jnp.take_along_axis(
+            img_b,
+            jnp.broadcast_to(idx[None, :, None, :], img_b.shape).astype(jnp.int32),
+            axis=3, mode="clip")
+        acc = acc + g * wgt[None]
+    tmp = acc.reshape(3, hp, w)[:, :h, :]
+
+    # ---- pass 2: resample rows, per-column coordinate ir = m00·r + m01·c + b0
+    nb2 = wp // block
+    c_blk = (jnp.arange(nb2, dtype=jnp.float32)[:, None] * block
+             + jnp.arange(block, dtype=jnp.float32)[None, :])   # [NBc, C]
+    o2 = m[0, 1] * c_blk + b[0]                                 # [NBc, C]
+    o2_min = jnp.min(o2, axis=1)                                # [NBc]
+    r_ar = jnp.arange(h, dtype=jnp.float32)
+    base2 = jnp.floor(m[0, 0] * r_ar[None, :] + o2_min[:, None])  # [NBc, H]
+    ir = m[0, 0] * r_ar[None, None, :] + o2[:, :, None]         # [NBc, C, H]
+
+    tmp_p = jnp.pad(tmp, ((0, 0), (0, 0), (0, wp - w)))
+    # [3, H, NBc, C] → put the gathered axis (H) last: [3, NBc, C, H]
+    tmp_b = tmp_p.reshape(3, h, nb2, block).transpose(0, 2, 3, 1)
+    acc2 = jnp.zeros((3, nb2, block, h), img.dtype)
+    for d in range(d2):
+        i = base2 + d                                           # [NBc, H]
+        wgt = jnp.maximum(0.0, 1.0 - jnp.abs(ir - i[:, None, :]))
+        idx = jnp.clip(i, 0, h - 1).astype(jnp.int32)
+        g = jnp.take_along_axis(
+            tmp_b,
+            jnp.broadcast_to(idx[None, :, None, :], tmp_b.shape).astype(jnp.int32),
+            axis=3, mode="clip")
+        acc2 = acc2 + g * wgt[None]
+    out = acc2.transpose(0, 3, 1, 2).reshape(3, h, wp)[:, :, :w]
+
+    # hard-cut borders from the composite coordinates (== general kernel)
+    rr = jnp.arange(h, dtype=jnp.float32)[:, None]
+    cc = jnp.arange(w, dtype=jnp.float32)[None, :]
+    irf = m[0, 0] * rr + m[0, 1] * cc + b[0]
+    icf = m[1, 0] * rr + m[1, 1] * cc + b[1]
+    valid = (irf >= 0) & (irf <= h - 1) & (icf >= 0) & (icf <= w - 1)
+    return jnp.where(valid, out, 0.0)
+
+
+def twopass_bands(rotate_degrees: float, scale_min: float,
+                  block: int = 8) -> Tuple[int, int]:
+    """Static band sizes for :func:`_warp_twopass_jnp` covering every
+    transform ``RandomAffine`` can sample with rotation up to
+    ``rotate_degrees`` and isotropic scale down to ``scale_min``:
+    |m10/m00| = tan θ (scale cancels) bounds pass 1, |m01| = sin θ / s
+    bounds pass 2."""
+    th = float(np.deg2rad(rotate_degrees))
+    s = min(1.0, float(scale_min))
+    d1 = int(np.ceil(np.tan(th) * (block - 1))) + 2
+    d2 = int(np.ceil(np.sin(th) / s * (block - 1))) + 2
+    return d1, d2
+
+
 def make_augment_fn(h: int, w: int, *, separable: bool,
                     has_jitter: bool, has_affine: bool,
-                    has_mosaic: bool, has_mixup: bool, has_cutmix: bool):
-    """Build the jitted batched augment program: pack dict → images [B,3,H,W]."""
+                    has_mosaic: bool, has_mixup: bool, has_cutmix: bool,
+                    bands: Optional[Tuple[int, int]] = None):
+    """Build the jitted batched augment program: pack dict → images [B,3,H,W].
+
+    Warp kernel choice: ``separable=True`` → the diagonal-matrix fast path
+    (no rotation in the config).  Otherwise ``bands=(d1, d2)`` (from
+    :func:`twopass_bands`) selects the two-pass rotation kernel — the
+    production default, ~60x the general kernel's throughput at 608² —
+    while ``bands=None`` (or env ``YDL_AUG_GENERAL_WARP=1``) falls back to
+    the exact-but-slow gather kernel."""
+    import os
+
     import jax
     import jax.numpy as jnp
 
-    warp = _warp_separable_jnp if separable else _warp_general_jnp
+    if separable:
+        warp = _warp_separable_jnp
+    elif bands is None or os.environ.get("YDL_AUG_GENERAL_WARP") == "1":
+        warp = _warp_general_jnp
+    else:
+        d1, d2 = bands
+
+        def warp(img, m, bb):
+            return _warp_twopass_jnp(img, m, bb, d1, d2)
 
     def one(images, jit_p, jit_on, aff_m, aff_b, aff_on, kind, pivot, lam, cutbox):
         def per_image(img, p, jon, m, bb, aon):
@@ -285,9 +413,18 @@ def apply_device_augmentation(iterator, stream_cfg, device=None,
             _, _, _, h, w = pack["images"].shape
             aff = stream_cfg.random_affine
             separable = aff is None or not (aff.rotate_prob and aff.rotate_degrees)
+            bands = None
+            if not separable and aff.rotate_degrees < 60.0:
+                # two-pass rotation kernel, banded for the config's
+                # worst-case angle/scale; ≥60° would need bands wider
+                # than the block buys back — keep the general kernel there
+                bands = twopass_bands(
+                    aff.rotate_degrees,
+                    min(aff.scale) if (aff.scale_prob and aff.scale) else 1.0)
             state["fn"] = make_augment_fn(
                 h, w,
                 separable=separable,
+                bands=bands,
                 has_jitter=stream_cfg.color_jitter is not None,
                 has_affine=aff is not None,
                 has_mosaic=stream_cfg.mosaic_prob > 0,

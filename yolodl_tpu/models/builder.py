@@ -126,6 +126,49 @@ class GraphModel:
             ):
                 self._spd_pair = (k_in, k0, k1)
 
+        # extended SPD region: the stage-1 residual pair after the stem
+        # (conv 1×1 s1 → conv 3×3 s1 → shortcut back to the stem output)
+        # executed in the packed 2×2→channel domain (ops/spd_stem.py
+        # spd_res_block_apply) — the low-channel MXU-efficiency rewrite.
+        # "auto" includes it; "stem" keeps only the stem pair (A/B knob).
+        self._spd_res = None
+        if (self._spd_pair is not None and spd_stem == "auto"
+                and len(graph.order) >= 6):
+            from ..ops import spd_stem as spd
+
+            _, k0, k1 = self._spd_pair
+            n1 = graph.nodes[k1]
+            k2, k3, k4 = graph.order[3], graph.order[4], graph.order[5]
+            n2, n3, n4 = graph.nodes[k2], graph.nodes[k3], graph.nodes[k4]
+
+            def consumers(k):
+                return {n.key for n in graph.nodes.values()
+                        if k in n.input_keys.iter_keys()}
+
+            if (
+                n2.input_keys.kind == "single"
+                and n2.input_keys.single_key == k1
+                and n3.input_keys.kind == "single"
+                and n3.input_keys.single_key == k2
+                and isinstance(n4.config, cfg.DarknetShortcut)
+                and set(n4.input_keys.iter_keys()) == {k3, k1}
+                and len(list(n4.input_keys.iter_keys())) == 2
+                and n4.config.weights_type == "none"
+                and consumers(k1) == {k2, k4}
+                and consumers(k2) == {k3}
+                and consumers(k3) == {k4}
+                and spd.res_block_is_eligible(n2.config, n3.config)
+                and n3.config.c == n1.config.c  # shortcut operands equal c
+                # one stop_gradient at the region output freezes all three
+                and len({k in self._sg_keys for k in (k2, k3, k4)}) == 1
+            ):
+                self._spd_res = (k2, k3, k4)
+        if remat == "blocks":
+            self._spd_res_apply = jax.checkpoint(
+                _spd_ops.spd_res_block_apply, static_argnums=(2, 5, 6, 8))
+        else:
+            self._spd_res_apply = _spd_ops.spd_res_block_apply
+
         # input channel count per node (from predecessor's inferred shape)
         self._in_c: Dict[int, int] = {}
         self._fold_keys: set = set()
@@ -356,6 +399,32 @@ class GraphModel:
             outputs[k1] = (jax.lax.stop_gradient(out1)
                            if k1 in self._sg_keys else out1)
             spd_skip = {k_in, k0, k1}
+
+            # extended SPD region: the stage-1 residual pair stays in the
+            # packed domain (one pack at out1, one unpack at the shortcut)
+            if (
+                self._spd_res is not None
+                and (node_subset is None
+                     or set(self._spd_res) <= node_subset)
+                and out1.shape[1] % 2 == 0
+                and out1.shape[2] % 2 == 0
+            ):
+                k2, k3, k4 = self._spd_res
+                n2, n3 = self.graph.nodes[k2], self.graph.nodes[k3]
+                n4 = self.graph.nodes[k4]
+                name2, name3 = self._pname[k2], self._pname[k3]
+                out4, s2, s3 = self._spd_res_apply(
+                    params[name2], state.get(name2, {}), n2.config,
+                    params[name3], state.get(name3, {}), n3.config,
+                    n4.config.act, out1, train,
+                )
+                if s2:
+                    new_state[name2] = s2
+                if s3:
+                    new_state[name3] = s3
+                outputs[k4] = (jax.lax.stop_gradient(out4)
+                               if k4 in self._sg_keys else out4)
+                spd_skip |= {k2, k3, k4}
 
         # W-folded execution of low-channel regions (exact rewrite;
         # ops/fold_region.py).  ``folded`` caches packed forms so reshapes

@@ -16,7 +16,10 @@ from .tp import (  # noqa: F401
     make_tp_infer,
     make_tp_mesh,
     make_tp_train_step,
+    make_tp_zero_train_step,
     place_tp_state,
+    place_tp_zero_state,
     shard_batch_tp,
     tp_shardings,
+    tp_zero_shardings,
 )

@@ -35,6 +35,7 @@ per-leaf, and GSPMD stitches mixed layouts correctly by construction.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Optional, Sequence
 
 import jax
@@ -137,6 +138,74 @@ def make_tp_train_step(
         # different output sharding and parameters would re-shard each step
         new_ts = jax.lax.with_sharding_constraint(
             new_ts, tp_shardings(mesh, new_ts))
+        return new_ts, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def _zero_leaf_spec(x, n_data: int, n_model: int) -> P:
+    """ZeRO-1 rule for one OPTIMIZER-state leaf on a (data, model) mesh:
+    keep the TP output-channel sharding and additionally shard a second
+    dimension over the data axis where it divides — conv-kernel moments
+    [kh,kw,ci,co] shard ci, dense moments [i,o] shard i.  Per-channel
+    vectors and non-divisible leaves keep the plain TP spec (they are the
+    small tail of the state)."""
+    shape = getattr(x, "shape", ())
+    if len(shape) == 4 and shape[3] % n_model == 0 and shape[3] >= n_model:
+        if shape[2] % n_data == 0 and shape[2] >= n_data:
+            return P(None, None, DATA_AXIS, MODEL_AXIS)
+        return P(None, None, None, MODEL_AXIS)
+    if len(shape) == 2 and shape[1] % n_model == 0 and shape[1] >= n_model:
+        if shape[0] % n_data == 0 and shape[0] >= n_data:
+            return P(DATA_AXIS, MODEL_AXIS)
+        return P(None, MODEL_AXIS)
+    return _leaf_spec(x, n_model)
+
+
+def tp_zero_shardings(mesh: Mesh, ts: TrainState) -> TrainState:
+    """Shardings for a TrainState under TP × ZeRO-1: params/BN-state/EMA
+    follow the TP channel rule; optimizer-state moments are ADDITIONALLY
+    sharded over the data axis (``_zero_leaf_spec``), so each chip holds
+    ``1/(n_data·n_model)`` of the large Adam vectors.
+
+    This is the GSPMD form of ZeRO-1 (scaling-book recipe): no manual
+    reduce-scatter/all-gather — annotating the optimizer state is enough,
+    XLA partitions the elementwise optimizer update and inserts the
+    collectives.  Numerics are the single-device step's exactly (an
+    elementwise update on a slice == on the full vector)."""
+    n_d = mesh.shape[DATA_AXIS]
+    n_m = mesh.shape[MODEL_AXIS]
+    tp = tp_shardings(mesh, ts)
+    opt = jax.tree_util.tree_map(
+        lambda x: NamedSharding(mesh, _zero_leaf_spec(x, n_d, n_m)),
+        ts.opt_state)
+    return dataclasses.replace(tp, opt_state=opt)
+
+
+def place_tp_zero_state(mesh: Mesh, ts: TrainState) -> TrainState:
+    """Place a TrainState per :func:`tp_zero_shardings`."""
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), ts, tp_zero_shardings(mesh, ts))
+
+
+def make_tp_zero_train_step(
+    model: YoloModel,
+    optimizer: optax.GradientTransformation,
+    config: TrainConfig,
+    mesh: Mesh,
+    data_format: str = "NCHW",
+    accum: int = 1,
+):
+    """TP × ZeRO-1 train step: identical computation to
+    :func:`make_tp_train_step`, with the steady-state optimizer layout
+    pinned to the data-axis-sharded ZeRO specs."""
+    base = make_train_step(model, optimizer, config, data_format=data_format,
+                           jit=False, accum=accum)
+
+    def step(ts: TrainState, images, gt_boxes, gt_classes, gt_mask):
+        new_ts, metrics = base(ts, images, gt_boxes, gt_classes, gt_mask)
+        new_ts = jax.lax.with_sharding_constraint(
+            new_ts, tp_zero_shardings(mesh, new_ts))
         return new_ts, metrics
 
     return jax.jit(step, donate_argnums=(0,))
