@@ -89,6 +89,7 @@ def main():
     cfg_path = cfg_rel if os.path.isabs(cfg_rel) else os.path.join(
         os.path.dirname(__file__), cfg_rel)
     model = YoloModel(graph_from_darknet(dk.Darknet.load(cfg_path)),
+                      spd_stem=os.environ.get("BENCH_SPD", "auto"),
                       fold_region=os.environ.get("BENCH_FOLD", "off"))
 
     if MODE in ("infer", "nms"):

@@ -53,6 +53,10 @@ def _host_vs_device_streams(defer_cfg, host_cfg, h=32, w=48, batches=2):
 
 
 def _cfg(defer, **kw):
+    # parity tests pin f32 packs: synthetic images are continuous floats,
+    # so the production u8 shipping would add 1/255 rounding
+    # (TestStreamParity.test_u8_pack_quantization covers the u8 path)
+    kw.setdefault("pack_uint8", False)
     return TrainingStreamConfig(
         batch_size=4, max_gt=16, seed=3, workers=1, defer_images=defer, **kw)
 
@@ -243,6 +247,22 @@ class TestStreamParity:
             # pinned by test_twopass_matches_general_on_smooth
             assert np.mean(diff) < 0.02
             assert np.mean(diff > 0.25) < 0.02
+
+    def test_u8_pack_quantization(self):
+        """Production default ships the pack as u8 (4x less H2D): output
+        within the 1/(2·255) rounding step of the f32-pack path."""
+        kw = dict(mosaic_prob=0.5, mosaic=MosaicMixer(mosaic_margin=0.25),
+                  color_jitter=ColorJitter(hue_shift=0.1,
+                                           saturation_shift=0.2,
+                                           value_shift=0.2))
+        for host_rec, dev_rec, dev_images in _host_vs_device_streams(
+                _cfg(True, pack_uint8=True, **kw), _cfg(False, **kw),
+                batches=1):
+            # jitter is hue-sextant-discontinuous: quantization can flip
+            # boundary pixels; everything else stays within the step
+            diff = np.abs(dev_images - host_rec.images)
+            assert np.mean(diff) < 1.5 / 255
+            assert np.mean(diff > 4 / 255) < 0.01
 
     def test_no_augments_passthrough(self):
         for host_rec, dev_rec, dev_images in _host_vs_device_streams(

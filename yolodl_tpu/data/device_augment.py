@@ -53,15 +53,25 @@ class DeferredRecord:
     classes: np.ndarray
 
 
-def pack_deferred_batch(records: Sequence[DeferredRecord], k_max: int) -> dict:
+def pack_deferred_batch(records: Sequence[DeferredRecord], k_max: int,
+                        uint8: bool = True) -> dict:
     """Stack a batch of DeferredRecords into the fixed-shape arrays the
     jitted augment program consumes.  Unused image slots stay zero (their
-    output is never selected)."""
+    output is never selected).
+
+    ``uint8`` (the default) ships the image slots as u8 — 4× less
+    host→device traffic (the pack is B·k_max full-resolution slots, the
+    dominant feed payload; ~284 MB/batch at 608² with mosaic in f32) — and
+    the device program rescales to f32/255.  Decoded sources are u8/255
+    grids, so the quantization is exact for them; synthetic continuous
+    floats round to the nearest 1/255 step.  ``uint8=False`` keeps f32 for
+    bitwise host-parity testing."""
     from .affine import pixel_affine
 
     b = len(records)
     _, h, w = records[0].images[0].shape
-    images = np.zeros((b, k_max, 3, h, w), np.float32)
+    images = np.zeros((b, k_max, 3, h, w),
+                      np.uint8 if uint8 else np.float32)
     jit = np.zeros((b, k_max, 3), np.float32)
     jit_on = np.zeros((b, k_max), bool)
     aff_m = np.tile(np.eye(2, dtype=np.float32), (b, k_max, 1, 1))
@@ -75,7 +85,11 @@ def pack_deferred_batch(records: Sequence[DeferredRecord], k_max: int) -> dict:
     for i, rec in enumerate(records):
         n = len(rec.images)
         for k in range(n):
-            images[i, k] = rec.images[k]
+            if uint8:
+                # round-to-nearest; assignment into the u8 array truncates
+                images[i, k] = np.clip(rec.images[k] * 255.0 + 0.5, 0, 255)
+            else:
+                images[i, k] = rec.images[k]
             if rec.jit_params is not None:
                 jit[i, k] = rec.jit_params[k]
                 jit_on[i, k] = True
@@ -346,6 +360,9 @@ def make_augment_fn(h: int, w: int, *, separable: bool,
             return _warp_twopass_jnp(img, m, bb, d1, d2)
 
     def one(images, jit_p, jit_on, aff_m, aff_b, aff_on, kind, pivot, lam, cutbox):
+        if images.dtype == jnp.uint8:  # u8-shipped pack → f32/255 on device
+            images = images.astype(jnp.float32) * (1.0 / 255.0)
+
         def per_image(img, p, jon, m, bb, aon):
             if has_jitter:
                 img = jnp.where(jon, _hsv_jitter_jnp(img, p[0], p[1], p[2]), img)

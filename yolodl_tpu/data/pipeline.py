@@ -64,6 +64,10 @@ class TrainingStreamConfig:
     # after each augmentation stage (the reference broadcasts per-stage debug
     # images to its logger, training_stream.rs:340-577)
     debug_hook: Optional[object] = None
+    # defer_images: ship the pack's image slots as u8 (4x less H2D traffic;
+    # exact for decoded u8/255 sources, 1/255-rounded for synthetic
+    # floats).  False keeps f32 for bitwise host-parity tests.
+    pack_uint8: bool = True
     # defer_images=True: sample every augmentation parameter from the SAME
     # per-slot RNG stream but leave the pixel work (jitter/warp/mix) to the
     # device-augment program (preprocessor.pipeline.device="tpu"; see
@@ -397,7 +401,8 @@ class TrainingStream:
                         from .device_augment import pack_deferred_batch
 
                         images = None
-                        deferred = pack_deferred_batch(batch, self.k_max)
+                        deferred = pack_deferred_batch(
+                            batch, self.k_max, uint8=cfg.pack_uint8)
                     else:
                         images = np.stack([r.image for r in batch]).astype(np.float32)
                     boxes, classes, mask = pad_targets(batch, cfg.max_gt)
