@@ -20,6 +20,13 @@ os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# the spatial shard_map step is a minutes-scale CPU compile on a loaded
+# 1-core box — amortize across runs/processes via the persistent cache
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                 ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from yolodl_tpu.parallel.mesh import initialize_multi_host
 
 initialize_multi_host(f"127.0.0.1:{port}", num_processes=2, process_id=pid)

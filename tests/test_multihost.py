@@ -111,7 +111,7 @@ def test_two_process_spatial_train(devices8):
         )
         for pid in range(2)
     ]
-    outs = [p.communicate(timeout=280)[0] for p in procs]
+    outs = [p.communicate(timeout=560)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-3000:]
     losses = []
