@@ -99,8 +99,10 @@ def main():
     config = TrainConfig()
     ts, opt = train_init(model, config, seed=0)
     # scan SCAN_K steps into one XLA program (train.make_multi_step):
-    # amortizes per-step dispatch, ~96 → ~90 ms/step at b16
-    scan_k = int(os.environ.get("BENCH_SCAN", "10"))
+    # amortizes per-step dispatch.  Swept 2026-08-20: k=10 → 164.8 img/s,
+    # k=40 → 180.5 (×3 runs, ±0.3), k=80 → 181.0 — the tunnel's ~20 ms/
+    # call dispatch share dies at k=40; beyond that is noise-level.
+    scan_k = int(os.environ.get("BENCH_SCAN", "40"))
 
     rng = np.random.default_rng(0)
     max_gt = 32

@@ -20,6 +20,13 @@ QLH_TRAIN (240 images), QLH_VAL (60), QLH_CFG (yolov4-tiny),
 QLH_PRECISION (bfloat16 — the production training precision),
 QLH_LR (0.001), QLH_SEED (0).
 
+QLH_SEGMENTS=N splits training into N sequential train-CLI invocations
+(FromRecent + exact data-order resume makes them semantically one run).
+Needed on the axon tunnel: its client permanently retains every
+host→device transfer buffer (measured: +8.9 MB RSS per 8.9 MB device_put,
+unfixable process-side), so a long device-augment run leaks one pack per
+step and the OOM killer ends it; fresh processes bound the leak.
+
 QLH_RICH=1 switches to the flagship protocol: 8 shape classes,
 crowded scenes (2-9 objects), a wide scale spread (0.05-0.45 of the
 image side), and real occlusion (later shapes may overlay earlier
@@ -49,6 +56,7 @@ PRECISION = os.environ.get("QLH_PRECISION", "bfloat16")
 LR = float(os.environ.get("QLH_LR", "0.001"))
 SEED = int(os.environ.get("QLH_SEED", "0"))
 RICH = os.environ.get("QLH_RICH", "0") == "1"
+SEGMENTS = int(os.environ.get("QLH_SEGMENTS", "1"))
 
 CLASSES = (["disk", "square", "triangle", "ring", "cross", "star",
             "diamond", "bar"] if RICH
@@ -210,7 +218,9 @@ def main():
                 "lr_schedule": {"type": "StepWise",
                                 "steps": [[0, LR], [int(STEPS * 0.7), LR / 10]]},
             },
-            "save_checkpoint_steps": STEPS,
+            "save_checkpoint_steps": -(-STEPS // SEGMENTS),
+            **({"load_checkpoint": {"type": "FromRecent"}}
+               if SEGMENTS > 1 else {}),
             "precision": PRECISION,
             "loss": {"box_metric": "CIoU", "match_grid_method": "Rect4",
                      "anchor_scale_thresh": 4.0},
@@ -257,10 +267,14 @@ def main():
     m0, _, _ = eval_map()
     print(f"held-out mAP@0.5 before training: {m0:.3f}", flush=True)
 
-    out = run("yolodl_tpu.cli.train_main",
-              "--config-file", train_path, "--max-steps", str(STEPS))
-    print("\n".join([l for l in out.splitlines()
-                     if l.startswith("step ")][-3:]), flush=True)
+    seg = -(-STEPS // SEGMENTS)
+    for s in range(SEGMENTS):
+        until = min((s + 1) * seg, STEPS)
+        out = run("yolodl_tpu.cli.train_main",
+                  "--config-file", train_path, "--max-steps", str(until))
+        print(f"[segment {s + 1}/{SEGMENTS} → step {until}]", flush=True)
+        print("\n".join([l for l in out.splitlines()
+                         if l.startswith("step ")][-2:]), flush=True)
 
     runs = sorted(os.listdir(os.path.join(ws, "logs")))
     ckpt_dir = os.path.join(ws, "logs", runs[-1], "checkpoints")

@@ -147,10 +147,11 @@ class TestSpdStem:
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         d = dk.Darknet.load(os.path.join(repo, "cfg/darknet/yolov4-csp.cfg"))
         graph = graph_from_darknet(d)
-        m_auto = YoloModel(graph, spd_stem="auto")
-        m_stem = YoloModel(graph, spd_stem="stem")
+        m_auto = YoloModel(graph, spd_stem="deep")
+        m_stem = YoloModel(graph, spd_stem="auto")
         m_off = YoloModel(graph, spd_stem="off")
         assert m_auto._spd_res is not None
+        # default "auto" keeps the stem but NOT the region (measured loss)
         assert m_stem._spd_res is None and m_stem._spd_pair is not None
 
         params, state = m_off.init(jax.random.PRNGKey(0))

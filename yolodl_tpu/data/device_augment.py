@@ -359,48 +359,64 @@ def make_augment_fn(h: int, w: int, *, separable: bool,
         def warp(img, m, bb):
             return _warp_twopass_jnp(img, m, bb, d1, d2)
 
-    def one(images, jit_p, jit_on, aff_m, aff_b, aff_on, kind, pivot, lam, cutbox):
-        if images.dtype == jnp.uint8:  # u8-shipped pack → f32/255 on device
-            images = images.astype(jnp.float32) * (1.0 / 255.0)
+    def per_image(img, p, jon, m, bb, aon):
+        if has_jitter:
+            img = jnp.where(jon, _hsv_jitter_jnp(img, p[0], p[1], p[2]), img)
+        if has_affine:
+            img = jnp.where(aon, warp(img, m, bb), img)
+        return img
 
-        def per_image(img, p, jon, m, bb, aon):
-            if has_jitter:
-                img = jnp.where(jon, _hsv_jitter_jnp(img, p[0], p[1], p[2]), img)
-            if has_affine:
-                img = jnp.where(aon, warp(img, m, bb), img)
-            return img
+    def slot(args):
+        # one mix-source slot for the whole batch: [B,3,H,W] + params.
+        # u8→f32 conversion happens per slot, inside the map, so only one
+        # slot's worth of f32 source is ever live.
+        img, p, jon, m, bb, aon = args
+        if img.dtype == jnp.uint8:
+            img = img.astype(jnp.float32) * (1.0 / 255.0)
+        return jax.vmap(per_image)(img, p, jon, m, bb, aon)
 
-        imgs = jax.vmap(per_image)(images, jit_p, jit_on, aff_m, aff_b, aff_on)
+    @jax.jit
+    def augment(pack):
+        # lax.map over the SLOT axis (k ≤ 4), vmap over the batch inside:
+        # a [B, k_max, 3, H, W] pack double-vmapped holds k× the live
+        # buffers and OOM'd HBM at 608² (24 G > 15.75 G, measured) — the
+        # sequential slot map bounds the working set to one slot.
+        to_slot_major = lambda x: jnp.moveaxis(x, 1, 0)
+        imgs = jax.lax.map(slot, (
+            to_slot_major(pack["images"]), to_slot_major(pack["jit"]),
+            to_slot_major(pack["jit_on"]), to_slot_major(pack["aff_m"]),
+            to_slot_major(pack["aff_b"]), to_slot_major(pack["aff_on"]),
+        ))  # [k, B, 3, H, W]
+
+        kind = pack["kind"]                      # [B]
         out = imgs[0]
         if has_mosaic or has_cutmix:
-            rr = jnp.arange(h)[:, None]
-            cc = jnp.arange(w)[None, :]
+            rr = jnp.arange(h)[None, :, None]    # [1, H, 1]
+            cc = jnp.arange(w)[None, None, :]    # [1, 1, W]
+
+        def sel(mask_b, a, b):                   # [B] mask over [B,3,H,W]
+            return jnp.where(mask_b[:, None, None, None], a, b)
+
         if has_mosaic:
-            top = rr < pivot[0]
-            left = cc < pivot[1]
+            pivot = pack["pivot"]                # [B, 2]
+            top = (rr < pivot[:, 0, None, None])[:, None]    # [B,1,H,1]
+            left = (cc < pivot[:, 1, None, None])[:, None]   # [B,1,1,W]
             mos = jnp.where(
                 top & left, imgs[0],
                 jnp.where(top, imgs[1], jnp.where(left, imgs[2], imgs[3])),
             )
-            out = jnp.where(kind == MIX_MOSAIC, mos, out)
+            out = sel(kind == MIX_MOSAIC, mos, out)
         if has_mixup:
+            lam = pack["lam"][:, None, None, None]
             mixed = lam * imgs[0] + (1.0 - lam) * imgs[1]
-            out = jnp.where(kind == MIX_MIXUP, mixed, out)
+            out = sel(kind == MIX_MIXUP, mixed, out)
         if has_cutmix:
-            inwin = ((rr >= cutbox[0]) & (rr < cutbox[1])
-                     & (cc >= cutbox[2]) & (cc < cutbox[3]))
+            cb = pack["cutbox"]                  # [B, 4]
+            inwin = ((rr >= cb[:, 0, None, None]) & (rr < cb[:, 1, None, None]))[:, None] \
+                & ((cc >= cb[:, 2, None, None]) & (cc < cb[:, 3, None, None]))[:, None]
             cut = jnp.where(inwin, imgs[1], imgs[0])
-            out = jnp.where(kind == MIX_CUTMIX, cut, out)
+            out = sel(kind == MIX_CUTMIX, cut, out)
         return out
-
-    batched = jax.vmap(one)
-
-    @jax.jit
-    def augment(pack):
-        return batched(pack["images"], pack["jit"], pack["jit_on"],
-                       pack["aff_m"], pack["aff_b"], pack["aff_on"],
-                       pack["kind"], pack["pivot"], pack["lam"],
-                       pack["cutbox"])
 
     return augment
 

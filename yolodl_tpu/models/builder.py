@@ -39,9 +39,12 @@ class GraphModel:
 
     def __init__(self, graph: Graph, spd_stem: str = "auto",
                  fold_region: str = "off", remat: str = "off"):
-        """``spd_stem``: "auto" enables the space-to-depth stem rewrite
-        (ops/spd_stem.py) when the graph starts with the eligible darknet
-        conv(k3,s1)→conv(k3,s2) pair; "off" disables it.
+        """``spd_stem``: "auto" (and its alias "stem") enables the
+        space-to-depth stem rewrite (ops/spd_stem.py) when the graph
+        starts with the eligible darknet conv(k3,s1)→conv(k3,s2) pair;
+        "deep" additionally packs the stage-1 residual pair (a measured
+        net LOSS on v5e — see the _spd_res comment below — kept opt-in);
+        "off" disables both.
         ``fold_region``: "on" executes eligible low-channel subgraphs in
         W-folded layout (ops/fold_region.py).  Off by default: measured
         end-to-end on the v5e chip it loses ~1 ms unscanned / ~6 ms scanned
@@ -129,10 +132,16 @@ class GraphModel:
         # extended SPD region: the stage-1 residual pair after the stem
         # (conv 1×1 s1 → conv 3×3 s1 → shortcut back to the stem output)
         # executed in the packed 2×2→channel domain (ops/spd_stem.py
-        # spd_res_block_apply) — the low-channel MXU-efficiency rewrite.
-        # "auto" includes it; "stem" keeps only the stem pair (A/B knob).
+        # spd_res_block_apply).  OPT-IN via spd_stem="deep": measured
+        # end-to-end on the v5e chip (2026-08-20, yolov4-csp 608 b16) it
+        # LOSES — train 163.6 → 149.8 img/s, inference 462 → 418 img/s —
+        # even though the isolated packed 1×1 wins 5× (exp_lowchannel E1):
+        # the 4× block-diagonal FLOPs, the in-program pack/unpack layout
+        # ops, and the traced weight-scatter VJP eat the lane-utilization
+        # gain once XLA fuses the surrounding program.  Kept exact +
+        # tested; "auto" = stem only (the measured best).
         self._spd_res = None
-        if (self._spd_pair is not None and spd_stem == "auto"
+        if (self._spd_pair is not None and spd_stem == "deep"
                 and len(graph.order) >= 6):
             from ..ops import spd_stem as spd
 
