@@ -247,6 +247,7 @@ def _warp_twopass_jnp(img, m, b, d1: int, d2: int, block: int = 8):
     rows).  Borders are the same hard-cut mask as the general kernel,
     computed from the composite coordinates.
     """
+    import jax
     import jax.numpy as jnp
 
     _, h, w = img.shape
@@ -271,16 +272,17 @@ def _warp_twopass_jnp(img, m, b, d1: int, d2: int, block: int = 8):
 
     img_p = jnp.pad(img, ((0, 0), (0, hp - h), (0, 0)))
     img_b = img_p.reshape(3, nb1, block, w)
+    # per-block 1-D-index gather along the last axis — the separable
+    # kernel's proven-fast idiom under vmap (a broadcast take_along_axis
+    # hits the TPU's slow elementwise-gather path: measured 9.5 s/batch)
+    gather_last = jax.vmap(lambda blk, ix: blk[:, :, ix],
+                           in_axes=(1, 0), out_axes=1)
     acc = jnp.zeros((3, nb1, block, w), img.dtype)
     for d in range(d1):
         j = base1 + d                                           # [NB, W]
         wgt = jnp.maximum(0.0, 1.0 - jnp.abs(ic - j[:, None, :]))
         idx = jnp.clip(j, 0, w - 1).astype(jnp.int32)
-        # idx is [NB, W]: broadcast over channel and in-block rows
-        g = jnp.take_along_axis(
-            img_b,
-            jnp.broadcast_to(idx[None, :, None, :], img_b.shape).astype(jnp.int32),
-            axis=3, mode="clip")
+        g = gather_last(img_b, idx)                             # [3,NB,R,W]
         acc = acc + g * wgt[None]
     tmp = acc.reshape(3, hp, w)[:, :h, :]
 
@@ -302,10 +304,7 @@ def _warp_twopass_jnp(img, m, b, d1: int, d2: int, block: int = 8):
         i = base2 + d                                           # [NBc, H]
         wgt = jnp.maximum(0.0, 1.0 - jnp.abs(ir - i[:, None, :]))
         idx = jnp.clip(i, 0, h - 1).astype(jnp.int32)
-        g = jnp.take_along_axis(
-            tmp_b,
-            jnp.broadcast_to(idx[None, :, None, :], tmp_b.shape).astype(jnp.int32),
-            axis=3, mode="clip")
+        g = gather_last(tmp_b, idx)                             # [3,NBc,C,H]
         acc2 = acc2 + g * wgt[None]
     out = acc2.transpose(0, 3, 1, 2).reshape(3, h, wp)[:, :, :w]
 
