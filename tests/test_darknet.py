@@ -237,25 +237,86 @@ class TestCfgRoundTrip:
 
 
 class TestCfgRoundTripCorpus:
-    def test_whole_corpus_round_trips_structurally(self):
-        """Every corpus cfg: parse→serialize→parse preserves layer types,
-        inferred output shapes, and the stopbackward/onlyforward maps —
-        to_cfg_string is what fold-weights writes, so a serializer gap
-        silently changes deployed models."""
+    def test_whole_corpus_round_trips_semantically(self):
+        """Every corpus cfg: parse→serialize→parse preserves EVERY typed
+        field of every layer (dataclasses.asdict equality — the reference's
+        to_string round-trip bar, darknet-config/src/darknet.rs:23-25),
+        the preserved-verbatim extras, inferred output shapes, and the
+        stopbackward/onlyforward maps — to_cfg_string is what fold-weights
+        writes, so a serializer gap silently changes deployed models.
+        The parse must also be WARNING-FREE: an unknown-key warning on a
+        corpus cfg means the parser's field surface regressed."""
+        import dataclasses
         import glob
+        import warnings as _warnings
 
         from yolodl_tpu.config.darknet_cfg import to_cfg_string
 
         for path in sorted(glob.glob(os.path.join(REPO, "cfg/darknet/*.cfg"))):
             name = os.path.basename(path)
-            a = dk.Darknet.load(path)
+            with _warnings.catch_warnings(record=True) as caught:
+                _warnings.simplefilter("always")
+                a = dk.Darknet.load(path)
+            assert not caught, (name, [str(w.message) for w in caught])
             b = dk.Darknet.from_str(to_cfg_string(a))
             assert [type(x) for x in a.layers] == \
                    [type(y) for y in b.layers], name
+            for i, (x, y) in enumerate(zip(a.layers, b.layers)):
+                assert dataclasses.asdict(x) == dataclasses.asdict(y), \
+                    (name, i, x, y)
+            assert a.extras == b.extras, name
             if name != "resnet152_trident.cfg":  # broken upstream
                 assert a.output_shapes() == b.output_shapes(), name
             assert (a.stop_backward, a.only_forward) == \
                    (b.stop_backward, b.only_forward), name
+
+    def test_flagship_training_keys_parsed_and_preserved(self):
+        """yolov4-csp.cfg (the bench/quality flagship) carries
+        iou_thresh/objectness_smooth/max_delta — previously silently
+        dropped (round-3 VERDICT item 1).  Pin that they parse to the
+        typed fields AND survive a parse→print→parse cycle."""
+        from yolodl_tpu.config.darknet_cfg import to_cfg_string
+
+        a = dk.Darknet.load(os.path.join(REPO, "cfg/darknet/yolov4-csp.cfg"))
+        heads = [l for l in a.layers if isinstance(l, dk.Yolo)]
+        assert heads and all(h.iou_thresh == 0.2 for h in heads)
+        assert [h.max_delta for h in heads] == [5.0, 5.0, 2.0]
+        assert all(h.new_coords for h in heads)
+        assert all(h.iou_loss == "ciou" for h in heads)
+        assert all(h.resize == 1.5 for h in heads)
+        b = dk.Darknet.from_str(to_cfg_string(a))
+        heads_b = [l for l in b.layers if isinstance(l, dk.Yolo)]
+        assert [(h.iou_thresh, h.max_delta, h.iou_loss) for h in heads_b] \
+            == [(0.2, 5.0, "ciou"), (0.2, 5.0, "ciou"), (0.2, 2.0, "ciou")]
+        # yolov4.cfg carries iou_thresh=0.213 on every head
+        c = dk.Darknet.load(os.path.join(REPO, "cfg/darknet/yolov4.cfg"))
+        heads4 = [l for l in c.layers if isinstance(l, dk.Yolo)]
+        assert heads4 and all(h.iou_thresh == 0.213 for h in heads4)
+
+    def test_unknown_layer_key_warns_and_round_trips(self):
+        """An unknown key in any typed section warns (one warning naming
+        section + key) and is still emitted verbatim by to_cfg_string —
+        the silent-drop failure class is permanently loud."""
+        import warnings as _warnings
+
+        from yolodl_tpu.config.darknet_cfg import to_cfg_string
+
+        text = ("[net]\nwidth=32\nheight=32\nchannels=3\n"
+                "[yolo]\nanchors=4,6\nclasses=2\nfrobnicate=3\n")
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            d = dk.Darknet.from_str(text)
+        msgs = [str(w.message) for w in caught]
+        assert any("frobnicate" in m and "[yolo]" in m for m in msgs), msgs
+        assert "frobnicate=3" in to_cfg_string(d)
+        # known-but-unmodeled reference keys are preserved WITHOUT warning
+        text2 = ("[net]\nwidth=32\nheight=32\nchannels=3\n"
+                 "[yolo]\nanchors=4,6\nclasses=2\ntrack_history_size=5\n")
+        with _warnings.catch_warnings(record=True) as caught2:
+            _warnings.simplefilter("always")
+            d2 = dk.Darknet.from_str(text2)
+        assert not caught2, [str(w.message) for w in caught2]
+        assert "track_history_size=5" in to_cfg_string(d2)
 
 
 class TestGaussianYolo:

@@ -58,6 +58,76 @@ def parse_sections(text: str) -> List[Tuple[str, Dict[str, str]]]:
     return sections
 
 
+class _TrackedDict(dict):
+    """Dict recording which keys the typed parser consumed, so unconsumed
+    keys can be preserved verbatim and unknown ones warned about (the
+    serde-typed-field strictness the reference gets for free,
+    darknet-config/src/yolo.rs derive)."""
+
+    def __init__(self, d):
+        super().__init__(d)
+        self.used = set()
+
+    def __getitem__(self, key):
+        self.used.add(key)
+        return super().__getitem__(key)
+
+    def get(self, key, default=None):
+        self.used.add(key)
+        return super().get(key, default)
+
+
+# per-layer training options parsed generically in _build (parser.c:1589-1596)
+_GENERIC_TRAIN_KEYS = frozenset({
+    "stopbackward", "onlyforward", "dont_update", "burnin_update",
+    "train_only_bn", "dontload", "dontloadscales",
+})
+
+# keys the reference's config layer (or darknet's parser.c) reads but this
+# front-end has no semantics for: parsed-and-preserved without a warning.
+# Anything outside these sets warns loudly — the silent-drop trap is closed.
+_PRESERVED_KEYS: Dict[str, frozenset] = {
+    # tracking/embedding surface (yolo.rs:53-64) + show_details/map
+    "yolo": frozenset({
+        "embedding_layer", "track_history_size", "sim_thresh",
+        "dets_for_track", "dets_for_show", "track_ciou_norm", "map",
+        "show_details", "atoms", "delta_normalizer",
+    }),
+    "gaussian_yolo": frozenset({
+        "embedding_layer", "track_history_size", "sim_thresh",
+        "dets_for_track", "dets_for_show", "track_ciou_norm", "map",
+        "show_details", "delta_normalizer",
+    }),
+    # region/detection legacy scales (parser.c parse_region/parse_detection)
+    "region": frozenset({
+        "bias_match", "coords", "jitter", "rescore", "object_scale",
+        "noobject_scale", "class_scale", "coord_scale", "absolute",
+        "thresh", "random", "tree", "map", "log", "sqrt", "background",
+        "classfix", "focus", "mask",
+    }),
+    "detection": frozenset({
+        "jitter", "object_scale", "noobject_scale", "class_scale",
+        "coord_scale", "random", "reorg", "forced", "max",
+    }),
+    # experimental conv variants (parser.c parse_convolutional)
+    "convolutional": frozenset({
+        "xnor", "bin_output", "binary", "flipped", "sway", "rotate",
+        "stretch", "stretch_sway", "deform", "angle", "grad_centr",
+        "reverse", "coordconv", "assisted_excitation", "antialiasing",
+        "cbn", "steps",
+    }),
+    "softmax": frozenset({
+        "temperature", "tree", "map", "spatial", "noloss",
+    }),
+    "maxpool": frozenset({"antialiasing", "out_channels"}),
+    "route": frozenset(),
+    "upsample": frozenset({"scale"}),
+    "dropout": frozenset({"dropblock", "dropblock_size_rel",
+                          "dropblock_size_abs"}),
+    "shortcut": frozenset({"weights_normalization"}),
+}
+
+
 def _get_int(d: Dict[str, str], key: str, default: int) -> int:
     return int(d[key]) if key in d else default
 
@@ -217,23 +287,56 @@ class UpSample:
 
 @dataclasses.dataclass(frozen=True)
 class Yolo:
+    """[yolo]/[gaussian_yolo] head (darknet-config/src/yolo.rs:15-66,
+    gaussian_yolo.rs:15-33; darknet parser.c parse_yolo/parse_gaussian_yolo).
+
+    Training-semantics fields the reference parses are all typed here —
+    including ``iou_thresh``/``iou_thresh_kind`` (multi-anchor matching,
+    yolo_layer.c:640-656), ``objectness_smooth``, ``max_delta`` (delta
+    clipping, yolo_layer.c:161-172), ``focal_loss``, ``counters_per_class``
+    and the data-aug knobs ``jitter``/``random``/``resize`` (consumed by
+    darknet's loader, parse-and-preserve here)."""
+
     classes: int = 20
     gaussian: bool = False  # [gaussian_yolo] section
     # all anchor pairs as (w, h) pixels (darknet order!), mask selects a subset
     anchors: Tuple[Tuple[float, float], ...] = ()
     mask: Tuple[int, ...] = ()
+    num: Optional[int] = None  # declared total anchors (l.total)
     scale_x_y: float = 1.0
     new_coords: bool = False
     iou_loss: str = "mse"
     iou_normalizer: float = 0.75
     obj_normalizer: float = 1.0
     cls_normalizer: float = 1.0
+    uc_normalizer: float = 1.0  # gaussian sigma-delta weight
     ignore_thresh: float = 0.5
     truth_thresh: float = 1.0
+    iou_thresh: float = 1.0  # <1: extra anchors match per truth (yolo_layer.c:640)
+    iou_thresh_kind: str = "iou"  # iou|giou|diou|ciou (box_iou_kind)
+    objectness_smooth: bool = False
+    max_delta: Optional[float] = None  # None = FLT_MAX (no clipping)
+    focal_loss: bool = False
+    counters_per_class: Tuple[int, ...] = ()
+    yolo_point: str = "center"  # center|left_top|right_bottom
     label_smooth_eps: float = 0.0
     max_boxes: int = 200
     nms_kind: str = "default"
     beta_nms: float = 0.6  # parser.c:490 default
+    # data-aug knobs darknet's loader reads per [yolo] (yolo.rs:38-40,51);
+    # parse-and-preserve (training.multi_scale is the JSON5-side consumer)
+    jitter: float = 0.2
+    random: float = 0.0
+    resize: float = 1.0
+
+    @property
+    def total_anchors(self) -> Tuple[Tuple[float, float], ...]:
+        """darknet's l.total anchor set: `num` pairs — extra listed pairs
+        are truncated (parser.c reads min(num, pairs); cspx-p7 declares
+        num=16 with 20 pairs listed)."""
+        if self.num is not None and self.num < len(self.anchors):
+            return self.anchors[: self.num]
+        return self.anchors
 
     @property
     def masked_anchors(self) -> Tuple[Tuple[float, float], ...]:
@@ -458,6 +561,14 @@ class Darknet:
     # paths (yolov4-tiny_contrastive.cfg routes).
     stop_backward: Tuple[Tuple[int, int], ...] = ()
     only_forward: Tuple[int, ...] = ()
+    # per-layer keys the typed parser did not consume (reference-known ones
+    # preserved silently, unknown ones warned about at parse time); aligned
+    # with ``layers``, re-emitted verbatim by to_cfg_string
+    extras: Tuple[Dict[str, str], ...] = dataclasses.field(
+        default=(), hash=False, compare=False)
+
+    def layer_extra(self, index: int) -> Dict[str, str]:
+        return self.extras[index] if index < len(self.extras) else {}
 
     @staticmethod
     def load(path) -> "Darknet":
@@ -515,10 +626,26 @@ def _build(sections: List[Tuple[str, Dict[str, str]]]) -> Darknet:
 
     net = _parse_net(sections[0][1])
     layers: List[Layer] = []
+    extras: List[Dict[str, str]] = []
     stop_backward: List[Tuple[int, int]] = []
     only_forward: List[int] = []
     for i, (name, d) in enumerate(sections[1:]):
-        layers.append(_parse_layer(name, d))
+        td = _TrackedDict(d)
+        layer = _parse_layer(name, td)
+        layers.append(layer)
+        if isinstance(layer, Unimplemented):
+            extras.append({})  # Unimplemented keeps everything in .raw
+        else:
+            leftover = {k: v for k, v in d.items()
+                        if k not in td.used and k not in _GENERIC_TRAIN_KEYS}
+            preserved = _PRESERVED_KEYS.get(name, frozenset())
+            for k in leftover:
+                if k not in preserved:
+                    warnings.warn(
+                        f"layer {i} [{name}]: unknown key {k!r} is not "
+                        f"understood by this front-end (darknet may parse "
+                        f"it); preserved verbatim on round-trip")
+            extras.append(leftover)
         # generic per-layer training options (parser.c:1589-1593)
         if _get_int(d, "stopbackward", 0):
             stop_backward.append((i, _get_int(d, "stopbackward", 0)))
@@ -532,7 +659,8 @@ def _build(sections: List[Tuple[str, Dict[str, str]]]) -> Darknet:
                     f"(parser.c:1589-1596) but not supported here — ignored")
     return Darknet(net=net, layers=tuple(layers),
                    stop_backward=tuple(stop_backward),
-                   only_forward=tuple(only_forward))
+                   only_forward=tuple(only_forward),
+                   extras=tuple(extras))
 
 
 def _parse_net(d: Dict[str, str]) -> Net:
@@ -626,23 +754,45 @@ def _parse_layer(name: str, d: Dict[str, str]) -> Layer:
         if "anchors" in d:
             flat = _float_list(d["anchors"])
             anchors = tuple((flat[i], flat[i + 1]) for i in range(0, len(flat) - 1, 2))
+        num = _get_int(d, "num", 0) or None
+        if num is not None and anchors and num > len(anchors):
+            # fewer pairs than declared: darknet leaves trailing biases at
+            # the 0.5 default (parser.c); num < len(anchors) is the normal
+            # truncation case (cspx-p7 declares num=16 with 20 pairs)
+            warnings.warn(
+                f"[{name}] num={num} > {len(anchors)} anchor pairs — "
+                f"darknet would zero-default the missing biases")
+        max_delta = _get_float(d, "max_delta", 0.0) if "max_delta" in d else None
         return Yolo(
             classes=_get_int(d, "classes", 20),
             gaussian=(name == "gaussian_yolo"),
             anchors=anchors,
             mask=tuple(_int_list(d["mask"])) if "mask" in d else (),
+            num=num,
             scale_x_y=_get_float(d, "scale_x_y", 1.0),
             new_coords=_get_bool(d, "new_coords", False),
             iou_loss=_get_str(d, "iou_loss", "mse"),
             iou_normalizer=_get_float(d, "iou_normalizer", 0.75),
             obj_normalizer=_get_float(d, "obj_normalizer", 1.0),
             cls_normalizer=_get_float(d, "cls_normalizer", 1.0),
+            uc_normalizer=_get_float(d, "uc_normalizer", 1.0),
             ignore_thresh=_get_float(d, "ignore_thresh", 0.5),
             truth_thresh=_get_float(d, "truth_thresh", 1.0),
+            iou_thresh=_get_float(d, "iou_thresh", 1.0),
+            iou_thresh_kind=_get_str(d, "iou_thresh_kind", "iou"),
+            objectness_smooth=_get_bool(d, "objectness_smooth", False),
+            max_delta=max_delta,
+            focal_loss=_get_bool(d, "focal_loss", False),
+            counters_per_class=(tuple(_int_list(d["counters_per_class"]))
+                                if "counters_per_class" in d else ()),
+            yolo_point=_get_str(d, "yolo_point", "center"),
             label_smooth_eps=_get_float(d, "label_smooth_eps", 0.0),
             max_boxes=_get_int(d, "max", 200),
             nms_kind=_get_str(d, "nms_kind", "default"),
             beta_nms=_get_float(d, "beta_nms", 0.6),
+            jitter=_get_float(d, "jitter", 0.2),
+            random=_get_float(d, "random", 0.0),
+            resize=_get_float(d, "resize", 1.0),
         )
     if name in ("reorg", "reorg_old", "reorg3d"):
         return Reorg(stride=_get_int(d, "stride", 2),
@@ -856,12 +1006,29 @@ def to_cfg_string(darknet: Darknet) -> str:
                     + ",".join(f"{_fmt(w)},{_fmt(h)}" for w, h in layer.anchors)
                 )
             out.append(f"classes={layer.classes}")
+            if layer.num is not None or layer.anchors:
+                out.append(f"num={layer.num if layer.num is not None else len(layer.anchors)}")
             out.append(f"scale_x_y={_fmt(layer.scale_x_y)}")
             if layer.new_coords:
                 out.append("new_coords=1")
             out.append(f"iou_loss={layer.iou_loss}")
             out.append(f"ignore_thresh={_fmt(layer.ignore_thresh)}")
             out.append(f"truth_thresh={_fmt(layer.truth_thresh)}")
+            if layer.iou_thresh != 1.0:
+                out.append(f"iou_thresh={_fmt(layer.iou_thresh)}")
+            if layer.iou_thresh_kind != "iou":
+                out.append(f"iou_thresh_kind={layer.iou_thresh_kind}")
+            if layer.objectness_smooth:
+                out.append("objectness_smooth=1")
+            if layer.max_delta is not None:
+                out.append(f"max_delta={_fmt(layer.max_delta)}")
+            if layer.focal_loss:
+                out.append("focal_loss=1")
+            if layer.counters_per_class:
+                out.append("counters_per_class="
+                           + ",".join(str(c) for c in layer.counters_per_class))
+            if layer.yolo_point != "center":
+                out.append(f"yolo_point={layer.yolo_point}")
             out.append(f"max={layer.max_boxes}")
             out.append(f"nms_kind={layer.nms_kind}")
             if layer.beta_nms != 0.6:
@@ -872,9 +1039,17 @@ def to_cfg_string(darknet: Darknet) -> str:
                 out.append(f"obj_normalizer={_fmt(layer.obj_normalizer)}")
             if layer.cls_normalizer != 1.0:
                 out.append(f"cls_normalizer={_fmt(layer.cls_normalizer)}")
+            if layer.uc_normalizer != 1.0:
+                out.append(f"uc_normalizer={_fmt(layer.uc_normalizer)}")
             if layer.label_smooth_eps:
                 out.append(
                     f"label_smooth_eps={_fmt(layer.label_smooth_eps)}")
+            if layer.jitter != 0.2:
+                out.append(f"jitter={_fmt(layer.jitter)}")
+            if layer.random:
+                out.append(f"random={_fmt(layer.random)}")
+            if layer.resize != 1.0:
+                out.append(f"resize={_fmt(layer.resize)}")
         elif isinstance(layer, Detection):
             out.append("[detection]")
             out.append(f"classes={layer.classes}")
@@ -960,6 +1135,9 @@ def to_cfg_string(darknet: Darknet) -> str:
             for key, value in layer.raw.items():
                 out.append(f"{key}={value}")
         if not isinstance(layer, Unimplemented):
+            # unconsumed-but-preserved keys ride through verbatim
+            for key, value in darknet.layer_extra(idx).items():
+                out.append(f"{key}={value}")
             # generic training options (Unimplemented keeps them in raw)
             if idx in stop_by_idx:
                 out.append(f"stopbackward={stop_by_idx[idx]}")
