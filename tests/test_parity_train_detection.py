@@ -68,9 +68,14 @@ num=3
 max=8
 ignore_thresh=0.5
 truth_thresh=1
-iou_loss=mse
 {extra}
 """
+# NOTE: iou_loss is NOT in the template — darknet's option list is
+# first-occurrence-wins (duplicate keys print "Unused field"), while this
+# repo's parser follows the reference serde_ini map semantics (last wins);
+# a duplicated key would silently train different losses in the two
+# implementations.  Cases that need a non-default iou_loss pass it via
+# `extra`.
 
 
 def build_detection_pair(tmp_path, section="yolo", extra="", head_act="linear",
@@ -234,3 +239,62 @@ class TestDetectionTrainingParity:
             tmp_path, "yolo",
             extra="new_coords=1\nscale_x_y=2.0",
             head_act="logistic")
+
+    def test_yolo_scal_add_quirk_matches_darknet(self, tmp_path):
+        """new_coords=0 with scale_x_y != 1: darknet's CPU forward lands
+        scal_add on entries 4,5 (obj, class0) because the index was
+        reassigned inside the else (yolo_layer.c:675-684).  Real
+        yolov4-family cfgs carry scale_x_y=1.05-1.2 with new_coords=0 —
+        pin the quirk against the oracle."""
+        assert_trajectory(tmp_path, "yolo", extra="scale_x_y=1.1")
+
+    def test_yolo_ciou_new_coords_matches_darknet(self, tmp_path):
+        """iou_loss=ciou (the flagship family's loss): the analytic
+        dx_box_iou gradient (box.c:258-476) under the new_coords decode,
+        with max_delta=5 clipping active (yolo_layer.c:161-172)."""
+        assert_trajectory(
+            tmp_path, "yolo",
+            extra="iou_loss=ciou\nnew_coords=1\nscale_x_y=2.0\nmax_delta=5",
+            head_act="logistic")
+
+    def test_yolo_iou_thresh_multi_anchor_matches_darknet(self, tmp_path):
+        """The round-3 VERDICT 'done' case: iou_thresh=0.2 multi-anchor
+        matching + delta averaging (yolo_layer.c:640-660), together with
+        objectness_smooth and max_delta on a CIoU head — the exact option
+        set of yolov4-csp.cfg's heads."""
+        assert_trajectory(
+            tmp_path, "yolo",
+            extra=("iou_thresh=0.2\niou_loss=ciou\nobjectness_smooth=1\n"
+                   "max_delta=5"))
+
+    def test_yolo_giou_tight_max_delta_clips(self, tmp_path):
+        """iou_loss=giou with a max_delta small enough that clip_value
+        engages on real deltas — pins the clipping path itself, not just
+        its presence."""
+        assert_trajectory(
+            tmp_path, "yolo", extra="iou_loss=giou\nmax_delta=0.02")
+
+    def test_yolo_focal_and_label_smooth_match_darknet(self, tmp_path):
+        """focal_loss=1 class deltas (alpha=0.5 grad form,
+        delta_yolo_class:330-346) and label_smooth_eps on the
+        objectness/class targets."""
+        assert_trajectory(
+            tmp_path, "yolo", extra="focal_loss=1\nlabel_smooth_eps=0.1")
+
+    def test_yolo_counters_per_class_multipliers_match_darknet(self, tmp_path):
+        """counters_per_class → classes_multipliers = max/count capped at
+        max_delta (parser.c get_classes_multipliers:412-431), scaling box,
+        objectness and truth-class deltas, on a DIoU head."""
+        assert_trajectory(
+            tmp_path, "yolo",
+            extra=("counters_per_class=10,4,6\ncls_normalizer=0.5\n"
+                   "iou_loss=diou\nmax_delta=2"))
+
+    def test_gaussian_iou_thresh_matches_darknet(self, tmp_path):
+        """[Gaussian_yolo] with iou_thresh<1 (the Gaussian_yolov3_BDD
+        option set): the gaussian iou_thresh loop
+        (gaussian_yolo_layer.c:589-614) + unconditional per-cell delta
+        averaging, with a non-default uc_normalizer."""
+        assert_trajectory(
+            tmp_path, "Gaussian_yolo",
+            extra="iou_thresh=0.213\nuc_normalizer=0.5", lr=0.0002)

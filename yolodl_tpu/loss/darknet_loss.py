@@ -27,13 +27,35 @@ convention:
   match darknet exactly.
 - box deltas: MSE mode (iou_loss=mse, the parser default,
   parser.c parse_yolo) — delta = scale*(t - out)*iou_normalizer on the
-  activated x,y and raw w,h (delta_yolo_box:174-293); Gaussian NLL mode
+  activated x,y and raw w,h (delta_yolo_box:174-293); IoU-family modes
+  (iou|giou|diou|ciou): the analytic dx_box_iou gradient (box.c:258-476)
+  with darknet's literal chain-rule shortcut dw*=exp(raw_w) for
+  new_coords=0, fix_nan_inf, and ``max_delta`` clipping (yolo_layer.c:
+  161-172; MSE mode never clips — matching the C).  Gaussian NLL mode
   (delta_gaussian_yolo_box:171-344): per-coordinate Gaussian
   negative-log-likelihood deltas for mu AND sigma with sigma_const=0.3,
-  eps=1e-9, uc_normalizer on the sigma deltas, fix_nan_inf.
-- gaussian delta averaging over classes_in_one_box
-  (averages_gaussian_yolo_deltas:346-367; the yolo variant only runs
-  when iou_thresh < 1, yolo_layer.c:645-660).
+  eps=1e-9, uc_normalizer on the sigma deltas, fix_nan_inf; gaussian
+  iou_loss != mse replaces the mu deltas with dx_box_iou while the sigma
+  deltas stay NLL-driven, and max_delta clips all 8.
+- ``iou_thresh < 1`` multi-anchor matching (yolo_layer.c:640-656,
+  gaussian_yolo_layer.c:589-614): per truth, every OTHER masked anchor
+  whose shape-IoU (of kind ``iou_thresh_kind``, box_iou_kind) vs the
+  wh-only truth exceeds iou_thresh receives the same box/obj/class
+  deltas as the best anchor; box deltas accumulate (+=).
+- ``objectness_smooth`` (yolo_layer.c:457-462,578-584): the ignore
+  branch keeps max(obj_norm*(best_match_iou - sigma), negative delta)
+  instead of zeroing; the per-truth positive delta only lands when the
+  cell's obj delta is exactly 0.  Gaussian flavor (gaussian_yolo_layer.c
+  :495-505): ignore branch writes obj_norm*(best_match_iou^2 - sigma)
+  plus a class delta at the best-matching truth's class.
+- delta averaging over classes_in_one_box (averages_yolo_deltas:
+  yolo-flavor runs when iou_thresh < 1 at cells with a nonzero obj delta
+  only, yolo_layer.c:645-660; gaussian flavor always, every cell).
+- ``focal_loss`` class deltas (delta_yolo_class:330-346, alpha=0.5) and
+  ``label_smooth_eps`` smoothing; ``counters_per_class`` →
+  classes_multipliers = max_count/count capped at max_delta
+  (parser.c get_classes_multipliers:412-431), scaling box/obj deltas and
+  the truth-class delta (×cls_normalizer).
 - reported cost = |delta|^2 (mag_array squared, yolo_layer.c:866-871);
   the network cost is the mean over detection layers
   (network.c get_network_cost:324-336).
@@ -45,9 +67,8 @@ convention:
   activation backward in darknet; by multiplying the delta here, since
   our graph strips that conv's logistic into the decode).
 
-Unsupported (would raise): truth_thresh < 1, iou_thresh < 1,
-objectness_smooth, focal_loss, label_smooth_eps, counters_per_class —
-no cfg in the 83-cfg corpus uses any of them (all carry truth_thresh=1).
+Unsupported (would raise): truth_thresh < 1 (no corpus cfg carries it
+below 1) and yolo_point != center.
 """
 
 from __future__ import annotations
@@ -84,15 +105,28 @@ class DarknetHeadParams:
     scale_x_y: float = 1.0
     new_coords: bool = False
     gaussian: bool = False
+    iou_loss: str = "mse"  # mse|iou|giou|diou|ciou (IOU_LOSS, box.c)
     iou_thresh: float = 1.0
+    iou_thresh_kind: str = "iou"  # box_iou_kind for the extra-anchor gate
+    objectness_smooth: bool = False
+    max_delta: Optional[float] = None  # None = FLT_MAX (no clipping)
+    focal_loss: bool = False
+    label_smooth_eps: float = 0.0
+    # max_count/count per class, capped at max_delta (get_classes_multipliers)
+    classes_multipliers: Optional[Tuple[float, ...]] = None
 
     def __post_init__(self):
         if self.truth_thresh < 1.0:
             raise NotImplementedError("truth_thresh < 1 unsupported")
-        if self.iou_thresh < 1.0:
-            raise NotImplementedError("iou_thresh < 1 unsupported")
         if self.gaussian and self.new_coords:
             raise NotImplementedError("gaussian + new_coords")
+        if self.iou_loss not in ("mse", "iou", "giou", "diou", "ciou"):
+            raise ValueError(f"unknown iou_loss {self.iou_loss!r}")
+        if self.iou_thresh_kind not in ("iou", "giou", "diou", "ciou"):
+            raise ValueError(f"unknown iou_thresh_kind {self.iou_thresh_kind!r}")
+        if self.classes_multipliers is not None and \
+                len(self.classes_multipliers) != self.classes:
+            raise ValueError("classes_multipliers length != classes")
 
     @property
     def num_anchors(self) -> int:
@@ -176,8 +210,287 @@ def _fix_nan_inf(v: Array) -> Array:
     return jnp.where(jnp.isfinite(v), v, 0.0)
 
 
-def _head_deltas(raw: Array, truth: Array, p: DarknetHeadParams) -> Array:
-    """One image: raw [A,H,W,E], truth [T,5] -> delta [A,H,W,E]."""
+def _clip_value(v: Array, max_val: Optional[float]) -> Array:
+    """clip_value (yolo_layer.c:161-172); None = FLT_MAX = no clipping."""
+    if max_val is None:
+        return v
+    return jnp.clip(v, -max_val, max_val)
+
+
+def _shape_iou_kind(pw, ph, tw, th, kind: str):
+    """box_iou_kind on wh-only boxes centered at the origin (the
+    truth_shift comparison of the iou_thresh loop, yolo_layer.c:643-647;
+    box.c:151-256).  Scalar jnp math; `kind` is static."""
+    inter = jnp.minimum(pw, tw) * jnp.minimum(ph, th)
+    union = pw * ph + tw * th - inter
+    iou = jnp.where((inter == 0) | (union == 0), 0.0,
+                    inter / jnp.where(union == 0, 1.0, union))
+    if kind == "iou":
+        return iou
+    if kind == "giou":
+        c = jnp.maximum(pw, tw) * jnp.maximum(ph, th)
+        u = union
+        return jnp.where(c == 0, iou,
+                         iou - (c - u) / jnp.where(c == 0, 1.0, c))
+    # centers coincide → d = 0, so the diou penalty (d/c)^0.6 is 0 and the
+    # ciou distance term is 0; only ciou's aspect-ratio term survives
+    if kind == "diou":
+        return iou
+    if kind == "ciou":
+        ar_loss = 4.0 / (np.pi ** 2) * jnp.square(
+            jnp.arctan(tw / th) - jnp.arctan(pw / ph))
+        alpha = ar_loss / (1.0 - iou + ar_loss + 0.000001)
+        c = jnp.square(jnp.maximum(pw, tw)) + jnp.square(jnp.maximum(ph, th))
+        return jnp.where(c == 0, iou, iou - alpha * ar_loss)
+    raise ValueError(kind)
+
+
+def _dx_box_iou(px, py, pw, ph, tx, ty, tw, th, kind: str):
+    """dx_box_iou (box.c:258-476), literal scalar translation: gradient of
+    the IoU-family score wrt the predicted box (x, y, w, h), with the
+    original's sequential corner-swap and Iw<=0 overrides.  Returns
+    (dx, dy, dw, dh) — the C maps dt/db/dl/dr onto those names."""
+    pred_top, pred_bot = py - ph / 2, py + ph / 2
+    pred_left, pred_right = px - pw / 2, px + pw / 2
+    pred_t = jnp.minimum(pred_top, pred_bot)
+    pred_b = jnp.maximum(pred_top, pred_bot)
+    pred_l = jnp.minimum(pred_left, pred_right)
+    pred_r = jnp.maximum(pred_left, pred_right)
+    tt, tb = ty - th / 2, ty + th / 2
+    tl, tr = tx - tw / 2, tx + tw / 2
+
+    X = (pred_b - pred_t) * (pred_r - pred_l)
+    Ih = jnp.minimum(pred_b, tb) - jnp.maximum(pred_t, tt)
+    Iw = jnp.minimum(pred_r, tr) - jnp.maximum(pred_l, tl)
+    I = Iw * Ih
+    Xhat = (tb - tt) * (tr - tl)
+    U = X + Xhat - I
+    S = jnp.square(px - tx) + jnp.square(py - ty)
+    giou_Cw = jnp.maximum(pred_r, tr) - jnp.minimum(pred_l, tl)
+    giou_Ch = jnp.maximum(pred_b, tb) - jnp.minimum(pred_t, tt)
+    giou_C = giou_Cw * giou_Ch
+
+    dX_wrt_t = -(pred_r - pred_l)
+    dX_wrt_b = pred_r - pred_l
+    dX_wrt_l = -(pred_b - pred_t)
+    dX_wrt_r = pred_b - pred_t
+    dI_wrt_t = jnp.where(pred_t > tt, -Iw, 0.0)
+    dI_wrt_b = jnp.where(pred_b < tb, Iw, 0.0)
+    dI_wrt_l = jnp.where(pred_l > tl, -Ih, 0.0)
+    dI_wrt_r = jnp.where(pred_r < tr, Ih, 0.0)
+    dU_wrt_t = dX_wrt_t - dI_wrt_t
+    dU_wrt_b = dX_wrt_b - dI_wrt_b
+    dU_wrt_l = dX_wrt_l - dI_wrt_l
+    dU_wrt_r = dX_wrt_r - dI_wrt_r
+    dC_wrt_t = jnp.where(pred_t < tt, -giou_Cw, 0.0)
+    dC_wrt_b = jnp.where(pred_b > tb, giou_Cw, 0.0)
+    dC_wrt_l = jnp.where(pred_l < tl, -giou_Ch, 0.0)
+    dC_wrt_r = jnp.where(pred_r > tr, giou_Ch, 0.0)
+
+    u_pos = U > 0
+    usq = jnp.where(u_pos, U * U, 1.0)
+    p_dt = jnp.where(u_pos, ((U * dI_wrt_t) - (I * dU_wrt_t)) / usq, 0.0)
+    p_db = jnp.where(u_pos, ((U * dI_wrt_b) - (I * dU_wrt_b)) / usq, 0.0)
+    p_dl = jnp.where(u_pos, ((U * dI_wrt_l) - (I * dU_wrt_l)) / usq, 0.0)
+    p_dr = jnp.where(u_pos, ((U * dI_wrt_r) - (I * dU_wrt_r)) / usq, 0.0)
+    # sequential corner swap exactly as written (box.c:341-344): the
+    # second assignment reads the already-updated p_dt/p_dl
+    tb_ok = pred_top < pred_bot
+    lr_ok = pred_left < pred_right
+    p_dt = jnp.where(tb_ok, p_dt, p_db)
+    p_db = jnp.where(tb_ok, p_db, p_dt)
+    p_dl = jnp.where(lr_ok, p_dl, p_dr)
+    p_dr = jnp.where(lr_ok, p_dr, p_dl)
+
+    if kind == "giou":
+        # unguarded giou_C*giou_C division exactly as the C: a zero C makes
+        # inf/nan that the caller's fix_nan_inf zeroes, same as darknet
+        csq = giou_C * giou_C
+        g_dt = ((giou_C * dU_wrt_t) - (U * dC_wrt_t)) / csq
+        g_db = ((giou_C * dU_wrt_b) - (U * dC_wrt_b)) / csq
+        g_dl = ((giou_C * dU_wrt_l) - (U * dC_wrt_l)) / csq
+        g_dr = ((giou_C * dU_wrt_r) - (U * dC_wrt_r)) / csq
+        p_dt = jnp.where(giou_C > 0, p_dt + g_dt, p_dt)
+        p_db = jnp.where(giou_C > 0, p_db + g_db, p_db)
+        p_dl = jnp.where(giou_C > 0, p_dl + g_dl, p_dl)
+        p_dr = jnp.where(giou_C > 0, p_dr + g_dr, p_dr)
+        no_i = (Iw <= 0) | (Ih <= 0)
+        p_dt = jnp.where(no_i, g_dt, p_dt)
+        p_db = jnp.where(no_i, g_db, p_db)
+        p_dl = jnp.where(no_i, g_dl, p_dl)
+        p_dr = jnp.where(no_i, g_dr, p_dr)
+
+    # DIoU/CIoU enclosing-diagonal terms (box.c:357-449)
+    Ct = jnp.minimum(py - ph / 2, ty - th / 2)
+    Cb = jnp.maximum(py + ph / 2, ty + th / 2)
+    Cl = jnp.minimum(px - pw / 2, tx - tw / 2)
+    Cr = jnp.maximum(px + pw / 2, tx + tw / 2)
+    Cw = Cr - Cl
+    Ch = Cb - Ct
+    C = Cw * Cw + Ch * Ch
+
+    dCt_dy = jnp.where(pred_t < tt, 1.0, 0.0)
+    dCt_dh = jnp.where(pred_t < tt, -0.5, 0.0)
+    dCb_dy = jnp.where(pred_b > tb, 1.0, 0.0)
+    dCb_dh = jnp.where(pred_b > tb, 0.5, 0.0)
+    dCl_dx = jnp.where(pred_l < tl, 1.0, 0.0)
+    dCl_dw = jnp.where(pred_l < tl, -0.5, 0.0)
+    dCr_dx = jnp.where(pred_r > tr, 1.0, 0.0)
+    dCr_dw = jnp.where(pred_r > tr, 0.5, 0.0)
+    dCw_dx = dCr_dx - dCl_dx
+    dCw_dw = dCr_dw - dCl_dw
+    dCh_dy = dCb_dy - dCt_dy
+    dCh_dh = dCb_dh - dCt_dh
+
+    p_dx = p_dl + p_dr
+    p_dy = p_dt + p_db
+    p_dw = p_dr - p_dl
+    p_dh = p_db - p_dt
+
+    if kind in ("diou", "ciou"):
+        csq = C * C  # unguarded, like the C (fix_nan_inf downstream)
+        d_dx = (2 * (tx - px) * C - (2 * Cw * dCw_dx) * S) / csq
+        d_dy = (2 * (ty - py) * C - (2 * Ch * dCh_dy) * S) / csq
+        d_dw = (2 * Cw * dCw_dw) * S / csq
+        d_dh = (2 * Ch * dCh_dh) * S / csq
+        if kind == "ciou":
+            ar_gt = tw / th
+            ar_pred = pw / ph
+            d_atan = jnp.arctan(ar_gt) - jnp.arctan(ar_pred)
+            ar_loss = 4.0 / (np.pi ** 2) * d_atan * d_atan
+            alpha = ar_loss / (1.0 - I / U + ar_loss + 0.000001)
+            ar_dw = 8.0 / (np.pi ** 2) * d_atan * ph
+            ar_dh = -8.0 / (np.pi ** 2) * d_atan * pw
+            d_dw = d_dw + alpha * ar_dw
+            d_dh = d_dh + alpha * ar_dh
+        p_dx = jnp.where(C > 0, p_dx + d_dx, p_dx)
+        p_dy = jnp.where(C > 0, p_dy + d_dy, p_dy)
+        p_dw = jnp.where(C > 0, p_dw + d_dw, p_dw)
+        p_dh = jnp.where(C > 0, p_dh + d_dh, p_dh)
+        no_i = (Iw <= 0) | (Ih <= 0)
+        p_dx = jnp.where(no_i, d_dx, p_dx)
+        p_dy = jnp.where(no_i, d_dy, p_dy)
+        p_dw = jnp.where(no_i, d_dw, p_dw)
+        p_dh = jnp.where(no_i, d_dh, p_dh)
+
+    return p_dx, p_dy, p_dw, p_dh
+
+
+def _box_delta_terms(cell, x, y, w, h, i, j, fw, fh, aw_b, ah_b,
+                     iou_norm, p: DarknetHeadParams) -> Array:
+    """delta_yolo_box / delta_gaussian_yolo_box for one (cell, truth)
+    pair: the [nbox] addition to the accumulated box delta.  `iou_norm`
+    already carries the class multiplier (l.iou_normalizer *
+    class_multiplier at every call site)."""
+    scale = 2.0 - w * h
+    fi, fj = i.astype(jnp.float32), j.astype(jnp.float32)
+    if p.gaussian:
+        # NLL sigma deltas always; mu deltas replaced by dx_box_iou when
+        # iou_loss != mse (delta_gaussian_yolo_box:215-303)
+        t0 = x * fw - fi
+        t2 = y * fh - fj
+        t4 = jnp.log(w * p.net_w / aw_b)
+        t6 = jnp.log(h * p.net_h / ah_b)
+        mu = jnp.stack([cell[0], cell[2], cell[4], cell[6]])
+        sg = jnp.stack([cell[1], cell[3], cell[5], cell[7]])
+        d = jnp.stack([t0, t2, t4, t6]) - mu
+        in_exp = d / sg
+        in_exp2 = in_exp * in_exp
+        nd = jnp.exp(-0.5 * in_exp2) / (jnp.sqrt(2.0 * jnp.pi) * (sg + SIGMA_CONST))
+        temp = 0.5 * nd / (nd + EPSI) * scale
+        d_sg = temp * (in_exp2 / sg - 1.0 / (sg + SIGMA_CONST)) * p.uc_normalizer
+        if p.iou_loss == "mse":
+            d_mu = temp * in_exp / sg * iou_norm
+        else:
+            px = (fi + cell[0]) / fw
+            py = (fj + cell[2]) / fh
+            pw = jnp.exp(cell[4]) * aw_b / p.net_w
+            ph = jnp.exp(cell[6]) * ah_b / p.net_h
+            pw = jnp.where(pw == 0, 1.0, pw)
+            ph = jnp.where(ph == 0, 1.0, ph)
+            dx, dy, dw, dh = _dx_box_iou(px, py, pw, ph, x, y, w, h,
+                                         p.iou_loss)
+            dw = dw * jnp.exp(cell[4])
+            dh = dh * jnp.exp(cell[6])
+            d_mu = jnp.stack([dx, dy, dw, dh]) * iou_norm
+        d_mu = _clip_value(_fix_nan_inf(d_mu), p.max_delta)
+        d_sg = _clip_value(_fix_nan_inf(d_sg), p.max_delta)
+        return jnp.stack([d_mu[0], d_sg[0], d_mu[1], d_sg[1],
+                          d_mu[2], d_sg[2], d_mu[3], d_sg[3]])
+
+    if p.iou_loss == "mse":
+        t0 = x * fw - fi
+        t1 = y * fh - fj
+        if p.new_coords:
+            t2 = jnp.sqrt(w * p.net_w / (4.0 * aw_b))
+            t3 = jnp.sqrt(h * p.net_h / (4.0 * ah_b))
+        else:
+            t2 = jnp.log(w * p.net_w / aw_b)
+            t3 = jnp.log(h * p.net_h / ah_b)
+        # MSE mode: scale applies, max_delta does NOT (delta_yolo_box's
+        # clip lives only in the IoU branch, yolo_layer.c:193-293)
+        return scale * (jnp.stack([t0, t1, t2, t3]) - cell[:4]) * iou_norm
+
+    # IoU-family branch (delta_yolo_box:216-285): decode the pred box at
+    # the cell, analytic gradient, darknet's literal exp chain factor
+    px = (fi + cell[0]) / fw
+    py = (fj + cell[1]) / fh
+    if p.new_coords:
+        pw = cell[2] * cell[2] * 4.0 * aw_b / p.net_w
+        ph = cell[3] * cell[3] * 4.0 * ah_b / p.net_h
+    else:
+        pw = jnp.exp(cell[2]) * aw_b / p.net_w
+        ph = jnp.exp(cell[3]) * ah_b / p.net_h
+    pw = jnp.where(pw == 0, 1.0, pw)
+    ph = jnp.where(ph == 0, 1.0, ph)
+    dx, dy, dw, dh = _dx_box_iou(px, py, pw, ph, x, y, w, h, p.iou_loss)
+    if not p.new_coords:
+        dw = dw * jnp.exp(cell[2])
+        dh = dh * jnp.exp(cell[3])
+    dv = jnp.stack([dx, dy, dw, dh]) * iou_norm
+    return _clip_value(_fix_nan_inf(dv), p.max_delta)
+
+
+def _class_delta_row(row, cell_cls, c, cls_mult_c, p: DarknetHeadParams):
+    """delta_yolo_class / delta_gaussian_yolo_class for one cell: the new
+    class-delta row given the current `row`.  `cls_mult_c` is the truth
+    class's multiplier (1.0 when counters_per_class is absent)."""
+    eps = p.label_smooth_eps
+    have_mult = p.classes_multipliers is not None
+    probe_idx = 0 if p.gaussian else c  # gaussian probes delta[index] (c:373)
+    y_true_c = 1.0 * (1.0 - eps) + 0.5 * eps if eps else 1.0
+    # first branch: only the truth-class entry is rewritten
+    keep_val = y_true_c - cell_cls[c]
+    if not p.gaussian:
+        keep_val = jnp.where(jnp.isfinite(keep_val), keep_val, row[c])
+    if have_mult:
+        keep_val = keep_val * cls_mult_c
+    keep = row.at[c].set(keep_val)
+    if p.focal_loss and not p.gaussian:
+        # focal branch (delta_yolo_class:330-346): alpha=0.5, no smoothing,
+        # no class multipliers
+        pt = cell_cls[c] + 1e-15
+        grad = -(1.0 - pt) * (2.0 * pt * jnp.log(pt) + pt - 1.0)
+        onehot = jax.nn.one_hot(c, p.classes)
+        fresh = (onehot - cell_cls) * (0.5 * grad)
+    else:
+        onehot = jax.nn.one_hot(c, p.classes)
+        y_true = onehot * (1.0 - eps) + 0.5 * eps if eps else onehot
+        fresh = y_true - cell_cls
+        if have_mult:
+            fresh = fresh.at[c].multiply(cls_mult_c * p.cls_normalizer)
+    return jnp.where(row[probe_idx] != 0.0, keep, fresh)
+
+
+def _head_deltas(raw: Array, truth: Array, p: DarknetHeadParams):
+    """One image: raw [A,H,W,E], truth [T,5] -> (delta [A,H,W,E],
+    tot_iou_loss, count).
+
+    The two scalars feed the non-MSE reported cost only (yolo_layer.c
+    show_details branch, :901-916): per delta_yolo_box application,
+    tot_iou_loss accumulates 1 - IoU (1 - GIoU for iou_loss=giou) of the
+    decoded pred box vs the truth, and count the number of applications —
+    darknet's avg_iou_loss = iou_normalizer * tot/count."""
     a, fh, fw, e = raw.shape
     t_count = truth.shape[0]
     out = _activate(raw, p)
@@ -191,6 +504,9 @@ def _head_deltas(raw: Array, truth: Array, p: DarknetHeadParams) -> Array:
     reached = jnp.cumprod((tx != 0.0).astype(jnp.int32)) == 1
     tvalid = reached & (tcls >= 0) & (tcls < p.classes)
 
+    cls_mults = (jnp.asarray(p.classes_multipliers, jnp.float32)
+                 if p.classes_multipliers is not None else None)
+
     # ---- per-cell pass -------------------------------------------------
     bx, by, bw, bh = _pred_boxes(out, p)
     ious = _iou_xywh(
@@ -203,27 +519,55 @@ def _head_deltas(raw: Array, truth: Array, p: DarknetHeadParams) -> Array:
 
     sobj = out[..., obj_e]
     obj_delta = p.obj_normalizer * (0.0 - sobj)
-    obj_delta = jnp.where(best_match_iou > p.ignore_thresh, 0.0, obj_delta)
+    ignored = best_match_iou > p.ignore_thresh
+    cls_delta0 = jnp.zeros((a, fh, fw, p.classes), jnp.float32)
+    if p.objectness_smooth:
+        if p.gaussian:
+            # gaussian_yolo_layer.c:495-505: iou^2 target + class delta at
+            # the best-matching truth's class (full-row overwrite — the
+            # class deltas are all zero at this point)
+            iou_mult = best_match_iou * best_match_iou
+            smooth_val = p.obj_normalizer * (iou_mult - sobj)
+            obj_delta = jnp.where(ignored, smooth_val, obj_delta)
+            best_match_t = jnp.argmax(ious, axis=-1)  # [A,H,W]
+            bm_cls = tcls[best_match_t]
+            onehot = jax.nn.one_hot(bm_cls, p.classes)
+            eps = p.label_smooth_eps
+            y_true = onehot * (1.0 - eps) + 0.5 * eps if eps else onehot
+            fresh = y_true - out[..., cls_e:]
+            if cls_mults is not None:
+                mult_row = jnp.where(
+                    jnp.arange(p.classes) == bm_cls[..., None],
+                    cls_mults[bm_cls][..., None] * p.cls_normalizer, 1.0)
+                fresh = fresh * mult_row
+            cls_delta0 = jnp.where(ignored[..., None], fresh, cls_delta0)
+        else:
+            # yolo_layer.c:457-462: keep max(smooth positive, negative)
+            smooth_val = p.obj_normalizer * (best_match_iou - sobj)
+            obj_delta = jnp.where(
+                ignored, jnp.maximum(smooth_val, obj_delta), obj_delta)
+    else:
+        obj_delta = jnp.where(ignored, 0.0, obj_delta)
 
     # ---- per-truth pass (sequential; order matters) --------------------
-    n_total = len(p.anchors)
     anchors_w = jnp.asarray([w for w, _ in p.anchors], jnp.float32)
     anchors_h = jnp.asarray([h for _, h in p.anchors], jnp.float32)
-    mask_pos = np.full(n_total, -1, np.int32)
+    n_total = len(p.anchors)
+    mask_pos_np = np.full(n_total, -1, np.int32)
     for k, m in enumerate(p.mask):
-        mask_pos[m] = k
-    mask_pos = jnp.asarray(mask_pos)
+        mask_pos_np[m] = k
+    mask_pos = jnp.asarray(mask_pos_np)
 
     nbox = 8 if p.gaussian else 4
     box_delta0 = jnp.zeros((a, fh, fw, nbox), jnp.float32)
-    cls_delta0 = jnp.zeros((a, fh, fw, p.classes), jnp.float32)
 
     def step(carry, t):
-        obj_d, cls_d, box_d = carry
         v = tvalid[t]
         x, y, w, h, c = tx[t], ty[t], tw[t], th[t], tcls[t]
         i = jnp.clip(jnp.floor(x * fw).astype(jnp.int32), 0, fw - 1)
         j = jnp.clip(jnp.floor(y * fh).astype(jnp.int32), 0, fh - 1)
+        cls_mult_c = cls_mults[c] if cls_mults is not None else jnp.float32(1.0)
+        iou_norm = p.iou_normalizer * cls_mult_c
         # best anchor over ALL `num` anchors, centered IoU
         pw, ph = anchors_w / p.net_w, anchors_h / p.net_h
         inter = jnp.minimum(pw, w) * jnp.minimum(ph, h)
@@ -231,85 +575,129 @@ def _head_deltas(raw: Array, truth: Array, p: DarknetHeadParams) -> Array:
         an_iou = jnp.where((inter == 0) | (union == 0), 0.0,
                            inter / jnp.where(union == 0, 1.0, union))
         best_n = jnp.argmax(an_iou)
-        mn = mask_pos[best_n]
-        sel = v & (mn >= 0)
-        # out-of-range anchor index drops every scatter below
-        mn_idx = jnp.where(sel, mn, a)
 
-        cell = out[mn % a, j, i]  # [E] activated entries at the cell
-        aw_b, ah_b = anchors_w[best_n], anchors_h[best_n]
-        scale = (2.0 - w * h) * p.iou_normalizer
-
-        if p.gaussian:
-            # targets in grid/log units (delta_gaussian_yolo_box:195-199)
-            t0 = x * fw - i.astype(jnp.float32)
-            t2 = y * fh - j.astype(jnp.float32)
-            t4 = jnp.log(w * p.net_w / aw_b)
-            t6 = jnp.log(h * p.net_h / ah_b)
-            mu = jnp.stack([cell[0], cell[2], cell[4], cell[6]])
-            sg = jnp.stack([cell[1], cell[3], cell[5], cell[7]])
-            d = jnp.stack([t0, t2, t4, t6]) - mu
-            in_exp = d / sg
-            in_exp2 = in_exp * in_exp
-            nd = jnp.exp(-0.5 * in_exp2) / (jnp.sqrt(2.0 * jnp.pi) * (sg + SIGMA_CONST))
-            temp = 0.5 * nd / (nd + EPSI) * (2.0 - w * h)
-            d_mu = temp * in_exp / sg * p.iou_normalizer
-            d_sg = temp * (in_exp2 / sg - 1.0 / (sg + SIGMA_CONST)) * p.uc_normalizer
-            d_mu = _fix_nan_inf(d_mu)
-            d_sg = _fix_nan_inf(d_sg)
-            add = jnp.stack([d_mu[0], d_sg[0], d_mu[1], d_sg[1],
-                             d_mu[2], d_sg[2], d_mu[3], d_sg[3]])
-        else:
-            t0 = x * fw - i.astype(jnp.float32)
-            t1 = y * fh - j.astype(jnp.float32)
-            if p.new_coords:
-                t2 = jnp.sqrt(w * p.net_w / (4.0 * aw_b))
-                t3 = jnp.sqrt(h * p.net_h / (4.0 * ah_b))
+        def apply(carry2, n_abs, sel_extra):
+            """Box/obj/class deltas for anchor `n_abs` at cell (j, i) —
+            the shared body of the best-anchor write (yolo_layer.c:
+            543-599) and the iou_thresh loop (:601-656)."""
+            obj_d, cls_d, box_d, tot_l, cnt = carry2
+            mn = mask_pos[n_abs]
+            sel = v & (mn >= 0) & sel_extra
+            mn_idx = jnp.where(sel, mn, a)  # out-of-range drops scatters
+            cell = out[mn % a, j, i]  # [E] activated entries at the cell
+            aw_b = anchors_w[n_abs]
+            ah_b = anchors_h[n_abs]
+            add = _box_delta_terms(cell, x, y, w, h, i, j, fw, fh,
+                                   aw_b, ah_b, iou_norm, p)
+            box_d = box_d.at[mn_idx, j, i].add(
+                jnp.where(sel, add, 0.0), mode="drop")
+            if not p.gaussian and p.iou_loss != "mse":
+                # reported-cost accumulators (delta_yolo_box's all_ious,
+                # computed on the UNfixed pred box, box.c/yolo_layer.c)
+                px = (i.astype(jnp.float32) + cell[0]) / fw
+                py = (j.astype(jnp.float32) + cell[1]) / fh
+                if p.new_coords:
+                    pbw = cell[2] * cell[2] * 4.0 * aw_b / p.net_w
+                    pbh = cell[3] * cell[3] * 4.0 * ah_b / p.net_h
+                else:
+                    pbw = jnp.exp(cell[2]) * aw_b / p.net_w
+                    pbh = jnp.exp(cell[3]) * ah_b / p.net_h
+                iou_v = _iou_xywh(px, py, pbw, pbh, x, y, w, h)
+                if p.iou_loss == "giou":
+                    c_area = (jnp.maximum(px + pbw / 2, x + w / 2)
+                              - jnp.minimum(px - pbw / 2, x - w / 2)) * (
+                        jnp.maximum(py + pbh / 2, y + h / 2)
+                        - jnp.minimum(py - pbh / 2, y - h / 2))
+                    inter = jnp.minimum(px + pbw / 2, x + w / 2) \
+                        - jnp.maximum(px - pbw / 2, x - w / 2)
+                    inter_h = jnp.minimum(py + pbh / 2, y + h / 2) \
+                        - jnp.maximum(py - pbh / 2, y - h / 2)
+                    inter_a = jnp.where((inter < 0) | (inter_h < 0), 0.0,
+                                        inter * inter_h)
+                    u_area = pbw * pbh + w * h - inter_a
+                    iou_v = jnp.where(
+                        c_area == 0, iou_v,
+                        iou_v - (c_area - u_area)
+                        / jnp.where(c_area == 0, 1.0, c_area))
+                tot_l = tot_l + jnp.where(sel, 1.0 - iou_v, 0.0)
+                cnt = cnt + jnp.where(sel, 1.0, 0.0)
+            pos_obj = cls_mult_c * p.obj_normalizer * (1.0 - cell[obj_e])
+            cur_obj = obj_d[mn % a, j, i]
+            if p.objectness_smooth and not p.gaussian:
+                # only land the positive delta on a zeroed cell (:578-584)
+                new_obj = jnp.where(cur_obj == 0.0, pos_obj, cur_obj)
             else:
-                t2 = jnp.log(w * p.net_w / aw_b)
-                t3 = jnp.log(h * p.net_h / ah_b)
-            add = scale * (jnp.stack([t0, t1, t2, t3]) - cell[:4])
+                new_obj = pos_obj
+            obj_d = obj_d.at[mn_idx, j, i].set(
+                jnp.where(sel, new_obj, cur_obj), mode="drop")
+            row = cls_d[mn % a, j, i]
+            new_row = _class_delta_row(row, cell[cls_e:], c, cls_mult_c, p)
+            cls_d = cls_d.at[mn_idx, j, i].set(
+                jnp.where(sel, new_row, row), mode="drop")
+            return (obj_d, cls_d, box_d, tot_l, cnt)
 
-        box_d = box_d.at[mn_idx, j, i].add(
-            jnp.where(sel, add, 0.0), mode="drop")
-        obj_d = obj_d.at[mn_idx, j, i].set(
-            p.obj_normalizer * (1.0 - cell[obj_e]), mode="drop")
+        carry = apply(carry, best_n, jnp.bool_(True))
+        if p.iou_thresh < 1.0:
+            # iou_thresh loop: every other masked anchor whose shape-IoU
+            # (iou_thresh_kind) vs the wh-only truth beats the threshold
+            for n_abs in range(n_total):
+                if mask_pos_np[n_abs] < 0:
+                    continue  # not in this head's mask — static skip
+                shape_iou = _shape_iou_kind(
+                    anchors_w[n_abs] / p.net_w, anchors_h[n_abs] / p.net_h,
+                    w, h, p.iou_thresh_kind)
+                sel_n = (n_abs != best_n) & (shape_iou > p.iou_thresh)
+                carry = apply(carry, n_abs, sel_n)
+        return carry, None
 
-        # delta_yolo_class / delta_gaussian_yolo_class overwrite semantics
-        probe_idx = 0 if p.gaussian else c  # gaussian probes class 0 (c:374)
-        row = cls_d[mn % a, j, i]
-        cell_cls = cell[cls_e:]
-        onehot = jax.nn.one_hot(c, p.classes)
-        fresh = onehot - cell_cls  # cls_normalizer only with classes_multipliers
-        keep = row.at[c].set(1.0 - cell_cls[c])
-        new_row = jnp.where(row[probe_idx] != 0.0, keep, fresh)
-        cls_d = cls_d.at[mn_idx, j, i].set(
-            jnp.where(sel, new_row, cls_d[mn % a, j, i]), mode="drop")
-        return (obj_d, cls_d, box_d), None
-
-    (obj_delta, cls_delta, box_delta), _ = jax.lax.scan(
-        step, (obj_delta, cls_delta0, box_delta0), jnp.arange(t_count))
+    (obj_delta, cls_delta, box_delta, tot_iou_loss, count), _ = jax.lax.scan(
+        step, (obj_delta, cls_delta0, box_delta0,
+               jnp.float32(0.0), jnp.float32(0.0)), jnp.arange(t_count))
 
     if p.gaussian:
-        # averages_gaussian_yolo_deltas: always runs
+        # averages_gaussian_yolo_deltas: every cell, unconditionally
         n_in_box = jnp.sum((cls_delta > 0.0).astype(jnp.float32), axis=-1)
         box_delta = jnp.where(
             (n_in_box > 0)[..., None], box_delta / jnp.maximum(n_in_box, 1.0)[..., None],
             box_delta)
-    # yolo: averages only when iou_thresh < 1 (unsupported -> never)
+    elif p.iou_thresh < 1.0:
+        # averages_yolo_deltas: only cells with a nonzero obj delta
+        # (yolo_layer.c:645-660)
+        n_in_box = jnp.sum((cls_delta > 0.0).astype(jnp.float32), axis=-1)
+        div = (obj_delta != 0.0) & (n_in_box > 0)
+        box_delta = jnp.where(
+            div[..., None], box_delta / jnp.maximum(n_in_box, 1.0)[..., None],
+            box_delta)
 
     delta = jnp.concatenate(
         [box_delta, obj_delta[..., None], cls_delta], axis=-1)
-    return delta
+    return delta, tot_iou_loss, count
 
 
 def _head_cost_and_delta(raw: Array, truth: Array, p: DarknetHeadParams):
     """Batch: raw [B,A,H,W,E], truth [B,T,5] -> (cost, delta[B,A,H,W,E]).
 
-    cost = |delta|^2 summed over the whole batch (mag_array squared), the
-    value darknet stores in l.cost."""
-    delta = jax.vmap(lambda r, t: _head_deltas(r, t, p))(raw, truth)
-    return jnp.sum(delta * delta), delta
+    For iou_loss=mse and gaussian heads, cost = |delta|^2 summed over the
+    whole batch (mag_array squared), the value darknet stores in l.cost
+    (yolo_layer.c:893, gaussian_yolo_layer.c:685).  For IoU-family [yolo]
+    heads darknet's default show_details path reports instead
+    (yolo_layer.c:901-916):
+
+        cost = iou_normalizer * tot_iou_loss/count
+             + obj_normalizer * |delta with box entries zeroed|^2
+
+    where tot_iou_loss sums 1-GIoU (giou) / 1-IoU (iou|diou|ciou) over
+    every delta_yolo_box application and count counts them."""
+    delta, tot, cnt = jax.vmap(lambda r, t: _head_deltas(r, t, p))(raw, truth)
+    if p.gaussian or p.iou_loss == "mse":
+        return jnp.sum(delta * delta), delta
+    nonbox = delta.at[..., :4].set(0.0)
+    class_cost = p.obj_normalizer * jnp.sum(nonbox * nonbox)
+    cnt_total = jnp.sum(cnt)
+    avg_iou_loss = jnp.where(
+        cnt_total > 0,
+        p.iou_normalizer * jnp.sum(tot) / jnp.maximum(cnt_total, 1.0), 0.0)
+    return avg_iou_loss + class_cost, delta
 
 
 def reshape_head_raw(conv_out: Array, p: DarknetHeadParams) -> Array:
@@ -331,6 +719,9 @@ def darknet_detection_loss(raws, truth, params_list):
     network.c:324-336 + :65).  Gradient wrt each raw head output =
     -delta/batch (backward_yolo_layer's axpy, scaled for the framework's
     darknet_sgd lr/B convention)."""
+    if len(raws) != len(params_list):
+        raise ValueError(
+            f"{len(raws)} head outputs for {len(params_list)} param sets")
     cost = 0.0
     for raw, p in zip(raws, params_list):
         c, _ = _head_cost_and_delta(reshape_head_raw(raw, p), truth, p)
@@ -339,6 +730,9 @@ def darknet_detection_loss(raws, truth, params_list):
 
 
 def _fwd(raws, truth, params_list):
+    if len(raws) != len(params_list):
+        raise ValueError(
+            f"{len(raws)} head outputs for {len(params_list)} param sets")
     cost = 0.0
     deltas = []
     for raw, p in zip(raws, params_list):
@@ -373,14 +767,27 @@ darknet_detection_loss.defvjp(_fwd, _bwd)
 
 def head_params_from_darknet(layer, net_w: int, net_h: int) -> DarknetHeadParams:
     """Build params from a parsed darknet [yolo]/[gaussian_yolo] layer
-    (config.darknet_cfg.Yolo)."""
-    if getattr(layer, "iou_loss", "mse") != "mse":
-        raise NotImplementedError(
-            "darknet-exact loss implements iou_loss=mse (the parser "
-            "default); use the production loss for GIoU/CIoU training")
-    mask = tuple(int(m) for m in layer.mask) or tuple(range(len(layer.anchors)))
+    (config.darknet_cfg.Yolo).  Mirrors parser.c parse_yolo /
+    parse_gaussian_yolo, including get_classes_multipliers (:412-431) and
+    the l.total anchor truncation (Yolo.total_anchors)."""
+    if getattr(layer, "yolo_point", "center") != "center":
+        raise NotImplementedError("yolo_point != center unsupported")
+    anchors = tuple((float(w), float(h))
+                    for w, h in getattr(layer, "total_anchors", layer.anchors))
+    mask = tuple(int(m) for m in layer.mask) or tuple(range(len(anchors)))
+    max_delta = getattr(layer, "max_delta", None)
+    counters = tuple(getattr(layer, "counters_per_class", ()) or ())
+    multipliers = None
+    if counters:
+        if len(counters) != int(layer.classes):
+            raise ValueError(
+                f"counters_per_class has {len(counters)} entries for "
+                f"{layer.classes} classes")
+        cap = max_delta if max_delta is not None else float("inf")
+        mx = float(max(counters))
+        multipliers = tuple(min(mx / c, cap) for c in counters)
     return DarknetHeadParams(
-        anchors=tuple((float(w), float(h)) for w, h in layer.anchors),
+        anchors=anchors,
         mask=mask,
         classes=int(layer.classes),
         net_w=net_w, net_h=net_h,
@@ -393,4 +800,12 @@ def head_params_from_darknet(layer, net_w: int, net_h: int) -> DarknetHeadParams
         scale_x_y=float(layer.scale_x_y),
         new_coords=bool(layer.new_coords),
         gaussian=bool(getattr(layer, "gaussian", False)),
+        iou_loss=str(getattr(layer, "iou_loss", "mse")),
+        iou_thresh=float(getattr(layer, "iou_thresh", 1.0)),
+        iou_thresh_kind=str(getattr(layer, "iou_thresh_kind", "iou")),
+        objectness_smooth=bool(getattr(layer, "objectness_smooth", False)),
+        max_delta=float(max_delta) if max_delta is not None else None,
+        focal_loss=bool(getattr(layer, "focal_loss", False)),
+        label_smooth_eps=float(getattr(layer, "label_smooth_eps", 0.0)),
+        classes_multipliers=multipliers,
     )
