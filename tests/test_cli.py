@@ -803,6 +803,94 @@ class TestReferenceConfigParity:
         # the stream's out-of-order reassembly mode
         assert cfg.preprocessor.unordered is True
 
+    def test_darknet_data_recipe_adoption(self, tmp_path):
+        """preprocessor.from_model_cfg: a darknet cfg carrying mosaic=1 +
+        [net] HSV knobs + [yolo] jitter/random/resize yields a mosaic-
+        enabled, color-jittered, affine-jittered, multi-scale config
+        (round-3 VERDICT item 8) without hand-written JSON5 aug blocks."""
+        import json
+
+        from yolodl_tpu.config import darknet_cfg as dk
+        from yolodl_tpu.config.app_config import (
+            TrainAppConfig, adopt_darknet_data_recipe)
+
+        cfg_text = """[net]
+width=416
+height=416
+channels=3
+mosaic=1
+hue=.1
+saturation=1.5
+exposure=1.5
+angle=0
+[convolutional]
+filters=18
+size=1
+activation=linear
+[yolo]
+mask=0
+anchors=10,14
+classes=1
+num=1
+jitter=.3
+random=1
+resize=1.5
+"""
+        train_cfg = {
+            "version": "0.1.0",
+            "model": {"kind": "Darknet", "cfg_file": "m.cfg"},
+            "dataset": {"kind": {"type": "Csv", "image_size": 416,
+                                 "image_dir": ".", "label_file": "l.csv",
+                                 "classes_file": "c.txt"}},
+            "preprocessor": {"from_model_cfg": True},
+            "training": {"batch_size": 2, "optimizer": {"lr": 0.001}},
+        }
+        p = tmp_path / "train_fm.json5"
+        p.write_text(json.dumps(train_cfg))
+        parsed = TrainAppConfig.load(p)
+        assert parsed.preprocessor.from_model_cfg is True
+        out = adopt_darknet_data_recipe(parsed, dk.Darknet.from_str(cfg_text))
+        pre = out.preprocessor
+        # mosaic gated 50% per batch (data.c:1069)
+        assert pre.mosaic_prob == 0.5
+        assert pre.color_jitter is not None
+        assert pre.color_jitter.hue_shift == pytest.approx(0.1)
+        assert pre.color_jitter.saturation_shift == pytest.approx(0.5)
+        assert pre.color_jitter.value_shift == pytest.approx(0.5)
+        aff = pre.affine
+        assert aff is not None
+        assert aff.horizontal_flip_prob == 0.5  # [net] flip default 1
+        assert aff.translation == pytest.approx(0.3)  # [yolo] jitter
+        assert aff.scale == (pytest.approx(1 / 1.5), 1.5)  # [yolo] resize
+        # [yolo] random=1 → multi-scale dims round(v*416/32+1)*32,
+        # v ∈ [1/1.4, 1.4] (detector.c:195-206), every 10 steps
+        assert out.multi_scale_interval == 10
+        sizes = out.multi_scale_sizes
+        assert sizes and sizes[0] <= 320 and sizes[-1] >= 608
+        assert all(s % 32 == 0 for s in sizes)
+        assert 416 in sizes
+        # a cfg WITHOUT the knobs changes nothing
+        plain = """[net]
+width=416
+height=416
+channels=3
+flip=0
+[convolutional]
+filters=18
+size=1
+activation=linear
+[yolo]
+mask=0
+anchors=10,14
+classes=1
+num=1
+jitter=0
+"""
+        out2 = adopt_darknet_data_recipe(parsed, dk.Darknet.from_str(plain))
+        assert out2.preprocessor.mosaic_prob == 0.0
+        assert out2.preprocessor.affine is None
+        assert out2.multi_scale_sizes == ()
+
     def test_pipeline_device_warns(self, tmp_path, capsys):
         """preprocessor.pipeline.device other than cpu warns (the host
         pipeline is CPU + native kernels here; the reference could run its

@@ -514,6 +514,160 @@ class TestIgnoreThresh:
         assert float(a.total_loss) == float(b.total_loss)
 
 
+class TestDarknetOptionAdoption:
+    """Production-loss adoption of darknet's [yolo] training options
+    (round-4: iou_thresh / objectness_smooth / max_delta, VERDICT r3
+    item 1 tail).  These are production-form analogues — the darknet-EXACT
+    delta semantics live in loss/darknet_loss.py and are oracle-pinned in
+    test_parity_train_detection.py."""
+
+    def _single_head(self, rng):
+        return make_merged(rng, batch=1, layers=((8, 8, 3),))
+
+    def test_iou_thresh_adds_shape_iou_matches(self, rng):
+        """An anchor excluded by the v5 ratio gate (ratio > 4) but passing
+        the shape-IoU gate (IoU 0.22 > 0.2) matches at the center cell
+        (yolo_layer.c:640-656 analogue)."""
+        pred = self._single_head(rng)
+        # anchors (h, w) = (0.1,0.15), (0.2,0.3), (0.3,0.45); a box 4.5x
+        # anchor0's width passes shape IoU 1/4.5 ≈ 0.22 only
+        gt = [[(0.5, 0.5, 0.1, 0.15 * 4.5, 0)]]
+        boxes, classes, mask = pad_targets(gt)
+        base, aux0 = yolo_loss(pred, boxes, classes, mask,
+                               LossConfig(ignore_thresh=None, iou_thresh=None))
+        more, aux1 = yolo_loss(pred, boxes, classes, mask,
+                               LossConfig(ignore_thresh=None, iou_thresh=0.2))
+        n0 = int(aux0.matching.num_matched())
+        n1 = int(aux1.matching.num_matched())
+        assert n1 > n0, (n0, n1)
+        # per-head tuple form with the threshold at 1.0 = no-op
+        _, aux2 = yolo_loss(pred, boxes, classes, mask,
+                            LossConfig(ignore_thresh=None, iou_thresh=(1.0,)))
+        assert int(aux2.matching.num_matched()) == n0
+        with pytest.raises(ValueError):
+            yolo_loss(pred, boxes, classes, mask,
+                      LossConfig(ignore_thresh=None, iou_thresh=(0.2, 0.2)))
+
+    def test_objectness_smooth_trains_ignored_cells_toward_iou(self, rng):
+        """With objectness_smooth, ignored cells (best IoU above
+        ignore_thresh) keep an objectness loss toward their best IoU
+        instead of dropping out (yolo_layer.c:457-462 analogue)."""
+        pred = self._single_head(rng)
+        gt = [[(0.4, 0.4, 0.3, 0.3, 0)]]
+        boxes, classes, mask = pad_targets(gt)
+        n = pred.num_flats
+        same = jnp.tile(jnp.asarray([[0.4, 0.4, 0.3, 0.3]], jnp.float32),
+                        (n, 1))[None]
+        pred2 = MergedDetection(same, pred.obj_logit, pred.class_logit,
+                                pred.infos)
+        masked, _ = yolo_loss(
+            pred2, boxes, classes, mask,
+            LossConfig(ignore_thresh=0.7, objectness_smooth=False))
+        smooth, _ = yolo_loss(
+            pred2, boxes, classes, mask,
+            LossConfig(ignore_thresh=0.7, objectness_smooth=True))
+        # the smooth form re-engages the ignored cells (IoU target = 1 here,
+        # logits are random → nonzero extra loss)
+        assert float(smooth.objectness_loss) > float(masked.objectness_loss)
+        # unresolved "auto" behaves as disabled
+        auto, _ = yolo_loss(
+            pred2, boxes, classes, mask, LossConfig(ignore_thresh=0.7))
+        assert float(auto.objectness_loss) == float(masked.objectness_loss)
+
+    def test_max_delta_clips_box_gradient(self, rng):
+        """max_delta clamps the gradient flowing into the matched pred-box
+        coordinates (clip_value analogue); a tiny bound shrinks the
+        box-gradient norm, None leaves it unchanged."""
+        pred = self._single_head(rng)
+        gt = [[(0.5, 0.5, 0.2, 0.3, 1)]]
+        boxes, classes, mask = pad_targets(gt)
+
+        def iou_part(cycxhw, cfg):
+            p = MergedDetection(cycxhw, pred.obj_logit, pred.class_logit,
+                                pred.infos)
+            out, _ = yolo_loss(p, boxes, classes, mask, cfg)
+            return out.iou_loss
+
+        cfg_none = LossConfig(ignore_thresh=None, max_delta=None)
+        cfg_tiny = LossConfig(ignore_thresh=None, max_delta=1e-7)
+        cfg_tuple = LossConfig(ignore_thresh=None, max_delta=(1e-7,))
+        g_none = jax.grad(iou_part)(pred.cycxhw, cfg_none)
+        g_tiny = jax.grad(iou_part)(pred.cycxhw, cfg_tiny)
+        g_tup = jax.grad(iou_part)(pred.cycxhw, cfg_tuple)
+        n_none = float(jnp.sum(jnp.abs(g_none)))
+        n_tiny = float(jnp.sum(jnp.abs(g_tiny)))
+        assert n_none > 0
+        assert n_tiny < n_none * 1e-2
+        assert float(jnp.sum(jnp.abs(g_tup))) == pytest.approx(n_tiny)
+        # value (loss) itself is untouched — only the gradient is clipped
+        assert float(iou_part(pred.cycxhw, cfg_none)) == \
+            pytest.approx(float(iou_part(pred.cycxhw, cfg_tiny)))
+
+    def test_auto_resolution_from_darknet_graph(self):
+        """The train CLI resolves every "auto" option from the model cfg's
+        per-head values (mixed max_delta stays a tuple, uniform iou_thresh
+        collapses, objectness_smooth any-head)."""
+        from yolodl_tpu.cli.train_main import _resolve_auto_loss_options
+        from yolodl_tpu.config import darknet_cfg as dk
+        from yolodl_tpu.config.app_config import parse_loss_config
+        from yolodl_tpu.graph.from_darknet import graph_from_darknet
+
+        cfg_text = """[net]
+width=64
+height=64
+channels=3
+[convolutional]
+filters=6
+size=1
+activation=linear
+[yolo]
+mask=0
+anchors=10,14
+classes=1
+num=1
+ignore_thresh=0.7
+iou_thresh=0.213
+objectness_smooth=1
+max_delta=5
+[route]
+layers=-2
+[convolutional]
+filters=6
+size=1
+activation=linear
+[yolo]
+mask=0
+anchors=10,14
+classes=1
+num=1
+ignore_thresh=0.7
+iou_thresh=0.213
+max_delta=2
+"""
+        graph = graph_from_darknet(dk.Darknet.from_str(cfg_text))
+
+        import dataclasses as _dc
+
+        @_dc.dataclass
+        class Holder:
+            loss: object
+
+        cfg = _resolve_auto_loss_options(Holder(parse_loss_config({})), graph)
+        assert cfg.loss.ignore_thresh == 0.7
+        assert cfg.loss.iou_thresh == 0.213
+        assert cfg.loss.objectness_smooth is True
+        assert cfg.loss.max_delta == (5.0, 2.0)
+        # explicit overrides win over auto
+        explicit = Holder(parse_loss_config(
+            {"iou_thresh": None, "objectness_smooth": False,
+             "max_delta": 3.0, "ignore_thresh": 0.5}))
+        cfg2 = _resolve_auto_loss_options(explicit, graph)
+        assert cfg2.loss.iou_thresh is None
+        assert cfg2.loss.objectness_smooth is False
+        assert cfg2.loss.max_delta == 3.0
+        assert cfg2.loss.ignore_thresh == 0.5
+
+
 class TestClassModeAgreement:
     def test_argmax_matches_pairs_for_unambiguous_classes(self):
         """When each instance has one dominant class, the production argmax

@@ -17,35 +17,60 @@ import time
 
 
 def _resolve_auto_loss_options(config, graph):
-    """training.loss.ignore_thresh="auto" (the default): adopt the darknet
-    cfg's own per-[yolo]-layer ignore_thresh values (darknet-config
-    yolo.rs:5-123 surface; parser.c parse_yolo default .5) so darknet cfgs
-    train with darknet's objectness masking out of the box.  NEWSLABv1
-    models (no [yolo] sections) resolve to disabled — the Rust reference's
-    behavior.  A uniform per-layer set collapses to a scalar; mixed values
-    stay a per-head tuple (loss/yolo_loss.py maps it per flat range).
-    truth_thresh < 1 (the multi-positive branch) is not implemented in the
-    production loss — warn loudly instead of silently diverging (all 83
-    corpus cfgs carry truth_thresh=1, where it is a no-op)."""
+    """Resolve the "auto" loss options from the darknet model cfg: adopt
+    the per-[yolo]-layer ignore_thresh, iou_thresh (multi-anchor match
+    gate), objectness_smooth, and max_delta values (darknet-config
+    yolo.rs:15-49 surface) so darknet cfgs train with darknet's
+    objectness masking / multi-positive matching / delta clamping out of
+    the box.  NEWSLABv1 models (no [yolo] sections) resolve to disabled —
+    the Rust reference's behavior.  A uniform per-layer set collapses to
+    a scalar; mixed values stay a per-head tuple (loss/yolo_loss.py maps
+    them per flat range).  truth_thresh < 1 (darknet's per-cell
+    best-IoU-overwrite branch) is not implemented in the production loss —
+    warn loudly instead of silently diverging (all 83 corpus cfgs carry
+    truth_thresh=1, where it is a no-op)."""
     import dataclasses as _dc
 
     loss = config.loss
-    if loss.ignore_thresh != "auto":
-        return config
-    thresh = getattr(graph, "detect_ignore_thresh", None)
     tt = getattr(graph, "detect_truth_thresh", None)
     if tt and any(t < 1.0 for t in tt):
         print(f"warning: model cfg truth_thresh={tt} < 1 is not "
               "implemented; training without the multi-positive branch")
-    if not thresh:
-        new = None
-    elif len(set(thresh)) == 1:
-        new = thresh[0]
-    else:
-        new = thresh
-    if new is not None:
-        print(f"loss.ignore_thresh: auto -> {new} (from the model cfg)")
-    return _dc.replace(config, loss=_dc.replace(loss, ignore_thresh=new))
+
+    def _adopt(field, attr, collapse=True):
+        vals = getattr(graph, attr, None)
+        if not vals or all(v is None for v in vals):
+            new = None
+        elif collapse and len(set(vals)) == 1:
+            new = vals[0]
+        else:
+            new = tuple(vals)
+        if new is not None and new != 1.0 and new is not False:
+            print(f"loss.{field}: auto -> {new} (from the model cfg)")
+        return new
+
+    updates = {}
+    if loss.ignore_thresh == "auto":
+        updates["ignore_thresh"] = _adopt("ignore_thresh",
+                                          "detect_ignore_thresh")
+    if loss.iou_thresh == "auto":
+        # per-head iou_thresh values of 1.0 are no-ops — collapse to None
+        # when every head carries the default
+        v = _adopt("iou_thresh", "detect_iou_thresh")
+        if isinstance(v, float) and v >= 1.0:
+            v = None
+        updates["iou_thresh"] = v
+    if loss.objectness_smooth == "auto":
+        vals = getattr(graph, "detect_objectness_smooth", None)
+        new = bool(vals and any(vals))
+        if new:
+            print("loss.objectness_smooth: auto -> True (from the model cfg)")
+        updates["objectness_smooth"] = new
+    if loss.max_delta == "auto":
+        updates["max_delta"] = _adopt("max_delta", "detect_max_delta")
+    if not updates:
+        return config
+    return _dc.replace(config, loss=_dc.replace(loss, **updates))
 
 
 def main(argv=None):
@@ -183,6 +208,24 @@ def main(argv=None):
 
         config = _dc.replace(
             config, lr=lr_schedule_from_darknet(_dk.Darknet.load(model_path).net))
+
+    # preprocessor.from_model_cfg: adopt the darknet cfg's data recipe
+    # ([net] mosaic/hue/sat/exposure/flip/angle + [yolo] jitter/random/
+    # resize) — the data-path sibling of lr_schedule FromModelCfg
+    if config.preprocessor.from_model_cfg:
+        if config.model_kind != "darknet":
+            raise SystemExit(
+                "preprocessor.from_model_cfg needs a darknet model cfg "
+                "(NEWSLABv1 models carry no [net]/[yolo] aug knobs)")
+        from ..config import darknet_cfg as _dk2
+        from ..config.app_config import adopt_darknet_data_recipe
+
+        config = adopt_darknet_data_recipe(config, _dk2.Darknet.load(model_path))
+        pre2 = config.preprocessor
+        print(
+            f"data recipe from model cfg: mosaic_prob={pre2.mosaic_prob}, "
+            f"color_jitter={pre2.color_jitter}, affine={pre2.affine}, "
+            f"multi_scale={list(config.multi_scale_sizes) or None}")
 
     # dataset + pipeline (cache.records: annotation parse cached on disk)
     pre = config.preprocessor

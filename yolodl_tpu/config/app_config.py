@@ -265,6 +265,12 @@ class PreprocessorConfig:
     # (data/device_augment.py); the reference's preprocessor can likewise
     # run on its CUDA device.  Same RNG stream, host-computed labels.
     pipeline_device: str = "cpu"
+    # preprocessor.from_model_cfg=true: adopt the darknet model cfg's own
+    # data recipe ([net] mosaic/mixup/hue/saturation/exposure/angle/flip +
+    # per-[yolo] jitter/random/resize) in place of the JSON5 aug fields —
+    # the data-path sibling of optimizer.lr_schedule FromModelCfg.
+    # Resolved by the train CLI via adopt_darknet_data_recipe.
+    from_model_cfg: bool = False
 
     @staticmethod
     def parse(raw: dict) -> "PreprocessorConfig":
@@ -365,7 +371,95 @@ class PreprocessorConfig:
             color_jitter_prob=jitter_prob,
             unordered=unordered,
             pipeline_device=pipe_dev,
+            from_model_cfg=bool(raw.get("from_model_cfg", False)),
         )
+
+
+def adopt_darknet_data_recipe(config, darknet):
+    """preprocessor.from_model_cfg=true: derive the augmentation recipe
+    from the darknet cfg so `train --config` on a raw darknet model
+    reproduces darknet's data pipeline without hand-written JSON5 — the
+    data-path sibling of ``lr_schedule_from_darknet``.
+
+    Mapping (AlexeyAB data/detector semantics → this pipeline's knobs):
+
+    - [net] mosaic=1 (mixup=3/4) → mosaic_prob=0.5: darknet gates mosaic
+      per batch with random_gen()%2 (data.c:1069); mixup=1 → mixup_prob=0.5
+    - [net] hue/saturation/exposure → ColorJitter shifts.  darknet samples
+      MULTIPLICATIVE sat/exposure scales in [1/s, s] (rand_scale); this
+      pipeline's jitter is additive-shift — mapped as shift = s-1, a
+      documented approximation of the same strength
+    - [net] flip (default 1, parser.c) → horizontal_flip_prob=0.5
+      (per-image coin flip, data.c:1149)
+    - [net] angle → rotate_degrees (rotate_prob=1); darknet's detector
+      path only uses angle for classifier data — adopted here as the
+      closest analogue
+    - [yolo] jitter → translation=jitter (random crop/pad of up to
+      ±jitter per side ≈ translation in the ±1 frame); [yolo] resize →
+      scale=(1/resize, resize)
+    - [yolo] random=r → training.multi_scale: dims
+      round(v·init/32+1)·32 for v ∈ [1/coef, coef], coef = 1.4 when r==1
+      else r (detector.c:195-206), interval 10
+    """
+    from . import darknet_cfg as dk
+    from ..data.affine import RandomAffine
+    from ..data.color import ColorJitter
+
+    net = darknet.net
+    pre = config.preprocessor
+    updates = {}
+
+    mixup_raw = int(net.raw.get("mixup", 0) or 0)
+    if net.mosaic or mixup_raw in (3, 4):
+        updates["mosaic_prob"] = 0.5
+    if mixup_raw == 1:
+        updates["mixup_prob"] = 0.5
+
+    jitter_fields = {}
+    if net.hue:
+        jitter_fields["hue_shift"] = float(net.hue)
+    if net.saturation and net.saturation != 1.0:
+        jitter_fields["saturation_shift"] = abs(float(net.saturation) - 1.0)
+    if net.exposure and net.exposure != 1.0:
+        jitter_fields["value_shift"] = abs(float(net.exposure) - 1.0)
+    if jitter_fields:
+        updates["color_jitter"] = ColorJitter(**jitter_fields)
+        updates["color_jitter_prob"] = 1.0
+
+    yolos = [l for l in darknet.layers if isinstance(l, dk.Yolo)]
+    affine_fields = {}
+    if int(net.raw.get("flip", 1) or 0):
+        affine_fields["horizontal_flip_prob"] = 0.5
+    if net.angle:
+        affine_fields["rotate_prob"] = 1.0
+        affine_fields["rotate_degrees"] = float(net.angle)
+    if yolos:
+        jit = float(yolos[0].jitter)
+        if jit:
+            affine_fields["translation_prob"] = 1.0
+            affine_fields["translation"] = jit
+        rsz = float(yolos[0].resize)
+        if rsz and rsz != 1.0:
+            affine_fields["scale_prob"] = 1.0
+            affine_fields["scale"] = (1.0 / rsz, rsz)
+    if affine_fields:
+        updates["affine"] = RandomAffine(**affine_fields)
+        updates["affine_prob"] = 1.0
+
+    config = dataclasses.replace(
+        config, preprocessor=dataclasses.replace(pre, **updates))
+
+    rand = float(yolos[0].random) if yolos else 0.0
+    if rand > 0.0:
+        coef = 1.4 if rand == 1.0 else rand
+        init = int(net.width)
+        step = 32
+        lo = int(round((init / coef) / step + 1)) * step
+        hi = int(round((init * coef) / step + 1)) * step
+        sizes = tuple(range(max(lo, step), hi + 1, step))
+        config = dataclasses.replace(
+            config, multi_scale_sizes=sizes, multi_scale_interval=10)
+    return config
 
 
 @dataclasses.dataclass(frozen=True)
@@ -415,6 +509,18 @@ def parse_loss_config(raw: dict) -> LossConfig:
             tuple(float(t) for t in raw["ignore_thresh"])
             if isinstance(raw.get("ignore_thresh"), (list, tuple))
             else raw.get("ignore_thresh", "auto")),
+        # darknet [yolo] training-option adoption — absent = "auto" (train
+        # CLI adopts the model cfg's per-head values), null disables,
+        # number/array overrides
+        iou_thresh=(
+            tuple(float(t) for t in raw["iou_thresh"])
+            if isinstance(raw.get("iou_thresh"), (list, tuple))
+            else raw.get("iou_thresh", "auto")),
+        objectness_smooth=raw.get("objectness_smooth", "auto"),
+        max_delta=(
+            tuple((None if t is None else float(t)) for t in raw["max_delta"])
+            if isinstance(raw.get("max_delta"), (list, tuple))
+            else raw.get("max_delta", "auto")),
         uncertainty_loss_weight=raw.get("uncertainty_loss_weight"),
         matcher=matcher,
     )

@@ -312,6 +312,16 @@ def graph_from_darknet(darknet: dk.Darknet) -> Graph:
             float(l.ignore_thresh) for l in yolo_layers)
         graph.detect_truth_thresh = tuple(
             float(l.truth_thresh) for l in yolo_layers)
+        # darknet training options for LossConfig "auto" adoption
+        # (iou_thresh multi-anchor matching yolo_layer.c:640-656,
+        # objectness_smooth :457-462, max_delta clip :161-172)
+        graph.detect_iou_thresh = tuple(
+            float(l.iou_thresh) for l in yolo_layers)
+        graph.detect_objectness_smooth = tuple(
+            bool(l.objectness_smooth) for l in yolo_layers)
+        graph.detect_max_delta = tuple(
+            (float(l.max_delta) if l.max_delta is not None else None)
+            for l in yolo_layers)
     return graph
 
 

@@ -116,6 +116,14 @@ class Graph:
         # CLI resolves LossConfig.ignore_thresh="auto" from these)
         self.detect_ignore_thresh: Optional[Tuple[float, ...]] = None
         self.detect_truth_thresh: Optional[Tuple[float, ...]] = None
+        # darknet [yolo] training options the production loss can adopt
+        # (LossConfig iou_thresh/objectness_smooth/max_delta="auto"):
+        # per-head multi-anchor match threshold (yolo_layer.c:640-656),
+        # objectness smoothing flag, and delta-clip bound (None entries =
+        # no clipping for that head)
+        self.detect_iou_thresh: Optional[Tuple[float, ...]] = None
+        self.detect_objectness_smooth: Optional[Tuple[bool, ...]] = None
+        self.detect_max_delta: Optional[Tuple[Optional[float], ...]] = None
 
     # -- constructors -------------------------------------------------------
 

@@ -34,12 +34,23 @@ Array = jax.Array
 SNAP_THRESH = 0.5  # pred_target_matching.rs:56
 
 
+import typing
+
+
 @dataclasses.dataclass(frozen=True)
 class MatcherConfig:
     """Defaults: Rect4, thresh 4.0 (CyCxHWMatcherInit, :17-24)."""
 
     match_grid: str = "rect4"  # "rect2" | "rect4"
     anchor_scale_thresh: float = 4.0
+    # darknet [yolo] iou_thresh adoption (yolo_layer.c:640-656): when a
+    # head's threshold is < 1, every anchor whose wh-only shape-IoU vs the
+    # GT exceeds it ALSO matches at the GT's center cell, bypassing the
+    # v5 ratio gate — the production-form analogue of darknet's
+    # multi-anchor matching (grafted onto the v5 matcher, so neighbor-cell
+    # snaps still apply to the ratio-gated candidates).  None = off; a
+    # scalar applies to every head; a tuple is per-head in merge order.
+    shape_iou_thresh: typing.Union[None, float, tuple] = None
 
     def __post_init__(self):
         if self.anchor_scale_thresh < 1.0:
@@ -106,9 +117,18 @@ def match_targets(
     base_ok = gt_mask & size_ok  # [B, M]
 
     flats, valids, dists = [], [], []
-    for info in infos:
+    block_widths = []  # candidate-block width per info (5, or 6 w/ shape gate)
+    for k, info in enumerate(infos):
         fh, fw = info.feature_h, info.feature_w
         a = info.num_anchors
+        thr_k = config.shape_iou_thresh
+        if isinstance(thr_k, tuple):
+            if len(thr_k) != len(infos):
+                raise ValueError(
+                    f"per-head shape_iou_thresh has {len(thr_k)} entries "
+                    f"for {len(infos)} detect heads")
+            thr_k = thr_k[k]
+        use_shape = thr_k is not None and float(thr_k) < 1.0
 
         gy = cy * fh
         gx = cx * fw
@@ -168,6 +188,24 @@ def match_targets(
         dist = (cy[..., None] - pcy) ** 2 + (cx[..., None] - pcx) ** 2  # [B, M, 5]
         dist = jnp.broadcast_to(dist[..., None], flat.shape)
 
+        if use_shape:
+            # darknet iou_thresh adoption: anchors passing the wh-only
+            # shape-IoU gate match at the CENTER cell, ratio gate bypassed
+            inter = jnp.minimum(tw[..., None], aw) * jnp.minimum(th[..., None], ah)
+            union = tw[..., None] * th[..., None] + aw * ah - inter
+            shape_iou = jnp.where(
+                (inter == 0) | (union == 0), 0.0,
+                inter / jnp.where(union == 0, 1.0, union))  # [B, M, A]
+            extra_valid = (
+                base_ok[..., None, None]
+                & in_bounds[..., 0:1, None]          # center-cell bounds
+                & (shape_iou > float(thr_k))[..., None, :]
+            )  # [B, M, 1, A]
+            valid = jnp.concatenate([valid, extra_valid], axis=2)
+            flat = jnp.concatenate([flat, flat[..., 0:1, :]], axis=2)
+            dist = jnp.concatenate([dist, dist[..., 0:1, :]], axis=2)
+
+        block_widths.append(valid.shape[2])
         flats.append(flat.reshape(b, -1))
         valids.append(valid.reshape(b, -1))
         dists.append(dist.reshape(b, -1))
@@ -177,13 +215,13 @@ def match_targets(
     dist = jnp.concatenate(dists, axis=1)    # [B, C]
     c_total = flat.shape[1]
 
-    # gt index per candidate (layer blocks each expand [M, 5, A])
+    # gt index per candidate (layer blocks each expand [M, width, A])
     gt_idx_parts = [
         jnp.broadcast_to(
             jnp.arange(m, dtype=jnp.int32)[None, :, None, None],
-            (b, m, 5, info.num_anchors),
+            (b, m, width, info.num_anchors),
         ).reshape(b, -1)
-        for info in infos
+        for info, width in zip(infos, block_widths)
     ]
     gt_idx = jnp.concatenate(gt_idx_parts, axis=1)  # [B, C]
 

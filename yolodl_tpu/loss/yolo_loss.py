@@ -71,6 +71,25 @@ def _masked_mean(values: Array, mask: Array) -> Array:
     return jnp.where(count > 0, total / jnp.maximum(count, 1.0), 0.0)
 
 
+@jax.custom_vjp
+def _clip_grad(x: Array, bound: Array) -> Array:
+    """Identity whose cotangent is clamped to [-bound, bound] elementwise —
+    the autodiff analogue of darknet's max_delta delta clipping
+    (clip_value, yolo_layer.c:161-172)."""
+    return x
+
+
+def _clip_grad_fwd(x, bound):
+    return x, bound
+
+
+def _clip_grad_bwd(bound, g):
+    return jnp.clip(g, -bound, bound), None
+
+
+_clip_grad.defvjp(_clip_grad_fwd, _clip_grad_bwd)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -100,6 +119,22 @@ class LossConfig:
     # lives in loss/darknet_loss.py — this production form masks on plain
     # best-IoU, documented divergence.
     ignore_thresh: Union[None, str, float, Tuple[float, ...]] = "auto"
+    # darknet [yolo] iou_thresh adoption ("auto" → the train CLI adopts the
+    # model cfg's per-head values; resolves to None for NEWSLABv1 models):
+    # anchors whose wh-only shape-IoU vs a GT beats the threshold also
+    # match at the GT's center cell (production-form analogue of
+    # yolo_layer.c:640-656 multi-anchor matching; folded into
+    # matcher.shape_iou_thresh at loss time)
+    iou_thresh: Union[None, str, float, Tuple[float, ...]] = "auto"
+    # darknet objectness_smooth adoption: ignored cells (best-IoU above
+    # ignore_thresh) train toward their clamped best IoU instead of being
+    # masked out of the objectness loss (the production-form analogue of
+    # yolo_layer.c:457-462's max(smooth, negative) delta)
+    objectness_smooth: Union[bool, str] = "auto"
+    # darknet max_delta adoption: clips the gradient flowing into the
+    # predicted box coordinates at matched cells (the autodiff analogue of
+    # delta clipping, yolo_layer.c:161-172); scalar or per-head tuple
+    max_delta: Union[None, str, float, Tuple[Optional[float], ...]] = "auto"
     # Gaussian-YOLO uncertainty: weight of the per-coordinate Gaussian
     # negative-log-likelihood term that trains the predicted sigmas
     # (darknet delta_gaussian_yolo_box's uncertainty-weighted delta,
@@ -164,9 +199,43 @@ def yolo_loss(
         )
     gt_cycxhw = gt_cycxhw.astype(jnp.float32)
 
-    matching = match_targets(prediction, gt_cycxhw, gt_class, gt_mask, config.matcher)
+    # darknet iou_thresh adoption: fold the resolved per-head thresholds
+    # into the matcher's shape-IoU multi-anchor gate
+    iou_thr = config.iou_thresh
+    if iou_thr == "auto":  # unresolved auto (no cfg wiring ran) = disabled
+        iou_thr = None
+    mcfg = config.matcher
+    if iou_thr is not None and mcfg.shape_iou_thresh is None:
+        mcfg = dataclasses.replace(
+            mcfg,
+            shape_iou_thresh=(tuple(float(t) for t in iou_thr)
+                              if isinstance(iou_thr, (tuple, list))
+                              else float(iou_thr)),
+        )
+    matching = match_targets(prediction, gt_cycxhw, gt_class, gt_mask, mcfg)
     pred_boxes, pred_obj, pred_class = matching.gather_pred(prediction)
     valid = matching.valid  # [B, C]
+
+    # darknet max_delta adoption: clamp the gradient into the matched
+    # pred-box coordinates (scalar, or per-head with None = unclipped)
+    md = config.max_delta
+    if md == "auto":
+        md = None
+    if md is not None:
+        if isinstance(md, (tuple, list)):
+            if len(md) != len(prediction.infos):
+                raise ValueError(
+                    f"per-head max_delta has {len(md)} entries for "
+                    f"{len(prediction.infos)} detect heads")
+            per_flat = jnp.concatenate([
+                jnp.full((info.flat_end - info.flat_begin,),
+                         jnp.inf if t is None else float(t), jnp.float32)
+                for info, t in zip(prediction.infos, md)
+            ])
+            bound = jax.vmap(lambda f: per_flat[f])(matching.flat)[..., None]
+        else:
+            bound = jnp.float32(md)
+        pred_boxes = _clip_grad(pred_boxes, bound)
 
     # -- IoU loss (loss_.rs:279-322) ------------------------------------
     metric = config.box_metric.lower()
@@ -223,23 +292,13 @@ def yolo_loss(
     target_obj = jax.vmap(scatter_obj)(matching.flat, target_score, valid)
     target_obj = jax.lax.stop_gradient(target_obj)
 
-    okind = config.objectness_loss_kind.lower()
-    if okind == "bce":
-        obj_elem = bce_with_logits(prediction.obj_logit, target_obj,
-                                   config.objectness_pos_weight)
-    elif okind == "focal":
-        base = bce_with_logits(prediction.obj_logit, target_obj,
-                               config.objectness_pos_weight)
-        obj_elem = focal(base, prediction.obj_logit, target_obj,
-                         config.focal_gamma, config.focal_alpha)
-    elif okind == "l2":
-        obj_elem = l2(prediction.obj_logit, target_obj)
-    else:
-        raise ValueError(f"unknown objectness loss {okind!r}")
-
     ignore = config.ignore_thresh
     if ignore == "auto":  # unresolved auto (no cfg wiring ran) = disabled
         ignore = None
+    osm = config.objectness_smooth
+    if osm == "auto":  # unresolved auto = disabled
+        osm = False
+    ignored = None
     if ignore is not None:
         if isinstance(ignore, tuple):
             if len(ignore) != len(prediction.infos):
@@ -260,6 +319,30 @@ def yolo_loss(
         best_iou = jnp.max(ious, axis=-1)
         matched_cells = target_obj > 0.0
         ignored = (best_iou > thr) & ~matched_cells
+        if osm:
+            # darknet objectness_smooth adoption (yolo_layer.c:457-462):
+            # overlapping unmatched cells train toward their best IoU
+            # instead of dropping out of the objectness loss
+            target_obj = jnp.where(
+                ignored, jax.lax.stop_gradient(jnp.clip(best_iou, 0.0, 1.0)),
+                target_obj)
+            ignored = None
+
+    okind = config.objectness_loss_kind.lower()
+    if okind == "bce":
+        obj_elem = bce_with_logits(prediction.obj_logit, target_obj,
+                                   config.objectness_pos_weight)
+    elif okind == "focal":
+        base = bce_with_logits(prediction.obj_logit, target_obj,
+                               config.objectness_pos_weight)
+        obj_elem = focal(base, prediction.obj_logit, target_obj,
+                         config.focal_gamma, config.focal_alpha)
+    elif okind == "l2":
+        obj_elem = l2(prediction.obj_logit, target_obj)
+    else:
+        raise ValueError(f"unknown objectness loss {okind!r}")
+
+    if ignored is not None:
         obj_elem = jnp.where(ignored, 0.0, obj_elem)
     obj_loss = jnp.mean(obj_elem)
 
