@@ -9,7 +9,10 @@ match the host float implementations to rounding.
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow  # e2e/CLI tier: excluded from `pytest -m 'not slow'`
+# fast tier ON PURPOSE (round-4, advisor finding): the production feed
+# defaults (u8 pack shipping, two-pass rotation kernel selection) live
+# here, and the whole module runs in ~45 s — a regression in the default
+# feed path must surface per-commit, not at the release gate
 
 from yolodl_tpu.data import device_augment as da
 from yolodl_tpu.data.affine import RandomAffine, pixel_affine, warp_image
@@ -133,6 +136,46 @@ class TestWarpKernels:
         np.testing.assert_array_equal(gen == 0.0, two == 0.0)  # border mask
         assert np.abs(gen - two).max() < 0.01
         assert np.abs(gen - two).mean() < 1e-3
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_twopass_nonsquare_aspect_bands_cover(self, seed):
+        """Round-4 advisor fix: on a strongly non-square image the
+        pixel-space matrix carries aspect factors (m10/m00 = tanθ·w/h),
+        so the static bands must widen by max(h/w, w/h) or taps silently
+        drop near the angle cutoff.  48x96 (aspect 2) at 40° would
+        under-cover with square bands — with the aspect-widened bands the
+        two-pass kernel must track the general kernel."""
+        import jax.numpy as jnp
+        from scipy import ndimage
+
+        h, w = 48, 96
+        rng = np.random.default_rng(seed)
+        img = ndimage.gaussian_filter(
+            rng.random((3, h, w)).astype(np.float32), (0, 2, 2))
+        aff = RandomAffine(rotate_prob=1.0, rotate_degrees=40.0,
+                           scale_prob=1.0, scale=(0.8, 1.2))
+        t = aff.sample_transform(rng)
+        m, b = pixel_affine(t, h, w)
+        d1, d2 = da.twopass_bands(40.0, 0.8, aspect=max(h / w, w / h))
+        args = (jnp.asarray(img), jnp.asarray(m, jnp.float32),
+                jnp.asarray(b, jnp.float32))
+        gen = np.asarray(da._warp_general_jnp(*args))
+        two = np.asarray(da._warp_twopass_jnp(*args, d1, d2))
+        np.testing.assert_array_equal(gen == 0.0, two == 0.0)
+        # the load-bearing band check: widening the bands further must
+        # change NOTHING — every bilinear tap is already covered.
+        # (gen-vs-two differences at this angle are pure interpolation
+        # divergence of the two formulations, bounded loosely below.)
+        big = np.asarray(da._warp_twopass_jnp(*args, d1 + 20, d2 + 20))
+        np.testing.assert_array_equal(two, big)
+        assert np.abs(gen - two).max() < 0.02
+        assert np.abs(gen - two).mean() < 2e-3
+        # square bands at this aspect/angle WOULD drop taps — pin that the
+        # widening is actually load-bearing, not slack
+        d1s, d2s = da.twopass_bands(40.0, 0.8)
+        assert (d1, d2) != (d1s, d2s)
+        short = np.asarray(da._warp_twopass_jnp(*args, d1s, d2s))
+        assert np.abs(short - big).max() > 0.02  # square bands under-cover
 
     @pytest.mark.parametrize("seed", [0, 1])
     def test_twopass_exact_without_rotation(self, seed):

@@ -318,16 +318,19 @@ def _warp_twopass_jnp(img, m, b, d1: int, d2: int, block: int = 8):
 
 
 def twopass_bands(rotate_degrees: float, scale_min: float,
-                  block: int = 8) -> Tuple[int, int]:
+                  block: int = 8, aspect: float = 1.0) -> Tuple[int, int]:
     """Static band sizes for :func:`_warp_twopass_jnp` covering every
     transform ``RandomAffine`` can sample with rotation up to
     ``rotate_degrees`` and isotropic scale down to ``scale_min``:
     |m10/m00| = tan θ (scale cancels) bounds pass 1, |m01| = sin θ / s
-    bounds pass 2."""
+    bounds pass 2.  For non-square inputs the pixel-space matrix carries
+    aspect factors (m10/m00 = tan θ · w/h, m01 = sin θ / s · h/w) —
+    ``aspect`` = max(h/w, w/h) widens both bounds to the worst case."""
     th = float(np.deg2rad(rotate_degrees))
     s = min(1.0, float(scale_min))
-    d1 = int(np.ceil(np.tan(th) * (block - 1))) + 2
-    d2 = int(np.ceil(np.sin(th) / s * (block - 1))) + 2
+    a = max(1.0, float(aspect))
+    d1 = int(np.ceil(np.tan(th) * a * (block - 1))) + 2
+    d2 = int(np.ceil(np.sin(th) / s * a * (block - 1))) + 2
     return d1, d2
 
 
@@ -446,13 +449,17 @@ def apply_device_augmentation(iterator, stream_cfg, device=None,
             aff = stream_cfg.random_affine
             separable = aff is None or not (aff.rotate_prob and aff.rotate_degrees)
             bands = None
-            if not separable and aff.rotate_degrees < 60.0:
-                # two-pass rotation kernel, banded for the config's
-                # worst-case angle/scale; ≥60° would need bands wider
-                # than the block buys back — keep the general kernel there
+            # the 60°-equivalent band-width cutoff, aspect-adjusted: the
+            # pixel-space matrix scales tan θ by max(h/w, w/h), so a
+            # non-square input reaches the too-wide-bands regime at a
+            # smaller angle (general gather kernel takes over there)
+            aspect = max(h / w, w / h)
+            if not separable and float(np.tan(np.deg2rad(
+                    aff.rotate_degrees))) * aspect < float(np.tan(np.deg2rad(60.0))):
                 bands = twopass_bands(
                     aff.rotate_degrees,
-                    min(aff.scale) if (aff.scale_prob and aff.scale) else 1.0)
+                    min(aff.scale) if (aff.scale_prob and aff.scale) else 1.0,
+                    aspect=aspect)
             state["fn"] = make_augment_fn(
                 h, w,
                 separable=separable,
