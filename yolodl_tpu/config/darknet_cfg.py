@@ -120,6 +120,10 @@ _PRESERVED_KEYS: Dict[str, frozenset] = {
         "temperature", "tree", "map", "spatial", "noloss",
     }),
     "maxpool": frozenset({"antialiasing", "out_channels"}),
+    # darknet's parse_gru/parse_lstm read only output/batch_normalize
+    # (parser.c:283-301) — an activation key is ignored there
+    "gru": frozenset({"activation"}),
+    "lstm": frozenset({"activation"}),
     "route": frozenset(),
     "upsample": frozenset({"scale"}),
     "dropout": frozenset({"dropblock", "dropblock_size_rel",
