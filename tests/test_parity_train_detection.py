@@ -67,7 +67,6 @@ classes=3
 num=3
 max=8
 ignore_thresh=0.5
-truth_thresh=1
 {extra}
 """
 # NOTE: iou_loss is NOT in the template — darknet's option list is
@@ -289,6 +288,20 @@ class TestDetectionTrainingParity:
             tmp_path, "yolo",
             extra=("counters_per_class=10,4,6\ncls_normalizer=0.5\n"
                    "iou_loss=diou\nmax_delta=2"))
+
+    def test_yolo_truth_thresh_multi_positive_matches_darknet(self, tmp_path):
+        """truth_thresh<1 (yolo_layer.c:493-519): cells whose best
+        pred-IoU over the truths beats the threshold become positives at
+        their own anchor BEFORE the per-truth pass — the last [yolo]
+        training option, now implemented."""
+        assert_trajectory(tmp_path, "yolo", extra="truth_thresh=0.3")
+
+    def test_yolo_truth_thresh_smooth_ciou_matches_darknet(self, tmp_path):
+        """truth_thresh<1 with objectness_smooth (iou^2 obj/class targets,
+        yolo_layer.c:495-503) on a CIoU head."""
+        assert_trajectory(
+            tmp_path, "yolo",
+            extra="truth_thresh=0.3\nobjectness_smooth=1\niou_loss=ciou")
 
     def test_gaussian_iou_thresh_matches_darknet(self, tmp_path):
         """[Gaussian_yolo] with iou_thresh<1 (the Gaussian_yolov3_BDD

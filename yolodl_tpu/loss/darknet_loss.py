@@ -67,8 +67,13 @@ convention:
   activation backward in darknet; by multiplying the delta here, since
   our graph strips that conv's logistic into the decode).
 
-Unsupported (would raise): truth_thresh < 1 (no corpus cfg carries it
-below 1) and yolo_point != center.
+- ``truth_thresh < 1`` (yolo_layer.c:493-519): the per-cell
+  multi-positive branch — cells whose best pred-IoU over the truths
+  beats the threshold get positive obj/class deltas and an accumulated
+  box delta toward their best truth at the cell's own anchor, before
+  the per-truth pass runs.
+
+Unsupported (would raise): yolo_point != center.
 """
 
 from __future__ import annotations
@@ -116,8 +121,6 @@ class DarknetHeadParams:
     classes_multipliers: Optional[Tuple[float, ...]] = None
 
     def __post_init__(self):
-        if self.truth_thresh < 1.0:
-            raise NotImplementedError("truth_thresh < 1 unsupported")
         if self.gaussian and self.new_coords:
             raise NotImplementedError("gaussian + new_coords")
         if self.iou_loss not in ("mse", "iou", "giou", "diou", "ciou"):
@@ -549,7 +552,6 @@ def _head_deltas(raw: Array, truth: Array, p: DarknetHeadParams):
     else:
         obj_delta = jnp.where(ignored, 0.0, obj_delta)
 
-    # ---- per-truth pass (sequential; order matters) --------------------
     anchors_w = jnp.asarray([w for w, _ in p.anchors], jnp.float32)
     anchors_h = jnp.asarray([h for _, h in p.anchors], jnp.float32)
     n_total = len(p.anchors)
@@ -560,6 +562,67 @@ def _head_deltas(raw: Array, truth: Array, p: DarknetHeadParams):
 
     nbox = 8 if p.gaussian else 4
     box_delta0 = jnp.zeros((a, fh, fw, nbox), jnp.float32)
+
+    if p.truth_thresh < 1.0:
+        # per-cell multi-positive branch (yolo_layer.c:493-519,
+        # gaussian_yolo_layer.c:517-527): every cell whose best pred-IoU
+        # over the truths (NOT class-gated) beats truth_thresh receives
+        # positive obj/class deltas and an accumulated box delta toward
+        # its best truth, using the cell's OWN anchor (l.mask[n]).  Runs
+        # before the per-truth pass, exactly as darknet's loop order.
+        best_iou_all = jnp.max(ious, axis=-1)        # [A,H,W]
+        best_t_all = jnp.argmax(ious, axis=-1)
+        tt_mask = best_iou_all > p.truth_thresh
+        bt_cls = tcls[best_t_all]                    # [A,H,W]
+        iou_mult = best_iou_all * best_iou_all
+        if p.objectness_smooth:
+            obj_tt = p.obj_normalizer * (iou_mult - sobj)
+        else:
+            obj_tt = p.obj_normalizer * (1.0 - sobj)
+        obj_delta = jnp.where(tt_mask, obj_tt, obj_delta)
+
+        n_cells = a * fh * fw
+        flat_rows = cls_delta0.reshape(n_cells, p.classes)
+        flat_cls = out[..., cls_e:].reshape(n_cells, p.classes)
+        flat_c = bt_cls.reshape(n_cells)
+        flat_mult = (cls_mults[flat_c] if cls_mults is not None
+                     else jnp.ones((n_cells,), jnp.float32))
+        new_rows = jax.vmap(
+            lambda r, cc, c_, m_: _class_delta_row(r, cc, c_, m_, p))(
+            flat_rows, flat_cls, flat_c, flat_mult)
+        if p.objectness_smooth:
+            # l.delta[class] = class_mult * (iou_mult - output[class])
+            # overwrite on the truth class (yolo_layer.c:503)
+            cur = jnp.take_along_axis(flat_cls, flat_c[:, None], 1)[:, 0]
+            upd = flat_mult * (iou_mult.reshape(n_cells) - cur)
+            new_rows = jax.vmap(lambda r, c_, v_: r.at[c_].set(v_))(
+                new_rows, flat_c, upd)
+        cls_delta0 = jnp.where(
+            tt_mask.reshape(n_cells, 1), new_rows, flat_rows
+        ).reshape(a, fh, fw, p.classes)
+
+        # box delta toward the best truth at the cell's own anchor
+        mask_abs = jnp.asarray(list(p.mask), jnp.int32)  # slot -> abs index
+        slot = jax.lax.broadcasted_iota(jnp.int32, (a, fh, fw), 0)
+        rows_f = jax.lax.broadcasted_iota(jnp.int32, (a, fh, fw), 1)
+        cols_f = jax.lax.broadcasted_iota(jnp.int32, (a, fh, fw), 2)
+        abs_n = mask_abs[slot]
+        bt = best_t_all
+        add = jax.vmap(
+            lambda cell, x_, y_, w_, h_, i_, j_, awb, ahb, inorm:
+            _box_delta_terms(cell, x_, y_, w_, h_, i_, j_, fw, fh,
+                             awb, ahb, inorm, p))(
+            out.reshape(n_cells, e),
+            tx[bt].reshape(n_cells), ty[bt].reshape(n_cells),
+            tw[bt].reshape(n_cells), th[bt].reshape(n_cells),
+            cols_f.reshape(n_cells), rows_f.reshape(n_cells),
+            anchors_w[abs_n].reshape(n_cells),
+            anchors_h[abs_n].reshape(n_cells),
+            (p.iou_normalizer * flat_mult))
+        box_delta0 = box_delta0 + jnp.where(
+            tt_mask.reshape(a, fh, fw, 1), add.reshape(a, fh, fw, nbox), 0.0)
+
+    # ---- per-truth pass (sequential; order matters) --------------------
 
     def step(carry, t):
         v = tvalid[t]
