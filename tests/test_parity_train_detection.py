@@ -69,6 +69,38 @@ max=8
 ignore_thresh=0.5
 {extra}
 """
+REGION_BODY = """
+[convolutional]
+filters=16
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+filters=24
+size=1
+stride=1
+pad=1
+activation=linear
+
+[region]
+anchors=1,1.5, 2,3, 4,5
+classes=3
+coords=4
+num=3
+softmax=1
+max=8
+{extra}
+"""
+
 # NOTE: iou_loss is NOT in the template — darknet's option list is
 # first-occurrence-wins (duplicate keys print "Unused field"), while this
 # repo's parser follows the reference serde_ini map semantics (last wins);
@@ -88,10 +120,15 @@ def build_detection_pair(tmp_path, section="yolo", extra="", head_act="linear",
     from yolodl_tpu.models.builder import GraphModel
     from yolodl_tpu.models.weights import save_darknet_weights
 
-    gaussian = section.lower() == "gaussian_yolo"
-    filters = 3 * ((9 if gaussian else 5) + 3)
-    body = YOLO_BODY.format(filters=filters, section=section, extra=extra,
-                            head_act=head_act)
+    if section.lower() == "region":
+        from yolodl_tpu.loss.darknet_loss import region_params_from_darknet
+
+        body = REGION_BODY.format(extra=extra)
+    else:
+        gaussian = section.lower() == "gaussian_yolo"
+        filters = 3 * ((9 if gaussian else 5) + 3)
+        body = YOLO_BODY.format(filters=filters, section=section, extra=extra,
+                                head_act=head_act)
     cfg_path = tmp_path / "det_par.cfg"
     cfg_path.write_text(NET_HEAD.format(burn_in=0, lr=lr) + body)
     darknet = dk.Darknet.load(str(cfg_path))
@@ -102,9 +139,14 @@ def build_detection_pair(tmp_path, section="yolo", extra="", head_act="linear",
     save_darknet_weights(darknet, params, state, wpath)
     oracle = DarknetOracle(str(cfg_path), wpath, train=True)
 
-    yolo_cfg = [l for l in darknet.layers
-                if isinstance(l, dk.Yolo)][0]
-    head_params = head_params_from_darknet(yolo_cfg, 32, 32)
+    if section.lower() == "region":
+        region_cfg = [l for l in darknet.layers
+                      if isinstance(l, dk.Region)][0]
+        head_params = region_params_from_darknet(region_cfg)
+    else:
+        yolo_cfg = [l for l in darknet.layers
+                    if isinstance(l, dk.Yolo)][0]
+        head_params = head_params_from_darknet(yolo_cfg, 32, 32)
     head_key = graph.resolve_path("layer2")  # the head conv
     return model, params, state, oracle, head_params, head_key
 
@@ -302,6 +344,24 @@ class TestDetectionTrainingParity:
         assert_trajectory(
             tmp_path, "yolo",
             extra="truth_thresh=0.3\nobjectness_smooth=1\niou_loss=ciou")
+
+    def test_region_v2_recipe_matches_darknet(self, tmp_path):
+        """[region] (YOLOv2) with the standard yolov2.cfg option set:
+        bias_match + rescore + object_scale=5 + thresh=.6 — per-cell
+        noobject sigma-prime deltas, the seen<12800 prior-box regression
+        at every cell (scale .01), per-truth best-anchor overwrites, and
+        softmax class rows (region_layer.c:183-368)."""
+        assert_trajectory(
+            tmp_path, "region",
+            extra=("bias_match=1\nrescore=1\nobject_scale=5\n"
+                   "noobject_scale=1\nclass_scale=1\ncoord_scale=1\n"
+                   "thresh=0.6\nabsolute=1"))
+
+    def test_region_pred_wh_match_matches_darknet(self, tmp_path):
+        """[region] without bias_match: the best-anchor search uses the
+        DECODED pred wh at the truth's cell (region_layer.c:318-330),
+        not the anchor shapes."""
+        assert_trajectory(tmp_path, "region", extra="thresh=0.5")
 
     def test_gaussian_iou_thresh_matches_darknet(self, tmp_path):
         """[Gaussian_yolo] with iou_thresh<1 (the Gaussian_yolov3_BDD

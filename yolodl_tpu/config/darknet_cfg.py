@@ -401,12 +401,27 @@ class ScaleChannels:
 
 @dataclasses.dataclass(frozen=True)
 class Region:
-    """darknet [region] (YOLOv2 head): anchors in grid units, softmax classes."""
+    """darknet [region] (YOLOv2 head): anchors in grid units, softmax
+    classes.  Training fields per parser.c parse_region:667-702."""
 
     classes: int = 20
     num: int = 5
     anchors: Tuple[Tuple[float, float], ...] = ()  # (w, h) grid units
     softmax: bool = True
+    coords: int = 4
+    max_boxes: int = 200
+    thresh: float = 0.5
+    object_scale: float = 1.0
+    noobject_scale: float = 1.0
+    class_scale: float = 1.0
+    coord_scale: float = 1.0
+    bias_match: bool = False
+    rescore: bool = False
+    classfix: int = 0
+    focal_loss: bool = False
+    jitter: float = 0.2
+    random: float = 0.0
+    resize: float = 1.0
 
     def output_shape(self, in_hwc: ShapeHWC) -> ShapeHWC:
         return in_hwc
@@ -817,6 +832,20 @@ def _parse_layer(name: str, d: Dict[str, str]) -> Layer:
             num=_get_int(d, "num", 5),
             anchors=anchors,
             softmax=_get_bool(d, "softmax", True),
+            coords=_get_int(d, "coords", 4),
+            max_boxes=_get_int(d, "max", 200),
+            thresh=_get_float(d, "thresh", 0.5),
+            object_scale=_get_float(d, "object_scale", 1.0),
+            noobject_scale=_get_float(d, "noobject_scale", 1.0),
+            class_scale=_get_float(d, "class_scale", 1.0),
+            coord_scale=_get_float(d, "coord_scale", 1.0),
+            bias_match=_get_bool(d, "bias_match", False),
+            rescore=_get_bool(d, "rescore", False),
+            classfix=_get_int(d, "classfix", 0),
+            focal_loss=_get_bool(d, "focal_loss", False),
+            jitter=_get_float(d, "jitter", 0.2),
+            random=_get_float(d, "random", 0.0),
+            resize=_get_float(d, "resize", 1.0),
         )
     if name == "connected":
         return Connected(
@@ -1121,6 +1150,34 @@ def to_cfg_string(darknet: Darknet) -> str:
             out.append(f"classes={layer.classes}")
             out.append(f"num={layer.num}")
             out.append(f"softmax={1 if layer.softmax else 0}")
+            if layer.coords != 4:
+                out.append(f"coords={layer.coords}")
+            if layer.max_boxes != 200:
+                out.append(f"max={layer.max_boxes}")
+            if layer.thresh != 0.5:
+                out.append(f"thresh={_fmt(layer.thresh)}")
+            if layer.object_scale != 1.0:
+                out.append(f"object_scale={_fmt(layer.object_scale)}")
+            if layer.noobject_scale != 1.0:
+                out.append(f"noobject_scale={_fmt(layer.noobject_scale)}")
+            if layer.class_scale != 1.0:
+                out.append(f"class_scale={_fmt(layer.class_scale)}")
+            if layer.coord_scale != 1.0:
+                out.append(f"coord_scale={_fmt(layer.coord_scale)}")
+            if layer.bias_match:
+                out.append("bias_match=1")
+            if layer.rescore:
+                out.append("rescore=1")
+            if layer.classfix:
+                out.append(f"classfix={layer.classfix}")
+            if layer.focal_loss:
+                out.append("focal_loss=1")
+            if layer.jitter != 0.2:
+                out.append(f"jitter={_fmt(layer.jitter)}")
+            if layer.random:
+                out.append(f"random={_fmt(layer.random)}")
+            if layer.resize != 1.0:
+                out.append(f"resize={_fmt(layer.resize)}")
         elif isinstance(layer, Reorg):
             out.append("[reorg]" if layer.old else "[reorg3d]")
             out.append(f"stride={layer.stride}")

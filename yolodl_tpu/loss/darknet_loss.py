@@ -750,7 +750,13 @@ def _head_cost_and_delta(raw: Array, truth: Array, p: DarknetHeadParams):
              + obj_normalizer * |delta with box entries zeroed|^2
 
     where tot_iou_loss sums 1-GIoU (giou) / 1-IoU (iou|diou|ciou) over
-    every delta_yolo_box application and count counts them."""
+    every delta_yolo_box application and count counts them.
+
+    [region] heads (RegionHeadParams) always report mag^2
+    (region_layer.c:363)."""
+    if isinstance(p, RegionHeadParams):
+        delta = jax.vmap(lambda r, t: _region_head_deltas(r, t, p))(raw, truth)
+        return jnp.sum(delta * delta), delta
     delta, tot, cnt = jax.vmap(lambda r, t: _head_deltas(r, t, p))(raw, truth)
     if p.gaussian or p.iou_loss == "mse":
         return jnp.sum(delta * delta), delta
@@ -761,6 +767,222 @@ def _head_cost_and_delta(raw: Array, truth: Array, p: DarknetHeadParams):
         cnt_total > 0,
         p.iou_normalizer * jnp.sum(tot) / jnp.maximum(cnt_total, 1.0), 0.0)
     return avg_iou_loss + class_cost, delta
+
+
+@dataclasses.dataclass(frozen=True)
+class RegionHeadParams:
+    """Static per-[region]-layer loss parameters (parser.c
+    parse_region:667-702; region_layer.c training semantics).  Anchors
+    are in GRID units (DOABS=1, region_layer.c:12)."""
+
+    anchors: Tuple[Tuple[float, float], ...]  # all `num` biases, grid units
+    classes: int
+    thresh: float = 0.5
+    object_scale: float = 1.0
+    noobject_scale: float = 1.0
+    class_scale: float = 1.0
+    coord_scale: float = 1.0
+    bias_match: bool = False
+    rescore: bool = False
+    classfix: int = 0
+    focal_loss: bool = False
+    softmax: bool = True
+    # net.seen < 12800 (region_layer.c:288-296): early-training prior-box
+    # regression toward the anchor at EVERY cell, scale 0.01.  Static here
+    # — 5-step parity runs stay far below 12800 images seen.
+    seen_lt_12800: bool = True
+
+    @property
+    def num_anchors(self) -> int:
+        return len(self.anchors)
+
+    @property
+    def entries(self) -> int:
+        return 5 + self.classes
+
+
+def _region_class_row(probs, c, scale, p: RegionHeadParams):
+    """delta_region_class (region_layer.c:117-163, no softmax_tree):
+    full-row overwrite scale*(onehot - probs), focal variant alpha=0.5."""
+    onehot = jax.nn.one_hot(c, p.classes)
+    if p.focal_loss:
+        pt = probs[c] + 1e-15
+        grad = -(1.0 - pt) * (2.0 * pt * jnp.log(pt) + pt - 1.0)
+        return scale * (onehot - probs) * (0.5 * grad)
+    return scale * (onehot - probs)
+
+
+def _region_box_delta(cell, x, y, w, h, i, j, fw, fh, aw, ah, scale):
+    """delta_region_box (region_layer.c:96-115, DOABS): targets in
+    grid/log units; x,y deltas carry sigma-prime (the logistic lives in
+    the loss here, unlike the v3 yolo layer); w,h raw diffs.  Returns
+    ([4] delta, iou of the decoded pred vs truth)."""
+    sx = jax.nn.sigmoid(cell[0])
+    sy = jax.nn.sigmoid(cell[1])
+    px = (i + sx) / fw
+    py = (j + sy) / fh
+    pw = jnp.exp(cell[2]) * aw / fw
+    ph = jnp.exp(cell[3]) * ah / fh
+    iou = _iou_xywh(px, py, pw, ph, x, y, w, h)
+    tx = x * fw - i
+    ty = y * fh - j
+    tw_t = jnp.log(w * fw / aw)
+    th_t = jnp.log(h * fh / ah)
+    d = jnp.stack([
+        scale * (tx - sx) * sx * (1.0 - sx),
+        scale * (ty - sy) * sy * (1.0 - sy),
+        scale * (tw_t - cell[2]),
+        scale * (th_t - cell[3]),
+    ])
+    return d, iou
+
+
+def _region_head_deltas(raw: Array, truth: Array, p: RegionHeadParams):
+    """One image: raw [A,H,W,E], truth [T,5] -> delta [A,H,W,E]
+    (forward_region_layer's training pass, region_layer.c:183-368)."""
+    a, fh, fw, e = raw.shape
+    t_count = truth.shape[0]
+    fhf, fwf = float(fh), float(fw)
+
+    sobj = jax.nn.sigmoid(raw[..., 4])
+    probs = (jax.nn.softmax(raw[..., 5:], axis=-1) if p.softmax
+             else raw[..., 5:])
+
+    tx, ty = truth[:, 0], truth[:, 1]
+    tw, th = truth[:, 2], truth[:, 3]
+    tcls = truth[:, 4].astype(jnp.int32)
+    # class-range `continue` precedes the `!truth.x` break
+    # (region_layer.c:262-266)
+    reached = jnp.cumprod((tx != 0.0).astype(jnp.int32)) == 1
+    tvalid = reached & (tcls < p.classes)
+
+    anchors_w = jnp.asarray([w for w, _ in p.anchors], jnp.float32)
+    anchors_h = jnp.asarray([h for _, h in p.anchors], jnp.float32)
+
+    # decoded pred boxes for every cell
+    rows = jax.lax.broadcasted_iota(jnp.float32, (a, fh, fw), 1)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (a, fh, fw), 2)
+    aw3 = anchors_w.reshape(a, 1, 1)
+    ah3 = anchors_h.reshape(a, 1, 1)
+    bx = (cols + jax.nn.sigmoid(raw[..., 0])) / fwf
+    by = (rows + jax.nn.sigmoid(raw[..., 1])) / fhf
+    bw = jnp.exp(raw[..., 2]) * aw3 / fwf
+    bh = jnp.exp(raw[..., 3]) * ah3 / fhf
+
+    ious = _iou_xywh(bx[..., None], by[..., None], bw[..., None],
+                     bh[..., None], tx, ty, tw, th)  # [A,H,W,T]
+    ious = jnp.where(tvalid, ious, 0.0)
+    best_iou = jnp.max(ious, axis=-1)
+    best_cls = tcls[jnp.argmax(ious, axis=-1)]
+
+    # ---- per-cell pass (region_layer.c:255-297) ------------------------
+    obj_delta = p.noobject_scale * (0.0 - sobj) * sobj * (1.0 - sobj)
+    cls_delta = jnp.zeros((a, fh, fw, p.classes), jnp.float32)
+    if p.classfix == -1:
+        obj_delta = p.noobject_scale * (best_iou - sobj) * sobj * (1.0 - sobj)
+    else:
+        over = best_iou > p.thresh
+        obj_delta = jnp.where(over, 0.0, obj_delta)
+        if p.classfix > 0:
+            scale = p.class_scale * (sobj if p.classfix == 2 else 1.0)
+            n_cells = a * fh * fw
+            rows_c = jax.vmap(
+                lambda pr, c_, s_: _region_class_row(pr, c_, s_, p))(
+                probs.reshape(n_cells, p.classes),
+                best_cls.reshape(n_cells),
+                jnp.broadcast_to(scale, (a, fh, fw)).reshape(n_cells))
+            cls_delta = jnp.where(
+                over.reshape(n_cells, 1), rows_c,
+                cls_delta.reshape(n_cells, p.classes)
+            ).reshape(a, fh, fw, p.classes)
+
+    box_delta = jnp.zeros((a, fh, fw, 4), jnp.float32)
+    if p.seen_lt_12800:
+        # prior-box regression toward the cell's anchor, scale .01
+        n_cells = a * fh * fw
+        prior, _ = jax.vmap(
+            lambda cell, x_, y_, w_, h_, i_, j_, aw_, ah_:
+            _region_box_delta(cell, x_, y_, w_, h_, i_, j_, fwf, fhf,
+                              aw_, ah_, 0.01))(
+            raw.reshape(n_cells, e),
+            ((cols + 0.5) / fwf).reshape(n_cells),
+            ((rows + 0.5) / fhf).reshape(n_cells),
+            jnp.broadcast_to(aw3 / fwf, (a, fh, fw)).reshape(n_cells),
+            jnp.broadcast_to(ah3 / fhf, (a, fh, fw)).reshape(n_cells),
+            cols.reshape(n_cells), rows.reshape(n_cells),
+            jnp.broadcast_to(aw3, (a, fh, fw)).reshape(n_cells),
+            jnp.broadcast_to(ah3, (a, fh, fw)).reshape(n_cells))
+        box_delta = prior.reshape(a, fh, fw, 4)
+
+    # ---- per-truth pass (sequential overwrites, :300-360) --------------
+    def step(carry, t):
+        obj_d, cls_d, box_d = carry
+        v = tvalid[t]
+        x, y, w, h, c = tx[t], ty[t], tw[t], th[t], tcls[t]
+        i = jnp.clip(jnp.floor(x * fwf).astype(jnp.int32), 0, fw - 1)
+        j = jnp.clip(jnp.floor(y * fhf).astype(jnp.int32), 0, fh - 1)
+        if p.bias_match:
+            pw_n = anchors_w / fwf
+            ph_n = anchors_h / fhf
+        else:
+            # decoded pred wh at this cell per anchor
+            pw_n = jnp.exp(raw[:, j, i, 2]) * anchors_w / fwf
+            ph_n = jnp.exp(raw[:, j, i, 3]) * anchors_h / fhf
+        inter = jnp.minimum(pw_n, w) * jnp.minimum(ph_n, h)
+        union = pw_n * ph_n + w * h - inter
+        an_iou = jnp.where((inter == 0) | (union == 0), 0.0,
+                           inter / jnp.where(union == 0, 1.0, union))
+        best_n = jnp.argmax(an_iou)
+        idx = jnp.where(v, best_n, a)  # out-of-range drops scatters
+
+        cell = raw[best_n, j, i]
+        add, iou = _region_box_delta(
+            cell, x, y, w, h, i.astype(jnp.float32), j.astype(jnp.float32),
+            fwf, fhf, anchors_w[best_n], anchors_h[best_n], p.coord_scale)
+        box_d = box_d.at[idx, j, i].set(
+            jnp.where(v, add, box_d[best_n % a, j, i]), mode="drop")
+
+        so = sobj[best_n % a, j, i]
+        target = iou if p.rescore else 1.0
+        pos = p.object_scale * (target - so) * so * (1.0 - so)
+        obj_d = obj_d.at[idx, j, i].set(
+            jnp.where(v, pos, obj_d[best_n % a, j, i]), mode="drop")
+
+        row = _region_class_row(probs[best_n % a, j, i], c,
+                                jnp.float32(p.class_scale), p)
+        cls_d = cls_d.at[idx, j, i].set(
+            jnp.where(v, row, cls_d[best_n % a, j, i]), mode="drop")
+        return (obj_d, cls_d, box_d), None
+
+    (obj_delta, cls_delta, box_delta), _ = jax.lax.scan(
+        step, (obj_delta, cls_delta, box_delta), jnp.arange(t_count))
+
+    return jnp.concatenate(
+        [box_delta, obj_delta[..., None], cls_delta], axis=-1)
+
+
+def region_params_from_darknet(layer) -> RegionHeadParams:
+    """Build params from a parsed darknet [region] layer
+    (config.darknet_cfg.Region)."""
+    if getattr(layer, "coords", 4) != 4:
+        raise NotImplementedError("[region] coords != 4 unsupported")
+    anchors = tuple((float(w), float(h)) for w, h in layer.anchors)
+    if not anchors:
+        anchors = tuple((0.5, 0.5) for _ in range(int(layer.num)))
+    return RegionHeadParams(
+        anchors=anchors,
+        classes=int(layer.classes),
+        thresh=float(layer.thresh),
+        object_scale=float(layer.object_scale),
+        noobject_scale=float(layer.noobject_scale),
+        class_scale=float(layer.class_scale),
+        coord_scale=float(layer.coord_scale),
+        bias_match=bool(layer.bias_match),
+        rescore=bool(layer.rescore),
+        classfix=int(layer.classfix),
+        focal_loss=bool(layer.focal_loss),
+        softmax=bool(layer.softmax),
+    )
 
 
 def reshape_head_raw(conv_out: Array, p: DarknetHeadParams) -> Array:
@@ -815,7 +1037,7 @@ def _bwd(params_list, res, g):
         # (we consumed the pre-sigma output), so sigma' applies to every
         # entry exactly as darknet's conv-activation backward does.
         b, a, fh, fw, e = d.shape
-        if p.new_coords:
+        if getattr(p, "new_coords", False):
             braw = reshape_head_raw(raw, p)
             s = jax.nn.sigmoid(braw)
             d = d * s * (1.0 - s)
