@@ -259,6 +259,133 @@ def assert_trajectory(tmp_path, section, extra="", head_act="linear",
     assert checked == 3
 
 
+V1_BODY = """
+[convolutional]
+filters=8
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[connected]
+output=208
+activation=linear
+
+[detection]
+classes=3
+coords=4
+side=4
+num=2
+softmax=0
+{extra}
+"""
+
+
+class TestV1DetectionTrainingParity:
+    """[detection] (YOLOv1, detection_layer.c): per-cell grid-truth MSE
+    loss with best-box selection (IoU argmax, rmse fallback), sqrt wh,
+    rescore, and the class/conf/coord scale family."""
+
+    def _make_grid_truth(self, rng, side=4, classes=3):
+        grid = np.zeros((BATCH, side * side, 1 + classes + 4), np.float32)
+        for b in range(BATCH):
+            for cell in rng.choice(side * side, size=3, replace=False):
+                c = int(rng.integers(0, classes))
+                grid[b, cell, 0] = 1.0
+                grid[b, cell, 1 + c] = 1.0
+                x, y = rng.uniform(0.1, 0.9, 2)
+                w, h = rng.uniform(0.1, 0.4, 2)
+                grid[b, cell, 1 + classes:] = [x * side, y * side, w, h]
+        return grid
+
+    def _assert_v1_trajectory(self, tmp_path, extra, n_steps=5, lr=0.001):
+        import jax
+        import jax.numpy as jnp
+
+        from oracle import DarknetOracle
+        from yolodl_tpu.config import darknet_cfg as dk
+        from yolodl_tpu.graph.from_darknet import graph_from_darknet
+        from yolodl_tpu.loss.darknet_loss import (
+            _v1_head_deltas, darknet_v1_detection_loss, v1_params_from_darknet)
+        from yolodl_tpu.models.builder import GraphModel
+        from yolodl_tpu.models.weights import save_darknet_weights
+
+        cfg_path = tmp_path / "v1_par.cfg"
+        cfg_path.write_text(NET_HEAD.format(burn_in=0, lr=lr)
+                            + V1_BODY.format(extra=extra))
+        darknet = dk.Darknet.load(str(cfg_path))
+        graph = graph_from_darknet(darknet)
+        model = GraphModel(graph)
+        params, state = model.init(jax.random.PRNGKey(21))
+        wpath = str(tmp_path / "v1_par.weights")
+        save_darknet_weights(darknet, params, state, wpath)
+        oracle = DarknetOracle(str(cfg_path), wpath, train=True)
+
+        det_cfg = [l for l in darknet.layers if isinstance(l, dk.Detection)][0]
+        p = v1_params_from_darknet(det_cfg)
+        head_key = graph.resolve_path("layer1")  # the connected layer
+
+        rng = np.random.default_rng(5)
+        grid = self._make_grid_truth(rng)
+        images = real_image_batch()
+        det_idx = max(i for i in range(oracle.num_layers)
+                      if oracle.layer_type(i) == "detection")
+        assert oracle.layer_truths(det_idx) == p.truth_cols
+
+        def flat_raw(prms):
+            raw, _ = model.apply(prms, state, jnp.asarray(images),
+                                 train=True, data_format="NCHW",
+                                 output_key=head_key)
+            return raw.reshape(raw.shape[0], -1)
+
+        # step-1 delta-level comparison
+        delta = jax.vmap(lambda r, t: _v1_head_deltas(r, t, p))(
+            flat_raw(params), jnp.asarray(grid))
+        dk_loss0 = oracle.train(images, grid.reshape(BATCH, -1))
+        dk_delta = oracle.layer_delta(det_idx, BATCH)
+        scale = np.max(np.abs(dk_delta)) + 1e-9
+        err = np.max(np.abs(np.asarray(delta).reshape(-1) - dk_delta)) / scale
+        assert err < 1e-4, f"v1 delta rel err {err:.2e}"
+        our_loss0 = float(jnp.sum(delta * delta)) / BATCH
+        assert abs(dk_loss0 - our_loss0) / (abs(dk_loss0) + 1e-9) < 2e-4
+
+        # 5-step weight trajectory
+        import optax
+        tx = darknet_sgd(params, lambda _: lr, momentum=0.9, decay=0.0005)
+        opt_state = tx.init(params)
+        grad_fn = jax.jit(jax.value_and_grad(
+            lambda prms: darknet_v1_detection_loss(
+                flat_raw(prms), jnp.asarray(grid), p)))
+        losses = []
+        prms = params
+        for _ in range(n_steps):
+            loss, grads = grad_fn(prms)
+            updates, opt_state = tx.update(grads, opt_state, prms)
+            prms = optax.apply_updates(prms, updates)
+            losses.append(float(loss))
+        dk_losses = [dk_loss0] + [oracle.train(images, grid.reshape(BATCH, -1))
+                                  for _ in range(n_steps - 1)]
+        for i, (a, b) in enumerate(zip(dk_losses, losses)):
+            assert abs(a - b) / (abs(a) + 1e-9) < 5e-4, (i, a, b)
+        dk_w = oracle.layer_weights(0)
+        mine = np.transpose(np.asarray(prms["layer0"]["w"]),
+                            (3, 2, 0, 1)).reshape(-1)
+        rel = np.max(np.abs(mine - dk_w)) / (np.max(np.abs(dk_w)) + 1e-9)
+        assert rel < 1e-4, f"conv kernel rel err {rel:.2e}"
+
+    def test_v1_rescore_sqrt_matches_darknet(self, tmp_path):
+        """The yolov1.cfg recipe: rescore + sqrt wh + coord_scale=5 +
+        noobject_scale=.5."""
+        self._assert_v1_trajectory(
+            tmp_path,
+            "rescore=1\nsqrt=1\ncoord_scale=5\nnoobject_scale=.5\n"
+            "object_scale=1\nclass_scale=1")
+
+    def test_v1_plain_matches_darknet(self, tmp_path):
+        """Defaults (no rescore/sqrt): IoU-target off, raw wh."""
+        self._assert_v1_trajectory(tmp_path, "class_scale=2")
+
+
 class TestDetectionTrainingParity:
     def test_yolo_head_ignore_thresh_matches_darknet(self, tmp_path):
         """[yolo] MSE loss + ignore_thresh=0.5: deltas, losses, weights."""

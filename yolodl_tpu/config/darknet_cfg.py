@@ -477,6 +477,13 @@ class Detection:
     softmax: bool = False
     sqrt: bool = False
     rescore: bool = False
+    object_scale: float = 1.0
+    noobject_scale: float = 1.0
+    class_scale: float = 1.0
+    coord_scale: float = 1.0
+    jitter: float = 0.2
+    random: float = 0.0
+    forced: bool = False
 
     def output_shape(self, in_hwc: ShapeHWC) -> ShapeHWC:
         return in_hwc
@@ -898,6 +905,13 @@ def _parse_layer(name: str, d: Dict[str, str]) -> Layer:
             softmax=_get_bool(d, "softmax", False),
             sqrt=_get_bool(d, "sqrt", False),
             rescore=_get_bool(d, "rescore", False),
+            object_scale=_get_float(d, "object_scale", 1.0),
+            noobject_scale=_get_float(d, "noobject_scale", 1.0),
+            class_scale=_get_float(d, "class_scale", 1.0),
+            coord_scale=_get_float(d, "coord_scale", 1.0),
+            jitter=_get_float(d, "jitter", 0.2),
+            random=_get_float(d, "random", 0.0),
+            forced=_get_bool(d, "forced", False),
         )
     if name == "avgpool":
         return AvgPool()
@@ -1093,6 +1107,20 @@ def to_cfg_string(darknet: Darknet) -> str:
             out.append(f"sqrt={1 if layer.sqrt else 0}")
             if layer.rescore:
                 out.append("rescore=1")
+            if layer.object_scale != 1.0:
+                out.append(f"object_scale={_fmt(layer.object_scale)}")
+            if layer.noobject_scale != 1.0:
+                out.append(f"noobject_scale={_fmt(layer.noobject_scale)}")
+            if layer.class_scale != 1.0:
+                out.append(f"class_scale={_fmt(layer.class_scale)}")
+            if layer.coord_scale != 1.0:
+                out.append(f"coord_scale={_fmt(layer.coord_scale)}")
+            if layer.jitter != 0.2:
+                out.append(f"jitter={_fmt(layer.jitter)}")
+            if layer.random:
+                out.append(f"random={_fmt(layer.random)}")
+            if layer.forced:
+                out.append("forced=1")
         elif isinstance(layer, Rnn):
             out.append("[rnn]")
             if layer.batch_normalize:

@@ -961,6 +961,145 @@ def _region_head_deltas(raw: Array, truth: Array, p: RegionHeadParams):
         [box_delta, obj_delta[..., None], cls_delta], axis=-1)
 
 
+@dataclasses.dataclass(frozen=True)
+class V1DetectionParams:
+    """Static per-[detection]-layer (YOLOv1) loss parameters
+    (detection_layer.c; parser.c parse_detection).  The layer input is a
+    FLAT vector per image: [side²·classes probs][side²·num confidences]
+    [side²·num·coords boxes]; truth is the v1 grid layout
+    [side², 1 + classes + 4] (is_obj, one-hot, x·side, y·side, w, h)."""
+
+    side: int
+    num: int
+    classes: int
+    coords: int = 4
+    softmax: bool = False
+    sqrt: bool = False
+    rescore: bool = False
+    object_scale: float = 1.0
+    noobject_scale: float = 1.0
+    class_scale: float = 1.0
+    coord_scale: float = 1.0
+
+    def __post_init__(self):
+        if self.coords != 4:
+            raise NotImplementedError("[detection] coords != 4 unsupported")
+
+    @property
+    def inputs(self) -> int:
+        loc = self.side * self.side
+        return loc * (self.classes + self.num * (1 + self.coords))
+
+    @property
+    def truth_cols(self) -> int:
+        return self.side * self.side * (1 + self.classes + 4)
+
+
+def _v1_head_deltas(raw: Array, truth: Array, p: V1DetectionParams) -> Array:
+    """One image: raw [inputs], truth [side², 1+C+4] -> delta [inputs]
+    (forward_detection_layer's training pass, detection_layer.c:45-180).
+    Pure per-cell math — fully vectorized, no sequential dependence."""
+    loc = p.side * p.side
+    n, C = p.num, p.classes
+    cls_out = raw[: loc * C].reshape(loc, C)
+    if p.softmax:
+        cls_out = jax.nn.softmax(cls_out, axis=-1)
+    conf = raw[loc * C: loc * (C + n)].reshape(loc, n)
+    boxes = raw[loc * (C + n):].reshape(loc, n, 4)
+
+    is_obj = truth[:, 0] != 0.0                    # [loc]
+    t_cls = truth[:, 1: 1 + C]                     # [loc, C]
+    tb = truth[:, 1 + C: 1 + C + 4]                # [loc, 4] (x·side, y·side, w, h)
+
+    # every confidence starts as a noobject negative
+    conf_delta = p.noobject_scale * (0.0 - conf)
+    # class deltas at object cells (MSE on the softmaxed probs — darknet
+    # copies the delta straight back, treating softmax as identity)
+    cls_delta = jnp.where(is_obj[:, None],
+                          p.class_scale * (t_cls - cls_out), 0.0)
+
+    # best box per object cell: IoU argmax, rmse argmin fallback when every
+    # IoU is zero (detection_layer.c:105-121)
+    side = float(p.side)
+    ox = boxes[..., 0] / side
+    oy = boxes[..., 1] / side
+    ow = boxes[..., 2] ** 2 if p.sqrt else boxes[..., 2]
+    oh = boxes[..., 3] ** 2 if p.sqrt else boxes[..., 3]
+    tx = tb[:, 0] / side
+    ty = tb[:, 1] / side
+    tw_, th_ = tb[:, 2], tb[:, 3]
+    ious = _iou_xywh(ox, oy, ow, oh,
+                     tx[:, None], ty[:, None], tw_[:, None], th_[:, None])
+    rmse = jnp.sqrt(
+        (ox - tx[:, None]) ** 2 + (oy - ty[:, None]) ** 2
+        + (ow - tw_[:, None]) ** 2 + (oh - th_[:, None]) ** 2)
+    any_iou = jnp.any(ious > 0.0, axis=-1)
+    best = jnp.where(any_iou, jnp.argmax(ious, axis=-1),
+                     jnp.argmin(rmse, axis=-1))    # [loc]
+
+    cells = jnp.arange(loc)
+    best_iou = ious[cells, best]
+    best_conf = conf[cells, best]
+    target = best_iou if p.rescore else 1.0
+    pos_conf = p.object_scale * (target - best_conf)
+    conf_delta = jnp.where(
+        (jnp.arange(n) == best[:, None]) & is_obj[:, None],
+        pos_conf[:, None], conf_delta)
+
+    best_box = boxes[cells, best]                  # [loc, 4] raw
+    t_coord = tb
+    if p.sqrt:
+        t_coord = t_coord.at[:, 2:].set(jnp.sqrt(tb[:, 2:]))
+    box_row = p.coord_scale * (t_coord - best_box)
+    box_delta = jnp.where(
+        ((jnp.arange(n) == best[:, None]) & is_obj[:, None])[..., None],
+        box_row[:, None, :], 0.0)                  # [loc, n, 4]
+
+    return jnp.concatenate([
+        cls_delta.reshape(-1), conf_delta.reshape(-1), box_delta.reshape(-1)])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def darknet_v1_detection_loss(raw, truth_grid, p):
+    """[detection] (YOLOv1) training loss: value = |delta|²/batch
+    (detection_layer.c:213 mag² + network.c loss convention); gradient
+    wrt the flat layer input = -delta/batch (backward_detection_layer's
+    axpy).  ``raw``: [B, inputs]; ``truth_grid``: [B, side², 1+C+4]."""
+    delta = jax.vmap(lambda r, t: _v1_head_deltas(r, t, p))(raw, truth_grid)
+    return jnp.sum(delta * delta) / raw.shape[0]
+
+
+def _v1_fwd(raw, truth_grid, p):
+    delta = jax.vmap(lambda r, t: _v1_head_deltas(r, t, p))(raw, truth_grid)
+    return jnp.sum(delta * delta) / raw.shape[0], (delta, raw.shape[0])
+
+
+def _v1_bwd(p, res, g):
+    delta, batch = res
+    return (-delta * g / batch, None)
+
+
+darknet_v1_detection_loss.defvjp(_v1_fwd, _v1_bwd)
+
+
+def v1_params_from_darknet(layer) -> V1DetectionParams:
+    """Build params from a parsed darknet [detection] layer
+    (config.darknet_cfg.Detection)."""
+    if getattr(layer, "forced", False) or getattr(layer, "random", 0.0):
+        raise NotImplementedError(
+            "[detection] forced/random branches unsupported (the random "
+            "branch draws rand()%n per truth — irreproducible)")
+    return V1DetectionParams(
+        side=int(layer.side), num=int(layer.num), classes=int(layer.classes),
+        coords=int(layer.coords), softmax=bool(layer.softmax),
+        sqrt=bool(layer.sqrt), rescore=bool(layer.rescore),
+        object_scale=float(layer.object_scale),
+        noobject_scale=float(layer.noobject_scale),
+        class_scale=float(layer.class_scale),
+        coord_scale=float(layer.coord_scale),
+    )
+
+
 def region_params_from_darknet(layer) -> RegionHeadParams:
     """Build params from a parsed darknet [region] layer
     (config.darknet_cfg.Region)."""
