@@ -69,9 +69,37 @@ def main():
         print(f"{tag}: {dt * 1e3:.2f} ms/step = {batch / dt:.1f} img/s")
         return dt
 
+    def bench_darknet(tag):
+        from yolodl_tpu.loss.darknet_loss import head_params_from_darknet
+
+        dn = dk.Darknet.load(cfg_path)
+        graph = graph_from_darknet(dn)
+        heads = [l for l in dn.layers if isinstance(l, dk.Yolo)]
+        # bind the head params to the BENCH size (multi-scale darknet
+        # training rebinds net_w/net_h per dim, detector.c:195-206)
+        spec = (graph.detect_head_input_keys(),
+                tuple(head_params_from_darknet(l, size, size)
+                      for l in heads))
+        config = TrainConfig(darknet_loss=spec)
+        ts, opt = train_init(model, config, seed=0)
+        step_fn = make_multi_step(model, opt, config, scan_k)
+        ts, metrics = step_fn(ts, *scan_args)
+        jax.block_until_ready(metrics["total_loss"])
+        float(metrics["total_loss"].sum())
+        calls = max(steps // scan_k, 1)
+        t0 = time.perf_counter()
+        for _ in range(calls):
+            ts, metrics = step_fn(ts, *scan_args)
+        float(metrics["total_loss"].sum())
+        dt = (time.perf_counter() - t0) / (calls * scan_k)
+        print(f"{tag}: {dt * 1e3:.2f} ms/step = {batch / dt:.1f} img/s")
+        return dt
+
     base = bench("baseline (options off = bench.py path)", LossConfig(
         ignore_thresh=None, iou_thresh=None,
         objectness_smooth=False, max_delta=None))
+    if os.environ.get("BLO_DARKNET", "1") != "0":
+        bench_darknet("darknet-exact loss impl (training.loss.impl=Darknet)")
     # the values the train CLI resolves from yolov4-csp.cfg
     adopted = bench(
         "flagship-adopted (ignore .7 + iou_thresh .2 + max_delta 5,5,2)",

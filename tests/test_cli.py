@@ -644,6 +644,110 @@ class TestTrainCli:
         assert "restored checkpoint at step 2" in out2.stdout, out2.stdout
 
 
+class TestDarknetLossImplCli:
+    """training.loss.impl=Darknet end-to-end: the CLI trains a darknet cfg
+    through the oracle-exact delta loss (round-4; step math pinned in
+    test_parity_train_detection.py, wiring in test_train.py)."""
+
+    def _darknet_workspace(self, tmp_path, rng):
+        tmp_path = tmp_path / "dk_ws"
+        tmp_path.mkdir(exist_ok=True)
+        img_dir = tmp_path / "images"
+        img_dir.mkdir(exist_ok=True)
+        for i in range(4):
+            arr = (rng.uniform(0, 255, (48, 48, 3))).astype(np.uint8)
+            arr[10:30, 10:30] = (255, 0, 0)
+            Image.fromarray(arr).save(img_dir / f"i{i}.png")
+        (tmp_path / "classes.txt").write_text("square\n")
+        lines = ["image_file,class_name,cy,cx,h,w"]
+        for i in range(4):
+            lines.append(f"i{i}.png,square,20,20,20,20")
+        (tmp_path / "label.csv").write_text("\n".join(lines) + "\n")
+        (tmp_path / "model.cfg").write_text("""[net]
+width=32
+height=32
+channels=3
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=2
+pad=1
+activation=leaky
+[convolutional]
+filters=18
+size=1
+activation=linear
+[yolo]
+mask=0,1,2
+anchors=6,8, 10,14, 18,24
+classes=1
+num=3
+iou_loss=ciou
+iou_thresh=0.2
+max_delta=5
+ignore_thresh=0.6
+""")
+        cfg = {
+            "version": "0.1.0",
+            "model": {"kind": "Darknet", "cfg_file": "model.cfg"},
+            "dataset": {"kind": {"type": "Csv", "image_size": 32,
+                                 "input_channels": 3,
+                                 "image_dir": str(img_dir),
+                                 "label_file": str(tmp_path / "label.csv"),
+                                 "classes_file": str(tmp_path / "classes.txt")}},
+            "logging": {"dir": str(tmp_path / "logs")},
+            "preprocessor": {},
+            "training": {
+                "batch_size": 2,
+                "device_config": {"type": "SingleDevice", "device": "tpu:0"},
+                "optimizer": {"type": "sgd", "momentum": 0.9,
+                              "lr_schedule": {"type": "StepWise",
+                                              "steps": [[0, 0.002]]}},
+                "loss": {"impl": "Darknet"},
+                "save_checkpoint_steps": 2,
+                "load_checkpoint": {"type": "Disabled"},
+            },
+            "benchmark": {"nms_iou_thresh": 0.5, "nms_conf_thresh": 0.4},
+        }
+        (tmp_path / "train.json5").write_text(json.dumps(cfg))
+        return tmp_path
+
+    def test_trains_and_checkpoints(self, tmp_path, rng):
+        ws = self._darknet_workspace(tmp_path, rng)
+        out = run_cli("yolodl_tpu.cli.train_main",
+                      "--config-file", str(ws / "train.json5"),
+                      "--max-steps", "4")
+        assert out.returncode == 0, out.stderr[-3000:]
+        assert "loss impl: darknet-exact" in out.stdout
+        runs = os.listdir(ws / "logs")
+        run_dir = ws / "logs" / runs[0]
+        assert any(n.endswith(".ckpt")
+                   for n in os.listdir(run_dir / "checkpoints"))
+
+    def test_rejected_for_newslab_and_multiscale(self, workspace, tmp_path,
+                                                 rng):
+        # NEWSLABv1 model → clear error
+        cfg = json.loads((workspace / "train.json5").read_text())
+        cfg["training"]["loss"] = {"impl": "Darknet"}
+        (workspace / "train_dkl.json5").write_text(json.dumps(cfg))
+        out = run_cli("yolodl_tpu.cli.train_main",
+                      "--config-file", str(workspace / "train_dkl.json5"),
+                      "--max-steps", "1")
+        assert out.returncode != 0
+        assert "darknet model cfg" in (out.stderr + out.stdout)
+        # multi_scale → clear error
+        ws = self._darknet_workspace(tmp_path, rng)
+        cfg2 = json.loads((ws / "train.json5").read_text())
+        cfg2["training"]["multi_scale"] = {"sizes": [32, 64]}
+        (ws / "train_ms.json5").write_text(json.dumps(cfg2))
+        out2 = run_cli("yolodl_tpu.cli.train_main",
+                       "--config-file", str(ws / "train_ms.json5"),
+                       "--max-steps", "1")
+        assert out2.returncode != 0
+        assert "multi_scale" in (out2.stderr + out2.stdout)
+
+
 class TestDetectCli:
     def test_detect_writes_images(self, workspace):
         out = run_cli(

@@ -652,3 +652,107 @@ class TestClassifierStep:
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(g["fc"]["b"]),
                                    d_logits.sum(0), rtol=1e-5, atol=1e-6)
+
+
+class TestDarknetLossImpl:
+    """training.loss.impl=Darknet: the train step consumes raw head-conv
+    outputs through the oracle-exact delta loss (TrainConfig.darknet_loss;
+    round-4).  The delta math itself is darknet-C-pinned in
+    test_parity_train_detection.py — here: the step wiring (convergence,
+    value identity with the direct loss call, DP composition)."""
+
+    # BN-free on purpose: the DP step computes BN batch statistics
+    # per-shard (documented divergence, parallel/dp.py) — a BN-free model
+    # makes the DP-vs-single comparison exact
+    CFG = """[net]
+width=64
+height=64
+channels=3
+[convolutional]
+filters=8
+size=3
+stride=4
+pad=1
+activation=leaky
+[convolutional]
+filters=24
+size=1
+activation=linear
+[yolo]
+mask=0,1,2
+anchors=6,8, 10,14, 18,24
+classes=3
+num=3
+iou_loss=ciou
+iou_thresh=0.2
+max_delta=5
+ignore_thresh=0.6
+"""
+
+    def _setup(self):
+        from yolodl_tpu.config import darknet_cfg as dk
+        from yolodl_tpu.graph.from_darknet import graph_from_darknet
+        from yolodl_tpu.loss.darknet_loss import head_params_from_darknet
+
+        d = dk.Darknet.from_str(self.CFG)
+        g = graph_from_darknet(d)
+        model = YoloModel(g)
+        heads = [l for l in d.layers if isinstance(l, dk.Yolo)]
+        spec = (g.detect_head_input_keys(),
+                tuple(head_params_from_darknet(l, 64, 64) for l in heads))
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.random((2, 3, 64, 64)), jnp.float32)
+        gt = jnp.asarray([[[0.5, 0.5, 0.3, 0.3]], [[0.4, 0.6, 0.2, 0.2]]],
+                         jnp.float32)
+        gtc = jnp.zeros((2, 1), jnp.int32)
+        gtm = jnp.ones((2, 1), bool)
+        return model, spec, (imgs, gt, gtc, gtm)
+
+    def test_step_trains_and_matches_direct_loss(self):
+        from yolodl_tpu.loss.darknet_loss import darknet_detection_loss
+
+        model, spec, batch = self._setup()
+        cfg = TrainConfig(optimizer="sgd", momentum=0.9, darknet_loss=spec)
+        ts, opt = train_init(model, cfg, seed=0)
+        step = make_train_step(model, opt, cfg)
+        imgs, gt, gtc, gtm = batch
+
+        # step-0 metric == the direct loss value on the same params
+        head_keys, head_params = spec
+        outs, _ = model.apply(ts.params, ts.state, imgs, train=True,
+                              data_format="NCHW", output_keys=head_keys)
+        truth = jnp.stack([gt[..., 1], gt[..., 0], gt[..., 3], gt[..., 2],
+                           gtc.astype(jnp.float32)], -1)
+        direct = float(darknet_detection_loss(
+            tuple(outs[k] for k in head_keys), truth, head_params))
+        losses = []
+        for _ in range(10):
+            ts, m = step(ts, imgs, gt, gtc, gtm)
+            losses.append(float(m["total_loss"]))
+        assert losses[0] == pytest.approx(direct, rel=1e-6)
+        assert losses[-1] < 0.25 * losses[0]  # actually training
+
+    def test_dp_composition(self):
+        """The darknet loss is per-image, so the DP step (psum'd grads)
+        must match single-device on the same global batch."""
+        model, spec, (imgs, gt, gtc, gtm) = self._setup()
+        cfg = TrainConfig(optimizer="sgd", momentum=0.9, darknet_loss=spec)
+        ts, opt = train_init(model, cfg, seed=0)
+        single = make_train_step(model, opt, cfg)
+        ts1, m1 = single(ts, imgs, gt, gtc, gtm)
+
+        mesh = make_mesh(2)
+        ts0, _ = train_init(model, cfg, seed=0)
+        dp_step = make_dp_train_step(model, opt, cfg, mesh)
+        tsr = replicate_state(mesh, ts0)
+        batch = shard_batch(mesh, (imgs, gt, gtc, gtm))
+        ts2, m2 = dp_step(tsr, *batch)
+        # the non-MSE REPORTED cost is a ratio (iou_norm*tot/count + mag2)
+        # and is not additive across shards — DP reports the mean of
+        # per-shard ratios (close, not equal).  The GRADIENT is per-image
+        # deltas, which pmean exactly: updated weights must match tightly.
+        np.testing.assert_allclose(
+            float(m1["total_loss"]), float(m2["total_loss"]), rtol=5e-3)
+        w1 = np.asarray(ts1.params["layer0"]["w"])
+        w2 = np.asarray(jax.device_get(ts2.params["layer0"]["w"]))
+        np.testing.assert_allclose(w1, w2, atol=2e-6)

@@ -343,11 +343,51 @@ def main(argv=None):
 
         stream_cfg.debug_hook = debug_hook
 
+    # training.loss.impl=Darknet: swap in the oracle-exact darknet delta
+    # loss (loss/darknet_loss.py) — the step consumes the raw head-conv
+    # outputs (graph.detect_head_input_keys) with per-head params built
+    # from the model cfg's [yolo]/[Gaussian_yolo] sections
+    darknet_loss_spec = None
+    if config.loss_impl not in ("production", "darknet"):
+        raise SystemExit(
+            f"unknown training.loss.impl {config.loss_impl!r} "
+            "(expected Production or Darknet)")
+    if config.loss_impl == "darknet":
+        if config.model_kind != "darknet":
+            raise SystemExit(
+                "training.loss.impl Darknet needs a darknet model cfg")
+        if config.multi_scale_sizes:
+            raise SystemExit(
+                "training.loss.impl Darknet is incompatible with "
+                "multi_scale (the head params bind the cfg's net size)")
+        if config.pipeline_parallel > 1 or config.tensor_parallel > 1:
+            raise SystemExit(
+                "training.loss.impl Darknet supports single-device and "
+                "data-parallel training only")
+        from ..config import darknet_cfg as _dkl
+        from ..loss.darknet_loss import head_params_from_darknet
+
+        _dn = _dkl.Darknet.load(model_path)
+        _heads = [l for l in _dn.layers if isinstance(l, _dkl.Yolo)]
+        if not _heads:
+            raise SystemExit(
+                "training.loss.impl Darknet needs [yolo]/[Gaussian_yolo] "
+                "heads ([region]/[detection] exact losses are library-"
+                "level only: loss/darknet_loss.py)")
+        _h, _w, _ = _dn.net.input_shape_hwc
+        darknet_loss_spec = (
+            graph.detect_head_input_keys(),
+            tuple(head_params_from_darknet(l, _w, _h) for l in _heads),
+        )
+        print(f"loss impl: darknet-exact ({len(_heads)} heads; component "
+              "losses/benchmark telemetry unavailable under this loss)")
+
     # trainer
     train_cfg = TrainConfig(
         lr=config.lr, optimizer=config.optimizer,
         momentum=config.momentum, weight_decay=config.weight_decay,
         loss=config.loss,
+        darknet_loss=darknet_loss_spec,
         use_ema=config.use_ema, ema_decay=config.ema_decay,
         benchmark_confidence=(
             config.nms_conf_thresh if config.logging.enable_benchmark else None

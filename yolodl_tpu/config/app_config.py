@@ -579,6 +579,11 @@ class TrainAppConfig:
     nms_conf_thresh: float
     multi_scale_sizes: Tuple[int, ...] = ()
     multi_scale_interval: int = 10
+    # training.loss.impl: "Production" (vectorized device loss, default) |
+    # "Darknet" (the oracle-exact delta semantics of
+    # loss/darknet_loss.py — bitwise darknet training through the CLI;
+    # darknet model cfgs with [yolo]/[Gaussian_yolo] heads only)
+    loss_impl: str = "production"
     # training.ema: {"enabled": true, "decay": 0.9999} — EMA parameter
     # shadow, checkpointed alongside params and evaluable via eval --ema
     use_ema: bool = False
@@ -784,6 +789,8 @@ class TrainAppConfig:
             momentum=float(opt.get("momentum", 0.937)),
             weight_decay=float(opt.get("weight_decay", 0.0)),
             loss=parse_loss_config(_as_dict(training.get("loss"), "training.loss")),
+            loss_impl=str(_as_dict(training.get("loss"), "training.loss")
+                          .get("impl", "Production")).lower(),
             checkpoint=CheckpointPolicy.parse(
                 training.get("load_checkpoint", {}),
                 int(training.get("save_checkpoint_steps", 0)),

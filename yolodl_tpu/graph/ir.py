@@ -175,6 +175,23 @@ class Graph:
             for n in self.nodes.values())
         raise ValueError(f"unknown node path {path!r} (nodes: {known})")
 
+    def detect_head_input_keys(self):
+        """Node keys of the raw head-conv outputs feeding each Detect2D,
+        in merge order — the inputs the darknet-exact training loss
+        consumes (loss/darknet_loss.py; the decode/merge tail is dead
+        code under that loss and XLA prunes it)."""
+        out = self.output_node()
+        if not isinstance(out.config, cfg.MergeDetect2D):
+            raise ValueError("graph output is not a MergeDetect2D head")
+        keys = []
+        for det_key in out.input_keys.iter_keys():
+            det = self.nodes[det_key]
+            ins = list(det.input_keys.iter_keys())
+            if not isinstance(det.config, cfg.Detect2D) or len(ins) != 1:
+                raise ValueError(f"node {det_key} is not a 1-input Detect2D")
+            keys.append(ins[0])
+        return tuple(keys)
+
     def output_node(self) -> Node:
         """The unique sink node (no other node consumes it)."""
         consumed = {k for n in self.nodes.values() for k in n.input_keys.iter_keys()}

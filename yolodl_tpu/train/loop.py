@@ -55,6 +55,12 @@ class TrainConfig:
     # mean decoded cy/cx/h/w scalars per step (logging.rs:135-146
     # enable_debug_stat statistics)
     debug_stat: bool = False
+    # training.loss.impl=Darknet: train with the darknet-EXACT delta
+    # semantics (loss/darknet_loss.py) instead of the production loss —
+    # (head_conv_node_keys, DarknetHeadParams per head, merge order).
+    # The step consumes the RAW head-conv outputs; decode/merge are dead
+    # code under this loss and XLA prunes them.
+    darknet_loss: Optional[tuple] = None
     # compute dtype for the forward/backward pass ("bfloat16" | None).
     # The batch is cast at step entry; every conv casts its f32 weights to
     # the activation dtype (ops/conv.py), so parameters, optimizer state and
@@ -198,18 +204,50 @@ def make_batch_grads(
     if accum < 1:
         raise ValueError(f"accum must be >= 1, got {accum}")
 
-    def loss_fn(params, state, images, gt_boxes, gt_classes, gt_mask):
-        if config.compute_dtype is not None:
-            images = images.astype(config.compute_dtype)
-        pred, new_state = model.apply(params, state, images, train=True,
-                                      data_format=data_format)
-        out, aux = yolo_loss(pred, gt_boxes, gt_classes, gt_mask, config.loss)
-        return out.total_loss, (out, new_state, aux, pred)
+    if config.darknet_loss is not None:
+        head_keys, head_params = config.darknet_loss
+        from ..loss.darknet_loss import darknet_detection_loss
+
+        def loss_fn(params, state, images, gt_boxes, gt_classes, gt_mask):
+            if config.compute_dtype is not None:
+                images = images.astype(config.compute_dtype)
+            outs, new_state = model.apply(
+                params, state, images, train=True, data_format=data_format,
+                output_keys=head_keys)
+            raws = tuple(outs[k].astype(jnp.float32) for k in head_keys)
+            # darknet truth rows (x, y, w, h, class) in image-ratio units;
+            # x=0 is the `!truth.x break` sentinel — labels must be
+            # prefix-packed (every loader fills from the front)
+            truth = jnp.stack([
+                jnp.where(gt_mask, gt_boxes[..., 1].astype(jnp.float32), 0.0),
+                gt_boxes[..., 0].astype(jnp.float32),
+                gt_boxes[..., 3].astype(jnp.float32),
+                gt_boxes[..., 2].astype(jnp.float32),
+                gt_classes.astype(jnp.float32),
+            ], axis=-1)
+            loss = darknet_detection_loss(raws, truth, head_params)
+            return loss, (loss, new_state, None, None)
+
+        def step_metrics(out, aux, pred):
+            # component losses/benchmark need the decoded prediction — the
+            # darknet loss reports darknet's single training cost
+            zero = jnp.float32(0.0)
+            return {"total_loss": out, "iou_loss": zero,
+                    "classification_loss": zero, "objectness_loss": zero,
+                    "num_matched": jnp.int32(0)}
+    else:
+        def loss_fn(params, state, images, gt_boxes, gt_classes, gt_mask):
+            if config.compute_dtype is not None:
+                images = images.astype(config.compute_dtype)
+            pred, new_state = model.apply(params, state, images, train=True,
+                                          data_format=data_format)
+            out, aux = yolo_loss(pred, gt_boxes, gt_classes, gt_mask, config.loss)
+            return out.total_loss, (out, new_state, aux, pred)
+
+        def step_metrics(out, aux, pred):
+            return collect_step_metrics(config, out, aux, pred)
 
     vag = jax.value_and_grad(loss_fn, has_aux=True)
-
-    def step_metrics(out, aux, pred):
-        return collect_step_metrics(config, out, aux, pred)
 
     def batch_grads(params, state, images, gt_boxes, gt_classes, gt_mask):
         if accum == 1:
