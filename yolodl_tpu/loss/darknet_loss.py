@@ -723,6 +723,9 @@ def _head_deltas(raw: Array, truth: Array, p: DarknetHeadParams):
             jnp.where(sels[:, None], new_rows, rows), mode="drop")
         return (obj_d, cls_d, box_d, tot_l, cnt), None
 
+    # scan unroll measured a wash (unroll=8: 107.8 vs 107.4 ms flagship
+    # step, 2026-08-21) — the residual cost is the serialized dependent
+    # gather/scatter chain, not loop overhead; keep the plain scan
     (obj_delta, cls_delta, box_delta, tot_iou_loss, count), _ = jax.lax.scan(
         step, (obj_delta, cls_delta0, box_delta0,
                jnp.float32(0.0), jnp.float32(0.0)), jnp.arange(t_count))
