@@ -736,16 +736,20 @@ ignore_thresh=0.6
                       "--max-steps", "1")
         assert out.returncode != 0
         assert "darknet model cfg" in (out.stderr + out.stdout)
-        # multi_scale → clear error
+
+    def test_multiscale_trains(self, tmp_path, rng):
+        """multi_scale × impl=Darknet (VERDICT r4 #4): per-size head
+        params via the per-size step cache — darknet's random=1
+        resize-every-N-batches semantics under the exact loss."""
         ws = self._darknet_workspace(tmp_path, rng)
         cfg2 = json.loads((ws / "train.json5").read_text())
-        cfg2["training"]["multi_scale"] = {"sizes": [32, 64]}
+        cfg2["training"]["multi_scale"] = {"sizes": [32, 64], "interval": 2}
         (ws / "train_ms.json5").write_text(json.dumps(cfg2))
         out2 = run_cli("yolodl_tpu.cli.train_main",
                        "--config-file", str(ws / "train_ms.json5"),
-                       "--max-steps", "1")
-        assert out2.returncode != 0
-        assert "multi_scale" in (out2.stderr + out2.stdout)
+                       "--max-steps", "4")
+        assert out2.returncode == 0, out2.stderr[-3000:]
+        assert "loss impl: darknet-exact" in out2.stdout
 
 
 class TestDetectCli:

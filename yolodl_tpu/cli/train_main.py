@@ -356,10 +356,6 @@ def main(argv=None):
         if config.model_kind != "darknet":
             raise SystemExit(
                 "training.loss.impl Darknet needs a darknet model cfg")
-        if config.multi_scale_sizes:
-            raise SystemExit(
-                "training.loss.impl Darknet is incompatible with "
-                "multi_scale (the head params bind the cfg's net size)")
         if config.pipeline_parallel > 1 or config.tensor_parallel > 1:
             raise SystemExit(
                 "training.loss.impl Darknet supports single-device and "
@@ -375,12 +371,23 @@ def main(argv=None):
                 "heads ([region]/[detection] exact losses are library-"
                 "level only: loss/darknet_loss.py)")
         _h, _w, _ = _dn.net.input_shape_hwc
+        _head_params = []
+        for _li, _l in enumerate(_dn.layers):
+            if not isinstance(_l, _dkl.Yolo):
+                continue
+            try:
+                _head_params.append(head_params_from_darknet(_l, _w, _h))
+            except ValueError as e:
+                # cfg-validation-time rejection with the offender named
+                raise SystemExit(
+                    f"{model_path}: layer {_li}: {e}") from None
         darknet_loss_spec = (
             graph.detect_head_input_keys(),
-            tuple(head_params_from_darknet(l, _w, _h) for l in _heads),
+            tuple(_head_params),
         )
-        print(f"loss impl: darknet-exact ({len(_heads)} heads; component "
-              "losses/benchmark telemetry unavailable under this loss)")
+        print(f"loss impl: darknet-exact ({len(_heads)} heads; per-term "
+              "losses + darknet avg_iou/obj/no_obj/recall telemetry from "
+              "the delta buffers)")
 
     # trainer
     train_cfg = TrainConfig(
@@ -528,6 +535,40 @@ def main(argv=None):
     else:
         step_fn = make_train_step(model, optimizer, train_cfg, accum=accum)
         place = lambda batch: batch
+
+    # multi_scale × darknet-exact loss: the head params bind net_w/net_h
+    # (darknet's resize_network updates net.w/net.h per random=1 resize and
+    # yolo_layer.c's delta_yolo_box normalizes anchors by them), so each
+    # training size gets its OWN step program with per-size head params —
+    # the same per-size compile-cache mechanism the production loss's
+    # shape-polymorphic jit already uses.  Covers the single-device, DP and
+    # ZeRO paths (PP/TP are rejected above).
+    dk_multi_scale = (darknet_loss_spec is not None
+                      and bool(config.multi_scale_sizes))
+    dk_ms_step_cache = {}
+
+    def _dk_step_for_size(size):
+        fn = dk_ms_step_cache.get(size)
+        if fn is not None:
+            return fn
+        from dataclasses import replace as _dc_replace
+
+        from ..loss.darknet_loss import head_params_from_darknet as _hp
+        spec = (darknet_loss_spec[0],
+                tuple(_hp(l, size, size) for l in _heads))
+        cfg_s = _dc_replace(train_cfg, darknet_loss=spec)
+        if config.n_devices > 1:
+            if use_zero:
+                from ..parallel import make_zero_train_step
+                fn = make_zero_train_step(model, optimizer, cfg_s, mesh,
+                                          accum=accum)
+            else:
+                fn = make_dp_train_step(model, optimizer, cfg_s, mesh,
+                                        accum=accum)
+        else:
+            fn = make_train_step(model, optimizer, cfg_s, accum=accum)
+        dk_ms_step_cache[size] = fn
+        return fn
 
     logger = LoggingWorker(run_dir).start()
     logger_holder["logger"] = logger if config.logging.enable_images else None
@@ -733,7 +774,11 @@ def main(argv=None):
         # at the 0-based pre-update count — log the rate the update USED
         lr = lr_at_step(config.lr, step - 1)
         bench_keys = ("obj_accuracy", "obj_recall", "obj_precision",
-                      "class_accuracy", "num_matched")
+                      "class_accuracy", "num_matched",
+                      # darknet console taxonomy (loss.impl=Darknet;
+                      # yolo_layer.c:560-575 printed stats)
+                      "avg_iou", "avg_obj", "avg_cat", "recall50",
+                      "recall75", "no_obj")
         wg_keys = [k for k in metrics
                    if k.startswith(("weights_max/", "grads_max/"))]
         logger.log_training_output(
@@ -900,7 +945,11 @@ def main(argv=None):
             last_batch["images"] = record.images
             last_batch["gt"] = (record.boxes, record.mask)
             batch = place((images, gt_boxes, gt_classes, gt_mask))
-            ts, metrics = step_fn(ts, *batch)
+            # darknet-exact loss under multi_scale: pick the step program
+            # whose head params match this batch's net size
+            sf = (_dk_step_for_size(int(images.shape[-1]))
+                  if dk_multi_scale else step_fn)
+            ts, metrics = sf(ts, *batch)
             metrics = jax.device_get(metrics)  # one transfer per step
             host_step += 1
             if handle_step(host_step, metrics):

@@ -122,7 +122,16 @@ class DarknetHeadParams:
 
     def __post_init__(self):
         if self.gaussian and self.new_coords:
-            raise NotImplementedError("gaussian + new_coords")
+            # The reference PARSER accepts the pair (darknet-config/src/
+            # gaussian_yolo.rs:15-33) but gaussian_yolo_layer.c has no
+            # new_coords path — there is no oracle semantics to match and
+            # no corpus cfg combines them.  head_params_from_darknet
+            # raises this at cfg-resolution time with the layer named.
+            raise ValueError(
+                "[Gaussian_yolo] with new_coords=1 is unsupported: "
+                "darknet's gaussian_yolo_layer.c has no new_coords "
+                "branch, so the darknet-exact loss has no oracle "
+                "semantics to reproduce")
         if self.iou_loss not in ("mse", "iou", "giou", "diou", "ciou"):
             raise ValueError(f"unknown iou_loss {self.iou_loss!r}")
         if self.iou_thresh_kind not in ("iou", "giou", "diou", "ciou"):
@@ -485,15 +494,25 @@ def _class_delta_row(row, cell_cls, c, cls_mult_c, p: DarknetHeadParams):
     return jnp.where(row[probe_idx] != 0.0, keep, fresh)
 
 
-def _head_deltas(raw: Array, truth: Array, p: DarknetHeadParams):
+def _head_deltas(raw: Array, truth: Array, p: DarknetHeadParams,
+                 stats: bool = False):
     """One image: raw [A,H,W,E], truth [T,5] -> (delta [A,H,W,E],
-    tot_iou_loss, count).
+    tot_iou_loss, count) — plus, when ``stats`` is set, a 6-tuple of
+    darknet's console-telemetry accumulators.
 
     The two scalars feed the non-MSE reported cost only (yolo_layer.c
     show_details branch, :901-916): per delta_yolo_box application,
     tot_iou_loss accumulates 1 - IoU (1 - GIoU for iou_loss=giou) of the
     decoded pred box vs the truth, and count the number of applications —
-    darknet's avg_iou_loss = iou_normalizer * tot/count."""
+    darknet's avg_iou_loss = iou_normalizer * tot/count.
+
+    ``stats=True`` additionally accumulates, per per-truth delta
+    application (darknet's printed "Avg IOU, Class, Obj, No Obj, .5R,
+    .75R" line, yolo_layer.c:560-575 tot_iou/avg_cat/avg_obj/recall/
+    recall75 and the every-cell avg_anyobj): (tot_iou, recall50,
+    recall75, obj_sum, cat_sum, sobj_sum).  The stats path adds a small
+    [K]-vmapped decode per scan step; the default path is op-for-op
+    unchanged (the 16-case oracle parity battery runs stats=False)."""
     a, fh, fw, e = raw.shape
     t_count = truth.shape[0]
     out = _activate(raw, p)
@@ -658,7 +677,7 @@ def _head_deltas(raw: Array, truth: Array, p: DarknetHeadParams):
             cand_abs = best_n[None]                               # [1]
             sels0 = jnp.ones((1,), bool)
 
-        obj_d, cls_d, box_d, tot_l, cnt = carry
+        obj_d, cls_d, box_d, tot_l, cnt = carry[:5]
         mns = mask_pos[cand_abs]                                  # [K]
         sels = v & (mns >= 0) & sels0
         idxs = jnp.where(sels, mns, a)  # out-of-range drops scatters
@@ -671,20 +690,25 @@ def _head_deltas(raw: Array, truth: Array, p: DarknetHeadParams):
         box_d = box_d.at[idxs, j, i].add(
             jnp.where(sels[:, None], adds, 0.0), mode="drop")
 
-        if not p.gaussian and p.iou_loss != "mse":
+        need_iou = stats or (not p.gaussian and p.iou_loss != "mse")
+        if need_iou:
             # reported-cost accumulators (delta_yolo_box's all_ious,
             # computed on the UNfixed pred box, box.c/yolo_layer.c)
             def iou_for(cell, awb, ahb):
-                px = (i.astype(jnp.float32) + cell[0]) / fw
-                py = (j.astype(jnp.float32) + cell[1]) / fh
-                if p.new_coords:
-                    pbw = cell[2] * cell[2] * 4.0 * awb / p.net_w
-                    pbh = cell[3] * cell[3] * 4.0 * ahb / p.net_h
+                if p.gaussian:
+                    ex, ey, ew, eh = cell[0], cell[2], cell[4], cell[6]
                 else:
-                    pbw = jnp.exp(cell[2]) * awb / p.net_w
-                    pbh = jnp.exp(cell[3]) * ahb / p.net_h
+                    ex, ey, ew, eh = cell[0], cell[1], cell[2], cell[3]
+                px = (i.astype(jnp.float32) + ex) / fw
+                py = (j.astype(jnp.float32) + ey) / fh
+                if p.new_coords:
+                    pbw = ew * ew * 4.0 * awb / p.net_w
+                    pbh = eh * eh * 4.0 * ahb / p.net_h
+                else:
+                    pbw = jnp.exp(ew) * awb / p.net_w
+                    pbh = jnp.exp(eh) * ahb / p.net_h
                 iou_v = _iou_xywh(px, py, pbw, pbh, x, y, w, h)
-                if p.iou_loss == "giou":
+                if p.iou_loss == "giou" and not p.gaussian:
                     c_area = (jnp.maximum(px + pbw / 2, x + w / 2)
                               - jnp.minimum(px - pbw / 2, x - w / 2)) * (
                         jnp.maximum(py + pbh / 2, y + h / 2)
@@ -696,15 +720,29 @@ def _head_deltas(raw: Array, truth: Array, p: DarknetHeadParams):
                     inter_a = jnp.where((inter < 0) | (inter_h < 0), 0.0,
                                         inter * inter_h)
                     u_area = pbw * pbh + w * h - inter_a
-                    iou_v = jnp.where(
+                    loss_iou = jnp.where(
                         c_area == 0, iou_v,
                         iou_v - (c_area - u_area)
                         / jnp.where(c_area == 0, 1.0, c_area))
-                return iou_v
+                else:
+                    loss_iou = iou_v
+                return loss_iou, iou_v
 
-            iou_vs = jax.vmap(iou_for)(cells, aw_c, ah_c)         # [K]
-            tot_l = tot_l + jnp.sum(jnp.where(sels, 1.0 - iou_vs, 0.0))
+            iou_vs, iou_plain = jax.vmap(iou_for)(cells, aw_c, ah_c)  # [K]
+            if not p.gaussian and p.iou_loss != "mse":
+                tot_l = tot_l + jnp.sum(jnp.where(sels, 1.0 - iou_vs, 0.0))
             cnt = cnt + jnp.sum(sels.astype(jnp.float32))
+        if stats:
+            tot_i, r50, r75, obj_s, cat_s = carry[5:]
+            tot_i = tot_i + jnp.sum(jnp.where(sels, iou_plain, 0.0))
+            r50 = r50 + jnp.sum((sels & (iou_plain > 0.5)).astype(jnp.float32))
+            r75 = r75 + jnp.sum((sels & (iou_plain > 0.75)).astype(jnp.float32))
+            obj_s = obj_s + jnp.sum(jnp.where(sels, cells[:, obj_e], 0.0))
+            cat_row = jnp.take(cells[:, cls_e:], c, axis=1)
+            cat_s = cat_s + jnp.sum(jnp.where(sels, cat_row, 0.0))
+            tail = (tot_i, r50, r75, obj_s, cat_s)
+        else:
+            tail = ()
 
         pos_obj = cls_mult_c * p.obj_normalizer * (1.0 - cells[:, obj_e])
         cur_obj = obj_d[mns % a, j, i]
@@ -721,14 +759,17 @@ def _head_deltas(raw: Array, truth: Array, p: DarknetHeadParams):
             rows, cells[:, cls_e:])
         cls_d = cls_d.at[idxs, j, i].set(
             jnp.where(sels[:, None], new_rows, rows), mode="drop")
-        return (obj_d, cls_d, box_d, tot_l, cnt), None
+        return (obj_d, cls_d, box_d, tot_l, cnt) + tail, None
 
     # scan unroll measured a wash (unroll=8: 107.8 vs 107.4 ms flagship
     # step, 2026-08-21) — the residual cost is the serialized dependent
     # gather/scatter chain, not loop overhead; keep the plain scan
-    (obj_delta, cls_delta, box_delta, tot_iou_loss, count), _ = jax.lax.scan(
-        step, (obj_delta, cls_delta0, box_delta0,
-               jnp.float32(0.0), jnp.float32(0.0)), jnp.arange(t_count))
+    z = jnp.float32(0.0)
+    init = (obj_delta, cls_delta0, box_delta0, z, z)
+    if stats:
+        init = init + (z, z, z, z, z)
+    final, _ = jax.lax.scan(step, init, jnp.arange(t_count))
+    obj_delta, cls_delta, box_delta, tot_iou_loss, count = final[:5]
 
     if p.gaussian:
         # averages_gaussian_yolo_deltas: every cell, unconditionally
@@ -747,6 +788,10 @@ def _head_deltas(raw: Array, truth: Array, p: DarknetHeadParams):
 
     delta = jnp.concatenate(
         [box_delta, obj_delta[..., None], cls_delta], axis=-1)
+    if stats:
+        # avg_anyobj accumulates the activated objectness at EVERY cell
+        # (yolo_layer.c:448); the rest came out of the per-truth scan
+        return delta, tot_iou_loss, count, final[5:] + (jnp.sum(sobj),)
     return delta, tot_iou_loss, count
 
 
@@ -780,6 +825,111 @@ def _head_cost_and_delta(raw: Array, truth: Array, p: DarknetHeadParams):
         cnt_total > 0,
         p.iou_normalizer * jnp.sum(tot) / jnp.maximum(cnt_total, 1.0), 0.0)
     return avg_iou_loss + class_cost, delta
+
+
+def _head_cost_delta_stats(raw: Array, truth: Array, p: DarknetHeadParams):
+    """Like :func:`_head_cost_and_delta` (identical cost and delta), but
+    additionally returns per-term cost components and darknet's console
+    telemetry accumulators.  The components are defined so they SUM to
+    the head's reported cost exactly:
+
+    - mse / gaussian heads (cost = |delta|², yolo_layer.c:893): box/obj/
+      cls = the squared magnitude of the matching delta slice;
+    - IoU-family heads (show_details cost, :901-916): box = the
+      avg-IoU-loss term, obj/cls = obj_normalizer × slice magnitude²
+      (together they are the ``|nonbox|²`` term).
+
+    Region/V1 heads never reach here (the CLI darknet impl requires
+    [yolo]/[gaussian_yolo] heads)."""
+    if isinstance(p, RegionHeadParams):
+        raise TypeError("stats path supports [yolo]/[gaussian_yolo] only")
+    delta, tot, cnt, st = jax.vmap(
+        lambda r, t: _head_deltas(r, t, p, stats=True))(raw, truth)
+    nbox = 8 if p.gaussian else 4
+    box_sq = jnp.sum(delta[..., :nbox] ** 2)
+    obj_sq = jnp.sum(delta[..., nbox] ** 2)
+    cls_sq = jnp.sum(delta[..., nbox + 1:] ** 2)
+    cnt_total = jnp.sum(cnt)
+    if p.gaussian or p.iou_loss == "mse":
+        terms = (box_sq, obj_sq, cls_sq)
+    else:
+        avg_iou_loss = jnp.where(
+            cnt_total > 0,
+            p.iou_normalizer * jnp.sum(tot) / jnp.maximum(cnt_total, 1.0),
+            0.0)
+        terms = (avg_iou_loss, p.obj_normalizer * obj_sq,
+                 p.obj_normalizer * cls_sq)
+    cost = terms[0] + terms[1] + terms[2]
+    tot_iou, r50, r75, obj_s, cat_s, sobj_s = (jnp.sum(v) for v in st)
+    n_cells = float(np.prod(delta.shape[:-1]))  # B*A*H*W
+    stats = {
+        "count": cnt_total, "tot_iou": tot_iou, "recall50": r50,
+        "recall75": r75, "obj_sum": obj_s, "cat_sum": cat_s,
+        "sobj_sum": sobj_s, "n_cells": jnp.float32(n_cells),
+    }
+    return cost, delta, terms, stats
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def darknet_detection_loss_with_metrics(raws, truth, params_list):
+    """:func:`darknet_detection_loss` plus a per-step telemetry dict —
+    the same value and gradient, with per-term loss components
+    (iou/objectness/classification, normalized like the total: summed
+    over heads / (heads·batch)) and darknet's printed training stats
+    (yolo_layer.c:560-575 taxonomy): ``avg_iou``/``avg_obj``/``avg_cat``
+    = mean over the per-truth delta applications, ``recall50/75`` their
+    IoU>.5/.75 fractions, ``no_obj`` the mean activated objectness over
+    all cells, ``num_matched`` the application count.  The metrics carry
+    no gradient."""
+    return _loss_metrics_fwd(raws, truth, params_list)[0]
+
+
+def _collect_metrics(all_terms, all_stats, n_heads, batch):
+    denom = float(n_heads * batch)
+    box_t = sum(t[0] for t in all_terms) / denom
+    obj_t = sum(t[1] for t in all_terms) / denom
+    cls_t = sum(t[2] for t in all_terms) / denom
+    count = sum(s["count"] for s in all_stats)
+    safe = jnp.maximum(count, 1.0)
+    cells = sum(s["n_cells"] for s in all_stats)
+    return {
+        "iou_loss": box_t,
+        "objectness_loss": obj_t,
+        "classification_loss": cls_t,
+        "num_matched": count.astype(jnp.int32),
+        "avg_iou": sum(s["tot_iou"] for s in all_stats) / safe,
+        "avg_obj": sum(s["obj_sum"] for s in all_stats) / safe,
+        "avg_cat": sum(s["cat_sum"] for s in all_stats) / safe,
+        "recall50": sum(s["recall50"] for s in all_stats) / safe,
+        "recall75": sum(s["recall75"] for s in all_stats) / safe,
+        "no_obj": sum(s["sobj_sum"] for s in all_stats) / cells,
+    }
+
+
+def _loss_metrics_fwd(raws, truth, params_list):
+    if len(raws) != len(params_list):
+        raise ValueError(
+            f"{len(raws)} head outputs for {len(params_list)} param sets")
+    cost = 0.0
+    deltas, all_terms, all_stats = [], [], []
+    for raw, p in zip(raws, params_list):
+        c, d, terms, stats = _head_cost_delta_stats(
+            reshape_head_raw(raw, p), truth, p)
+        cost = cost + c
+        deltas.append(d)
+        all_terms.append(terms)
+        all_stats.append(stats)
+    batch = raws[0].shape[0]
+    metrics = _collect_metrics(all_terms, all_stats, len(raws), batch)
+    return ((cost / (len(raws) * batch), metrics), (deltas, raws, batch))
+
+
+def _loss_metrics_bwd(params_list, res, g):
+    g_cost = g[0]  # the metrics dict carries no gradient
+    return _bwd(params_list, res, g_cost)
+
+
+darknet_detection_loss_with_metrics.defvjp(_loss_metrics_fwd, _loss_metrics_bwd)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -1206,7 +1356,15 @@ def head_params_from_darknet(layer, net_w: int, net_h: int) -> DarknetHeadParams
     """Build params from a parsed darknet [yolo]/[gaussian_yolo] layer
     (config.darknet_cfg.Yolo).  Mirrors parser.c parse_yolo /
     parse_gaussian_yolo, including get_classes_multipliers (:412-431) and
-    the l.total anchor truncation (Yolo.total_anchors)."""
+    the l.total anchor truncation (Yolo.total_anchors).
+
+    Raises ValueError at cfg-resolution time (not mid-training) for
+    option combinations with no darknet oracle semantics."""
+    if getattr(layer, "gaussian", False) and getattr(layer, "new_coords", 0):
+        raise ValueError(
+            "[Gaussian_yolo] layer sets new_coords=1 — unsupported "
+            "combination (darknet's gaussian_yolo_layer.c has no "
+            "new_coords branch; no reference cfg combines them)")
     if getattr(layer, "yolo_point", "center") != "center":
         raise NotImplementedError("yolo_point != center unsupported")
     anchors = tuple((float(w), float(h))

@@ -206,7 +206,7 @@ def make_batch_grads(
 
     if config.darknet_loss is not None:
         head_keys, head_params = config.darknet_loss
-        from ..loss.darknet_loss import darknet_detection_loss
+        from ..loss.darknet_loss import darknet_detection_loss_with_metrics
 
         def loss_fn(params, state, images, gt_boxes, gt_classes, gt_mask):
             if config.compute_dtype is not None:
@@ -225,16 +225,19 @@ def make_batch_grads(
                 gt_boxes[..., 2].astype(jnp.float32),
                 gt_classes.astype(jnp.float32),
             ], axis=-1)
-            loss = darknet_detection_loss(raws, truth, head_params)
-            return loss, (loss, new_state, None, None)
+            loss, dk_metrics = darknet_detection_loss_with_metrics(
+                raws, truth, head_params)
+            return loss, (loss, new_state, dk_metrics, None)
 
         def step_metrics(out, aux, pred):
-            # component losses/benchmark need the decoded prediction — the
-            # darknet loss reports darknet's single training cost
-            zero = jnp.float32(0.0)
-            return {"total_loss": out, "iou_loss": zero,
-                    "classification_loss": zero, "objectness_loss": zero,
-                    "num_matched": jnp.int32(0)}
+            # per-term components + darknet's printed training stats,
+            # recovered from the delta buffers (loss/darknet_loss.py
+            # _head_cost_delta_stats) — the exact-loss trainer logs the
+            # same loss/* panels as the production loss plus darknet's
+            # own avg_iou/obj/no_obj/recall taxonomy
+            metrics = {"total_loss": out}
+            metrics.update(aux)
+            return metrics
     else:
         def loss_fn(params, state, images, gt_boxes, gt_classes, gt_mask):
             if config.compute_dtype is not None:
