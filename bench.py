@@ -128,9 +128,16 @@ def main():
         step_fn = make_train_step(model, opt, config)
         steps_per_call = 1
 
-    # warmup / compile
+    # warmup / compile — run the completion fence (the .sum readout) here
+    # too: its tiny program otherwise compiles INSIDE the timed window
+    # (~0.4 s remote compile on the tunnel, below the persistent cache's
+    # 1 s floor), and the readout drains the dispatch queue so t0 starts
+    # from an idle device.  Round-4 and earlier numbers paid this as a
+    # constant inside dt (train ~-8%, infer ~-25% at b16 — the entire
+    # "462 vs 567" round-3 inference mystery).
     ts, metrics = step_fn(ts, *batch)
     jax.block_until_ready(metrics["total_loss"])
+    float(metrics["total_loss"].sum())
 
     calls = max(STEPS // steps_per_call, 1)
     t0 = time.perf_counter()
@@ -188,8 +195,11 @@ def _bench_inference(jax, jnp, np, model):
         return nms_stage(fwd(params, state, x))
 
     if MODE == "infer":
+        # warmup: compile the forward+NMS AND the fence's .sum program,
+        # then drain the queue with the readout (see the train-mode note)
         out = fwd_nms(ts.params, ts.state, images)
         jax.block_until_ready(out.valid)
+        float(out.valid.sum())
         t0 = time.perf_counter()
         for _ in range(STEPS):
             out = fwd_nms(ts.params, ts.state, images)
@@ -227,6 +237,7 @@ def _bench_inference(jax, jnp, np, model):
     def run(fn, iters):
         out = fn(ts.params, ts.state, images)
         jax.block_until_ready(out)
+        float(out)  # compile+drain before timing (see train-mode note)
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(ts.params, ts.state, images)
