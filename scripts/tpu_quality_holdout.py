@@ -57,6 +57,13 @@ LR = float(os.environ.get("QLH_LR", "0.001"))
 SEED = int(os.environ.get("QLH_SEED", "0"))
 RICH = os.environ.get("QLH_RICH", "0") == "1"
 SEGMENTS = int(os.environ.get("QLH_SEGMENTS", "1"))
+# QLH_LOSS_IMPL=Darknet trains through the oracle-exact delta loss
+# (training.loss.impl) — the round-5 evidence weld: held-out
+# generalization AND oracle exactness from the same trainer
+LOSS_IMPL = os.environ.get("QLH_LOSS_IMPL", "Production")
+# QLH_EMA=1 enables the EMA parameter shadow (training.ema); eval then
+# measures the EMA weights via --ema
+EMA = os.environ.get("QLH_EMA", "0") == "1"
 
 CLASSES = (["disk", "square", "triangle", "ring", "cross", "star",
             "diamond", "bar"] if RICH
@@ -223,7 +230,8 @@ def main():
                if SEGMENTS > 1 else {}),
             "precision": PRECISION,
             "loss": {"box_metric": "CIoU", "match_grid_method": "Rect4",
-                     "anchor_scale_thresh": 4.0},
+                     "anchor_scale_thresh": 4.0, "impl": LOSS_IMPL},
+            **({"ema": {"enabled": True}} if EMA else {}),
         },
         "benchmark": {"nms_iou_thresh": 0.45, "nms_conf_thresh": 0.2},
     }
@@ -258,6 +266,8 @@ def main():
                 "--precision", PRECISION]
         if ckpt:
             args += ["--checkpoint", ckpt]
+            if EMA:
+                args += ["--ema"]
         out = run("yolodl_tpu.cli.eval_main", *args)
         line = [l for l in out.splitlines() if l.startswith("{")][-1]
         d = json.loads(line)
@@ -284,7 +294,8 @@ def main():
     print(json.dumps({
         "metric": "HELD-OUT val mAP@0.5 via train+eval CLIs "
                   f"({os.path.basename(CFG)} {SIZE}px, {N_TRAIN} train / "
-                  f"{N_VAL} unseen val scenes, {STEPS} steps, {PRECISION})",
+                  f"{N_VAL} unseen val scenes, {STEPS} steps, {PRECISION}, "
+                  f"loss={LOSS_IMPL}{', ema' if EMA else ''})",
         "map50_before": round(m0, 4),
         "map50_after": round(m1, 4),
         "map5095_after": round(m1s, 4),

@@ -133,8 +133,19 @@ def capture() -> str:
     BATCH = int(os.environ.get("BENCH_BATCH", "16"))
     SIZE = int(os.environ.get("BENCH_SIZE", "608"))
     CFG = os.environ.get("BENCH_CFG", "cfg/darknet/yolov4-csp.cfg")
-    model = YoloModel(graph_from_darknet(dk.Darknet.load(CFG)))
-    config = TrainConfig()
+    dn = dk.Darknet.load(CFG)
+    graph = graph_from_darknet(dn)
+    model = YoloModel(graph)
+    if os.environ.get("TRACE_LOSS", "").lower() == "darknet":
+        # bucket the darknet-EXACT loss step (training.loss.impl=Darknet)
+        from yolodl_tpu.loss.darknet_loss import head_params_from_darknet
+        heads = [l for l in dn.layers if isinstance(l, dk.Yolo)]
+        spec = (graph.detect_head_input_keys(),
+                tuple(head_params_from_darknet(l, SIZE, SIZE)
+                      for l in heads))
+        config = TrainConfig(darknet_loss=spec)
+    else:
+        config = TrainConfig()
     ts, opt = train_init(model, config)
     step_fn = make_train_step(model, opt, config)
     rng = np.random.default_rng(0)

@@ -159,40 +159,47 @@ def _iou_xywh(ax, ay, aw, ah, bx, by, bw, bh):
 
 
 def _activate(raw: Array, p: DarknetHeadParams) -> Array:
-    """raw [b,A,H,W,E] -> darknet's l.output (activated) buffer."""
+    """raw [b,A,H,W,E] -> darknet's l.output (activated) buffer.
+
+    Fully elementwise (per-entry select + affine with [E]-broadcast
+    masks) so XLA fuses it into the surrounding program: the original
+    per-column ``jnp.stack`` lowered to E-piece concatenates of
+    [..., 1] slices on TPU — 2-4 ms each at flagship head sizes, the
+    single largest non-conv cost of the darknet-loss step (round-5
+    trace).  Per-entry semantics are unchanged:
+
+    - gaussian (gaussian_yolo_layer.c:421-430): logistic on mu_x(0),
+      sig_x(1), mu_y(2), sig_y(3), sig_w(5), sig_h(7), obj+cls(8..);
+      mu_w(4)/mu_h(6) raw; scal_add on mu_x/mu_y only.
+    - new_coords=1 (yolo_layer.c:675-682 if-branch): logistic on every
+      entry (the conv's logistic is stripped into this loss by the
+      caller); scal_add on x(0), y(1).
+    - new_coords=0: logistic on x, y, obj, classes; w(2)/h(3) raw; the
+      CPU path's scal_add lands on entries 4 and 5 (obj, class0) — the
+      index was reassigned inside the else (yolo_layer.c:677-682).
+      Identity at scale_x_y=1."""
     e = raw.shape[-1]
     s, add = p.scale_x_y, -0.5 * (p.scale_x_y - 1.0)
-    sig = jax.nn.sigmoid
-    cols = [raw[..., k] for k in range(e)]
+    apply_sig = np.ones((e,), bool)
+    mul = np.ones((e,), np.float32)
+    off = np.zeros((e,), np.float32)
     if p.gaussian:
-        # mu_x, sig_x, mu_y, sig_y: logistic; scal_add on mu only
-        # (gaussian_yolo_layer.c:421-430); sig_w(5), sig_h(7), obj+cls: logistic
-        cols[0] = sig(cols[0]) * s + add
-        cols[1] = sig(cols[1])
-        cols[2] = sig(cols[2]) * s + add
-        cols[3] = sig(cols[3])
-        cols[5] = sig(cols[5])
-        cols[7] = sig(cols[7])
-        for k in range(8, e):
-            cols[k] = sig(cols[k])
+        apply_sig[4] = apply_sig[6] = False
+        mul[0] = mul[2] = s
+        off[0] = off[2] = add
     elif p.new_coords:
-        # conv already applied logistic (stripped into this loss by the
-        # caller); scal_add on x,y (yolo_layer.c:675-682, if-branch)
-        cols = [sig(c) for c in cols]
-        cols[0] = cols[0] * s + add
-        cols[1] = cols[1] * s + add
+        mul[0] = mul[1] = s
+        off[0] = off[1] = add
     else:
-        # logistic on x,y,obj,classes; the CPU path's scal_add lands on
-        # entries 4,5 (obj, class0) — the index was reassigned inside the
-        # else (yolo_layer.c:677-682).  Identity at scale_x_y=1.
-        cols[0] = sig(cols[0])
-        cols[1] = sig(cols[1])
-        for k in range(4, e):
-            cols[k] = sig(cols[k])
-        cols[4] = cols[4] * s + add
+        apply_sig[2] = apply_sig[3] = False
+        mul[4] = s
+        off[4] = add
         if e > 5:
-            cols[5] = cols[5] * s + add
-    return jnp.stack(cols, axis=-1)
+            mul[5] = s
+            off[5] = add
+    out = jnp.where(jnp.asarray(apply_sig), jax.nn.sigmoid(raw), raw)
+    # x*1.0+0.0 is an IEEE identity: untouched entries are bit-exact
+    return out * jnp.asarray(mul) + jnp.asarray(off)
 
 
 def _pred_boxes(out: Array, p: DarknetHeadParams) -> Tuple[Array, ...]:
