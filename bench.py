@@ -96,7 +96,18 @@ def main():
         _bench_inference(jax, jnp, np, model)
         return
 
-    config = TrainConfig()
+    if os.environ.get("BENCH_LOSS", "").lower() == "darknet":
+        # training.loss.impl=Darknet step (oracle-exact delta loss):
+        # 89.0 ms/step on csp-608 b16 — within 1.3% of production (r5)
+        from yolodl_tpu.loss.darknet_loss import head_params_from_darknet
+
+        dn = dk.Darknet.load(cfg_path)
+        heads = [l for l in dn.layers if isinstance(l, dk.Yolo)]
+        config = TrainConfig(darknet_loss=(
+            model.graph.detect_head_input_keys(),
+            tuple(head_params_from_darknet(l, SIZE, SIZE) for l in heads)))
+    else:
+        config = TrainConfig()
     ts, opt = train_init(model, config, seed=0)
     # scan SCAN_K steps into one XLA program (train.make_multi_step):
     # amortizes per-step dispatch.  Swept 2026-08-20: k=10 → 164.8 img/s,
