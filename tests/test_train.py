@@ -814,6 +814,20 @@ ignore_thresh=0.6
             float(m["classification_loss"]) == pytest.approx(
                 float(m["total_loss"]), rel=1e-5)
 
+    def test_metrics_through_grad_accumulation(self):
+        """Gradient accumulation (lax.scan of micro-batches) aggregates
+        the darknet telemetry: ratios mean over micro-batches,
+        num_matched sums."""
+        model, spec, (imgs, gt, gtc, gtm) = self._setup()
+        cfg = TrainConfig(optimizer="sgd", momentum=0.9, darknet_loss=spec)
+        ts, opt = train_init(model, cfg, seed=0)
+        step = make_train_step(model, opt, cfg, accum=2)
+        _, m = step(ts, imgs, gt, gtc, gtm)
+        assert int(m["num_matched"]) >= 2  # summed over micro-batches
+        for k in ("avg_iou", "no_obj", "recall50"):
+            v = float(m[k])
+            assert np.isfinite(v) and 0.0 <= v <= 1.0, (k, v)
+
     def test_gaussian_new_coords_rejected_at_cfg_resolution(self):
         """[Gaussian_yolo]+new_coords=1 must fail at head-params
         construction (cfg-resolution time) with a named, actionable
