@@ -28,6 +28,26 @@ _USER_ERRORS = (
 
 
 def run(main) -> None:
+    # Persistent XLA compilation cache, on by default for every CLI
+    # (YDL_NO_COMPILE_CACHE=1 opts out; JAX_COMPILATION_CACHE_DIR
+    # overrides the location).  Flagship-model compiles take minutes on a
+    # remote-TPU host — without the cache every train/eval/detect/serve
+    # invocation (and every segment of a segmented run) pays them again
+    # and multiplies exposure to transient remote-compile failures.
+    if not os.environ.get("YDL_NO_COMPILE_CACHE"):
+        import jax
+
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") or \
+            os.path.join(os.path.expanduser("~"), ".cache", "yolodl_tpu",
+                         "jax_cache")
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except OSError:
+            pass  # unwritable cache location never blocks the CLI
+
     # YDL_DEBUG_NANS=1: every jit re-runs op-by-op on a NaN and raises at
     # the producing op — the development-mode analog of the reference's
     # debug-assert ndarray cross-checks (SURVEY §4.3; book/training.md
