@@ -757,6 +757,54 @@ ignore_thresh=0.6
         w2 = np.asarray(jax.device_get(ts2.params["layer0"]["w"]))
         np.testing.assert_allclose(w1, w2, atol=2e-6)
 
+    def test_zero_composition(self, devices8):
+        """ZeRO-1 × darknet loss: optimizer-state sharding is numerically
+        the DP step (elementwise update on a slice == full vector), so
+        updated weights must match single-device like test_dp_composition."""
+        from yolodl_tpu.parallel import (make_zero_train_step,
+                                         place_zero_state, zero_init)
+
+        model, spec, (imgs, gt, gtc, gtm) = self._setup()
+        cfg = TrainConfig(optimizer="sgd", momentum=0.9, darknet_loss=spec)
+        ts, opt = train_init(model, cfg, seed=0)
+        single = make_train_step(model, opt, cfg)
+        ts1, _ = single(ts, imgs, gt, gtc, gtm)
+
+        mesh = make_mesh(2)
+        tsz, optz = zero_init(model, cfg, mesh, seed=0)
+        z_step = make_zero_train_step(model, optz, cfg, mesh)
+        ts2, _ = z_step(place_zero_state(mesh, tsz),
+                        *shard_batch(mesh, (imgs, gt, gtc, gtm)))
+        w1 = np.asarray(ts1.params["layer0"]["w"])
+        w2 = np.asarray(jax.device_get(ts2.params["layer0"]["w"]))
+        np.testing.assert_allclose(w1, w2, atol=2e-6)
+
+    def test_tp_composition(self, devices8):
+        """TP × darknet loss: the TP step is the single-device step under
+        GSPMD (the loss is an ordinary jittable term on the channel-
+        sharded head outputs — XLA all-gathers the small head tensors),
+        so BOTH the reported cost and the updated weights must match
+        single-device, unlike DP's per-shard cost ratio."""
+        from yolodl_tpu.parallel import (make_tp_mesh, make_tp_train_step,
+                                         place_tp_state, shard_batch_tp)
+
+        model, spec, (imgs, gt, gtc, gtm) = self._setup()
+        cfg = TrainConfig(optimizer="sgd", momentum=0.9, darknet_loss=spec)
+        ts, opt = train_init(model, cfg, seed=0)
+        single = make_train_step(model, opt, cfg)
+        ts1, m1 = single(ts, imgs, gt, gtc, gtm)
+
+        mesh = make_tp_mesh(2, 4)
+        ts0, _ = train_init(model, cfg, seed=0)
+        tp_step = make_tp_train_step(model, opt, cfg, mesh)
+        ts2, m2 = tp_step(place_tp_state(mesh, ts0),
+                          *shard_batch_tp(mesh, (imgs, gt, gtc, gtm)))
+        np.testing.assert_allclose(
+            float(m1["total_loss"]), float(m2["total_loss"]), rtol=1e-5)
+        w1 = np.asarray(ts1.params["layer0"]["w"])
+        w2 = np.asarray(jax.device_get(ts2.params["layer0"]["w"]))
+        np.testing.assert_allclose(w1, w2, atol=2e-6)
+
     def test_metrics_variant_matches_loss_and_grads(self):
         """darknet_detection_loss_with_metrics: identical value AND
         gradient to the plain loss; per-term components sum to the

@@ -356,10 +356,15 @@ def main(argv=None):
         if config.model_kind != "darknet":
             raise SystemExit(
                 "training.loss.impl Darknet needs a darknet model cfg")
-        if config.pipeline_parallel > 1 or config.tensor_parallel > 1:
+        if config.pipeline_parallel > 1:
+            # TP/DP/ZeRO compose (the loss is an ordinary jittable term —
+            # GSPMD handles the sharded head outputs; tests
+            # test_{dp,tp}_composition); PP's MPMD stage programs wire the
+            # production loss into the recompute-VJP machinery and would
+            # need the darknet loss re-plumbed per stage
             raise SystemExit(
-                "training.loss.impl Darknet supports single-device and "
-                "data-parallel training only")
+                "training.loss.impl Darknet does not support "
+                "pipeline_parallel (single-device, DP, TP, ZeRO all work)")
         from ..config import darknet_cfg as _dkl
         from ..loss.darknet_loss import head_params_from_darknet
 
