@@ -54,6 +54,30 @@ class TestLoggingWorker:
         worker.close()
         assert any(n.startswith("events.out") for n in os.listdir(tmp_path))
 
+    def test_tb_scalars_reads_back(self, tmp_path):
+        """scripts/tb_scalars.py round-trips what LoggingWorker writes."""
+        import importlib.util
+        import os as _os
+
+        from yolodl_tpu.train.logging import LoggingWorker
+
+        worker = LoggingWorker(str(tmp_path)).start()
+        for step, loss in ((1, 3.5), (2, 2.25)):
+            worker.log_training_output(step, 0.01, {
+                "total_loss": loss, "iou_loss": 0.1,
+                "classification_loss": 0.2, "objectness_loss": 0.7,
+            })
+        worker.close()
+
+        spec = importlib.util.spec_from_file_location(
+            "tb_scalars", _os.path.join(
+                _os.path.dirname(__file__), "..", "scripts", "tb_scalars.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        scalars = mod.load_scalars(str(tmp_path))
+        assert scalars["loss/total_loss"] == [(1, 3.5), (2, 2.25)]
+        assert set(scalars) >= {"loss/iou_loss", "params/learning_rate"}
+
     def test_objectness_heatmap(self, tmp_path):
         from yolodl_tpu.ops.detect import DetectionInfo
         from yolodl_tpu.train.logging import LoggingWorker
